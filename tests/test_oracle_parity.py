@@ -1,0 +1,30 @@
+"""Driver-gate replica: every oracle-backed op must hash-match DuckDB.
+
+Parametrized over the full registry so newly registered ops are
+automatically under test (SURVEY.md §5a).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_to_firehose_spark.registry import all_ops
+from tests.oracle_harness import SF_DIR, compare
+
+OPS = all_ops()
+ORACLE_OPS = sorted(name for name, op in OPS.items() if op.sql is not None)
+ROWS_ONLY_OPS = sorted(name for name, op in OPS.items() if op.sql is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_OPS)
+def test_oracle_parity(spark, name):
+    op = OPS[name]
+    compare(op.fn(spark, SF_DIR), op.sql, SF_DIR)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_rows_only_runs(spark, name):
+    op = OPS[name]
+    df = op.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
