@@ -1,1 +1,579 @@
-"""Placeholder — ops land per SURVEY.md §7 build plan."""
+"""Deduplication operators (SURVEY.md §2.3) over `documents`.
+
+Five families — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — all expressed in native Spark SQL functions with
+byte-identical DuckDB oracles (hashing is md5-based so both engines
+reproduce signatures exactly).
+
+Scale posture:
+- exact: single hash-groupBy shuffle on the fingerprint.
+- jaccard: blocked on (lang, length-bucket) — never all-pairs.
+- minhash: per-doc signature is a narrow map-side computation; the
+  only shuffle is the (band, band_key) bucket join (standard LSH).
+- simhash: pigeonhole chunk join (hamming ≤ 3 ⇒ one of 4 4-bit
+  chunks equal) — equi-joins, no quadratic compare.
+- embedding: blocked all-pairs here (testdata has no ANN index);
+  the scale path is `ann_lsh_bucketed` in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesis_to_firehose_spark.registry import register
+from kinesis_to_firehose_spark.sources.tables import load
+
+# ---- shared normalization / shingling ------------------------------------
+
+NORM_EXPR = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+TOK_EXPR = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
+TOK_SQL = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+# word-bigram shingles, distinct. Spark side NEVER builds the shingle
+# array (see exploded_shingles); the DuckDB oracle uses list ops, where
+# the list is evaluated once per row.
+SHINGLE_FROM_TOKS_SQL = (
+    "list_distinct(list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i + 1]))"
+)
+# CTE producing (doc_id, lang, len_bucket, sh) for the DuckDB oracles.
+SHINGLES_CTE = f"""
+  WITH toks_t AS (
+    SELECT doc_id, lang, n_chars // 64 AS len_bucket, {TOK_SQL} AS toks
+    FROM documents
+  ),
+  s AS (
+    SELECT doc_id, lang, len_bucket, {SHINGLE_FROM_TOKS_SQL} AS sh FROM toks_t
+  )
+"""
+
+JACCARD_TAU = 0.5
+COSINE_TAU = 0.45
+
+N_PERMS = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 4 chunks of 8 bits ⇒ hamming ≤ 3 has an equal chunk
+HAMMING_TAU = 3
+
+
+def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, len_bucket, shingle) — one row per DISTINCT
+    word-bigram shingle per doc.
+
+    Built with posexplode + window lead instead of array HOFs: Spark
+    collapses projections and would otherwise inline the regex
+    tokenizer into every element_at lambda (O(tokens²) regex work per
+    doc, interpreted). Explode + lead stays in whole-stage codegen and
+    the only shuffle is the per-doc window — the shape that scales.
+    """
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — canonical-survivor set by normalized-text fingerprint.
+# --------------------------------------------------------------------------
+EXACT_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5({NORM_SQL}) AS norm_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5({NORM_SQL})) AS group_size
+  FROM documents
+)
+SELECT doc_id, norm_hash, CAST(group_size AS BIGINT) AS group_size
+FROM hashed
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("dedup_exact", EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    hashed = d.select("doc_id", F.md5(F.expr(NORM_EXPR)).alias("norm_hash"))
+    w = W.partitionBy("norm_hash")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "norm_hash", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — blocked Jaccard on word-bigram shingles via an
+# INVERTED-INDEX join (explode shingles → self-join on shingle → count
+# matches per pair). No per-pair array scans: pairs sharing zero shingles
+# never materialize, and every aggregate is a codegen'd count. This is
+# the shape that survives 100 TB; a naive per-pair array_intersect is
+# interpreted per element in Spark and quadratic in doc length.
+# --------------------------------------------------------------------------
+NGRAM_JACCARD_SQL = f"""
+{SHINGLES_CTE},
+sized AS (
+  SELECT doc_id, lang, len_bucket, sh, len(sh) AS n_sh FROM s
+),
+exploded AS (
+  SELECT doc_id, lang, len_bucket, n_sh, unnest(sh) AS shingle FROM sized
+),
+matches AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2, COUNT(*) AS inter
+  FROM exploded a
+  JOIN exploded b
+    ON a.shingle = b.shingle AND a.lang = b.lang
+   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  GROUP BY doc_id_1, doc_id_2
+)
+SELECT doc_id_1, doc_id_2,
+       ROUND(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+FROM matches
+WHERE inter * 1.0 / (n1 + n2 - inter) >= {JACCARD_TAU}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = exploded_shingles(spark, sf_dir)
+    exploded = ex.withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(
+            F.min("a.n_sh").alias("n1"),
+            F.min("b.n_sh").alias("n2"),
+            F.count("*").alias("inter"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        matches.filter(jac >= JACCARD_TAU)
+        .select("doc_id_1", "doc_id_2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh — 32-perm MinHash signatures, 8×4 banded LSH.
+# Permutation p's hash of shingle x is md5('p|x'); the min is taken over
+# hex strings (both engines order them identically). Signatures are
+# computed by EXPLODING shingles and running 32 native min-aggregates —
+# map-side partial aggregation, whole-stage codegen, no interpreted
+# higher-order functions. The only shuffles are the signature groupBy
+# and the (band_idx, band_key) bucket join — the canonical LSH shape
+# that holds at 100 TB (salt band keys if a bucket ever explodes).
+# --------------------------------------------------------------------------
+# One md5 per shingle, then 32 universal-hash permutations
+# h_p(v) = (a_p·v + b_p) mod 2³¹-1 over v = md5-prefix mod 2³¹-1.
+# Products stay < 2⁶² so 64-bit arithmetic is exact and portable; md5
+# count drops 32× vs hashing per permutation (the dominant cost).
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def _perm_consts(p: int) -> tuple[int, int]:
+    # deterministic LCG-derived odd multipliers/offsets per permutation
+    a = (2654435761 * (p + 1) + 1) % _MERSENNE
+    b = (40503 * (p + 7) * 2654435769 + 17) % _MERSENNE
+    return a | 1, b
+
+
+_V_SPARK = (
+    f"(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % {_MERSENNE})"
+)
+_V_SQL = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE})"
+
+_SIG_AGG_SPARK = [
+    f"min(({a} * v + {b}) % {_MERSENNE}) AS h{p}"
+    for p, (a, b) in ((p, _perm_consts(p)) for p in range(N_PERMS))
+]
+_SIG_AGG_SQL = ", ".join(
+    f"min(({a} * v + {b}) % {_MERSENNE}) AS h{p}"
+    for p, (a, b) in ((p, _perm_consts(p)) for p in range(N_PERMS))
+)
+
+_BAND_KEYS_SPARK = ", ".join(
+    "md5(concat_ws(',', "
+    + ", ".join(
+        f"CAST(h{b * ROWS_PER_BAND + r} AS STRING)" for r in range(ROWS_PER_BAND)
+    )
+    + "))"
+    for b in range(N_BANDS)
+)
+_BAND_KEYS_SQL = ", ".join(
+    "md5("
+    + " || ',' || ".join(
+        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    + ")"
+    for b in range(N_BANDS)
+)
+
+_EST_MATCH_SQL = " + ".join(
+    f"(CASE WHEN s1.h{p} = s2.h{p} THEN 1 ELSE 0 END)" for p in range(N_PERMS)
+)
+
+MINHASH_SQL = f"""
+{SHINGLES_CTE},
+exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+),
+hashed_v AS (
+  SELECT doc_id, {_V_SQL} AS v FROM exploded
+),
+sigs AS (
+  SELECT doc_id, {_SIG_AGG_SQL} FROM hashed_v GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_KEYS_SQL}]) AS band_key,
+         generate_subscripts([{_BAND_KEYS_SQL}], 1) AS band_idx
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a
+  JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2,
+       ROUND(({_EST_MATCH_SQL}) / {N_PERMS}.0, 6) AS est_jaccard
+FROM cand
+JOIN sigs s1 ON s1.doc_id = cand.doc_id_1
+JOIN sigs s2 ON s2.doc_id = cand.doc_id_2
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("dedup_minhash_lsh", MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = exploded_shingles(spark, sf_dir).select("doc_id", "shingle")
+    return minhash_lsh_pairs(ex)
+
+
+def minhash_lsh_pairs(exploded: DataFrame) -> DataFrame:
+    """Core LSH pipeline over exploded (doc_id, shingle) rows — reused
+    by tests with synthetic near-dup corpora.
+
+    Signatures are persisted: the band self-join plus the signature
+    rejoin would otherwise recompute the whole shingle→signature chain
+    4× through the lineage. One row of 32 hex strings per doc — the
+    standard materialize-signatures step of any production LSH run.
+    """
+    hashed_v = exploded.select("doc_id", F.expr(_V_SPARK).alias("v"))
+    sigs = hashed_v.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _SIG_AGG_SPARK]
+    ).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({_BAND_KEYS_SPARK})")).alias(
+            "band_idx0", "band_key"
+        ),
+    ).withColumn("band_idx", F.col("band_idx0") + 1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    s1 = sigs.alias("s1")
+    s2 = sigs.alias("s2")
+    est_match = sum(
+        F.when(F.col(f"s1.h{p}") == F.col(f"s2.h{p}"), 1).otherwise(0)
+        for p in range(N_PERMS)
+    )
+    return (
+        cand.join(s1, F.col("s1.doc_id") == F.col("doc_id_1"))
+        .join(s2, F.col("s2.doc_id") == F.col("doc_id_2"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(est_match / float(N_PERMS), 6).alias("est_jaccard"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash — 32-bit SimHash over tokens (bit j = sign of the
+# token-frequency-weighted vote of md5 hex digit j's top bit), packed
+# into a BIGINT so hamming distance is native bit_count(xor) — whole-
+# stage codegen, no per-bit string work. Candidates come from a
+# pigeonhole chunk join (hamming ≤ 3 ⇒ one of 4 8-bit chunks equal);
+# on vocabulary-correlated corpora those buckets are large, so the
+# per-pair cost being a couple of integer ops is what keeps this
+# viable at scale. Signature: explode tokens → 32 conditional sums
+# (map-side combined, linear in corpus size).
+# --------------------------------------------------------------------------
+def _simhash_vote(j: int, engine: str) -> str:
+    # +1 when hex digit j of md5(token) is in 8..f (top nibble bit set)
+    fn = "substring" if engine == "spark" else "substr"
+    return f"(CASE WHEN {fn}(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+
+
+def _simhash_int(engine: str) -> str:
+    # packed signature: bit j set iff the vote for bit j is positive
+    terms = " + ".join(
+        f"(CASE WHEN sum({_simhash_vote(j, engine)}) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"({terms})"
+
+
+_CHUNK_BITS = 8  # 4 chunks of 8 bits
+
+SIMHASH_SQL_Q = f"""
+WITH toks_t AS (
+  SELECT doc_id, {TOK_SQL} AS toks FROM documents
+),
+exploded AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks_t
+),
+hashed AS (
+  SELECT doc_id, {_simhash_int("duck")} AS simhash
+  FROM exploded GROUP BY doc_id
+),
+chunked AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+         (simhash >> ((c - 1) * {_CHUNK_BITS})) & 255 AS chunk
+  FROM hashed, generate_series(1, {SIMHASH_CHUNKS}) AS g(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         a.simhash AS h1, b.simhash AS h2
+  FROM chunked a
+  JOIN chunked b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2,
+       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {HAMMING_TAU}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("dedup_simhash", SIMHASH_SQL_Q)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    exploded = d.select(
+        "doc_id", F.explode(F.expr(TOK_EXPR)).alias("tok")
+    )
+    hashed = exploded.groupBy("doc_id").agg(
+        F.expr(_simhash_int("spark")).alias("simhash")
+    )
+    chunked = hashed.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"shiftright(simhash, {c * _CHUNK_BITS}) & 255"
+                    for c in range(SIMHASH_CHUNKS)
+                )
+                + ")"
+            )
+        ).alias("chunk_idx0", "chunk"),
+    ).withColumn("chunk_idx", F.col("chunk_idx0") + 1)
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("h1 ^ h2")).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_TAU)
+        .select("doc_id_1", "doc_id_2", "hamming")
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding — cosine near-dup pairs over `embeddings`.
+# --------------------------------------------------------------------------
+def dot_expr(a: str, b: str, engine: str) -> str:
+    """Double-precision dot product; identical sequential fold order in
+    both engines ⇒ bit-identical IEEE results."""
+    if engine == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def norm_expr(a: str, engine: str) -> str:
+    if engine == "spark":
+        return (
+            f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({a}, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def cosine_expr(a: str, b: str, engine: str) -> str:
+    """Cosine from inline dot + norms (for one-shot use); hot paths
+    should precompute norms as columns and divide instead."""
+    return (
+        f"({dot_expr(a, b, engine)} / "
+        f"({norm_expr(a, engine)} * {norm_expr(b, engine)}))"
+    )
+
+
+# Norms are hoisted to a column before the pair join (computed n times,
+# not n² times); the division tree is identical in both engines.
+NORMED_CTE = f"""
+  WITH normed AS (
+    SELECT vec_id, embedding, {norm_expr("embedding", "duck")} AS nrm
+    FROM embeddings
+  )
+"""
+
+_PAIR_COS_SQL = f"({dot_expr('a.embedding', 'b.embedding', 'duck')} / (a.nrm * b.nrm))"
+
+DEDUP_EMB_SQL = f"""
+{NORMED_CTE}
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       ROUND({_PAIR_COS_SQL}, 6) AS cosine
+FROM normed a
+JOIN normed b ON a.vec_id < b.vec_id
+WHERE {_PAIR_COS_SQL} >= {COSINE_TAU}
+ORDER BY vec_id_1, vec_id_2
+"""
+
+
+def normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    return e.select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding", "spark")).alias("nrm")
+    )
+
+
+@register("dedup_embedding", DEDUP_EMB_SQL)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine via an Arrow-batched mapInPandas kernel.
+
+    A pure-SQL pair join evaluates the dot product with interpreted
+    higher-order lambdas (~µs/element) — 90 s for 2M pairs. The numpy
+    kernel is ~50× faster AND bit-identical to the DuckDB oracle: it
+    accumulates dimension-by-dimension (64 vectorized adds across the
+    pair block), which is exactly the sequential left-fold order of
+    `list_reduce`, so every IEEE intermediate matches.
+
+    The candidate side is broadcast as a numpy block (fine for a dim
+    table of vectors; at 100 TB the pair space is LSH/IVF-prefiltered
+    first — see ann_lsh_bucketed / ann_ivf_topk — and this kernel runs
+    per bucket).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    rows = e.collect()  # candidate block (the broadcast side)
+    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def _seq_norm(mat: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for d in range(mat.shape[1]):  # fold order == list_reduce
+            acc = acc + mat[:, d] * mat[:, d]
+        return np.sqrt(acc)
+
+    b_nrm = _seq_norm(b_mat)
+    sc = spark.sparkContext
+    bc = sc.broadcast((b_ids, b_mat, b_nrm))
+
+    def _pairs(batches):
+        ids_b, mat_b, nrm_b = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_nrm = _seq_norm(a_mat)
+            acc = np.zeros((len(a_ids), len(ids_b)), dtype=np.float64)
+            for d in range(a_mat.shape[1]):  # fold order == list_reduce
+                acc = acc + np.outer(a_mat[:, d], mat_b[:, d])
+            cos = acc / np.outer(a_nrm, nrm_b)
+            ai, bi = np.nonzero(
+                (a_ids[:, None] < ids_b[None, :]) & (cos >= COSINE_TAU)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id_1": a_ids[ai],
+                    "vec_id_2": ids_b[bi],
+                    "cosine": np.round(cos[ai, bi], 6),
+                }
+            )
+
+    par = sc.defaultParallelism
+    return (
+        e.repartition(par)
+        .mapInPandas(_pairs, schema="vec_id_1 long, vec_id_2 long, cosine double")
+        .orderBy("vec_id_1", "vec_id_2")
+    )

@@ -1,0 +1,142 @@
+"""Multimodal columns (SURVEY.md §2.6): image/audio/video as opaque
+`binary` columns with typed metadata, processed by Arrow-batched
+mapInPandas kernels.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic fake (seeded by content hash) behind the same function
+signature a real decoder would have — the Spark surface (schema,
+partitioning, UDF batch shape) is real and tested. Swap `_fake_decode`
+for a PIL/libsndfile call on a real cluster.
+
+Scale: media blobs are the widest column by far — the plumbing keeps
+them in `binary` (no base64 inflation), prunes them out of any plan
+that only needs metadata, and sizes partitions by bytes not rows
+(`media_repartition_by_bytes`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_to_firehose_spark.registry import register
+from kinesis_to_firehose_spark.sources.tables import load
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),  # opaque blob
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("source_doc", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic media table from `documents` (the blob is
+    the utf-8 text standing in for encoded bytes)."""
+    d = load(spark, "documents", sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.col("doc_id").alias("source_doc"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> list[float]:
+    """Deterministic stand-in for a codec: hash-seeded features.
+
+    Replace with a real decoder (PIL / soundfile / pyav) on a cluster
+    image; the signature (bytes -> fixed-dim float features) is the
+    contract the pipeline depends on.
+    """
+    import hashlib
+
+    h = hashlib.sha256(content).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch in, one out;
+    blob column is dropped on output so downstream stages are narrow."""
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, kind string, mime string, "
+        + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
+    )
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                }
+            )
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = [f[i] for f in feats]
+            yield out
+
+    return media.mapInPandas(_extract, schema=out_schema)
+
+
+def media_repartition_by_bytes(
+    media: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Partition media by cumulative blob size, not row count — blobs
+    vary by orders of magnitude and row-count partitioning makes
+    straggler tasks at scale."""
+    sized = media.withColumn("_bytes", F.length("content"))
+    total = sized.agg(F.sum("_bytes")).collect()[0][0] or 1
+    n_parts = max(1, int(total / target_partition_bytes))
+    return sized.repartition(n_parts).drop("_bytes")
+
+
+@register("mm_binary_schema", None)
+def mm_binary_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media table: blob + metadata struct (rows-only check)."""
+    m = synthetic_media(spark, sf_dir)
+    # metadata-only projection must not deserialize the blob column
+    return m.select(
+        "media_id", "kind", F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@register("mm_decode_stub", None)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode/feature-extract over the media table (rows-only
+    check; kernel determinism asserted in pytest)."""
+    return decode_features(synthetic_media(spark, sf_dir))

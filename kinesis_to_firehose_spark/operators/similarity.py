@@ -1,1 +1,232 @@
-"""Placeholder — ops land per SURVEY.md §7 build plan."""
+"""Similarity search (SURVEY.md §2.4) over `embeddings`.
+
+- ann_bruteforce_topk: exact cosine top-k — the correctness baseline.
+  Query side is tiny and broadcast; ranking is a per-query window (a
+  partial per-partition top-k then a merge under AQE), never a global
+  sort of all candidates.
+- ann_ivf_topk: IVF with deterministic seed centroids (vec_id <
+  N_CENTROIDS): assign every vector to its nearest centroid (narrow
+  map over a broadcast centroid list), probe only the query's cell.
+  SQL-expressible → full DuckDB oracle.
+- ann_lsh_bucketed: random-hyperplane LSH where plane components come
+  from md5 parity (deterministic, engine-reproducible); rows-only
+  check (bucket recall vs brute force is asserted in pytest).
+
+Norms are always hoisted to a column before any pair join — computed
+n times, not n² times. At 100 TB the same plans hold: cell/bucket
+assignment is a narrow map, probing is a co-partitioned equi-join on
+cell id, and the only broadcast is the centroid/query side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesis_to_firehose_spark.operators.dedup import (
+    NORMED_CTE,
+    dot_expr,
+    normed_embeddings,
+)
+from kinesis_to_firehose_spark.registry import register
+from kinesis_to_firehose_spark.sources.tables import load
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+N_CENTROIDS = 8
+IVF_TOP_K = 5
+LSH_PLANES = 8
+
+_COS = f"({dot_expr('q_emb', 'c_emb', 'spark')} / (q_nrm * c_nrm))"
+_COS_SQL = f"({dot_expr('q.embedding', 'c.embedding', 'duck')} / (q.nrm * c.nrm))"
+
+
+# --------------------------------------------------------------------------
+BRUTE_SQL = f"""
+{NORMED_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         ROUND({_COS_SQL}, 6) AS cosine
+  FROM normed q
+  JOIN normed c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, candidate_id, cosine, rk
+FROM ranked
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("ann_bruteforce_topk", BRUTE_SQL)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normed_embeddings(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = n.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "candidate_id", F.round(F.expr(_COS), 6).alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+_ASSIGN_COS_SQL = f"({dot_expr('v.embedding', 'c.embedding', 'duck')} / (v.nrm * c.nrm))"
+
+IVF_SQL = f"""
+{NORMED_CTE},
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding, nrm FROM normed
+  WHERE vec_id < {N_CENTROIDS}
+),
+assignment AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({_ASSIGN_COS_SQL.replace('c.embedding', 'c.embedding').replace('c.nrm', 'c.nrm')}, 6) DESC, c.centroid_id
+           ) AS rk
+    FROM normed v, centroids c
+  ) WHERE rk = 1
+),
+probe AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS candidate_id, qa.cell
+  FROM assignment qa
+  JOIN assignment ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+  WHERE qa.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, p.candidate_id, p.cell,
+         ROUND({_COS_SQL}, 6) AS cosine
+  FROM probe p
+  JOIN normed q ON q.vec_id = p.query_id
+  JOIN normed c ON c.vec_id = p.candidate_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, candidate_id, cell, cosine, rk
+FROM ranked
+WHERE rk <= {IVF_TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("ann_ivf_topk", IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normed_embeddings(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    v = n.select(
+        "vec_id", F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("score"), "centroid_id")
+    assignment = (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(F.expr(_COS), 6).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"))
+    )
+    qa = assignment.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    ca = assignment.select(F.col("vec_id").alias("candidate_id"), "cell")
+    probe = qa.join(ca, "cell").filter(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    emb_q = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    emb_c = n.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        probe.join(F.broadcast(emb_q), "query_id")
+        .join(emb_c, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            "cell",
+            F.round(F.expr(_COS), 6).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("query_id", "candidate_id", "cell", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_lsh_bucketed — hyperplane signs derived from md5(plane, dim) so the
+# planes are deterministic without a random source. Bucket = sign bits of
+# the projections. Rows-only (recall asserted in tests vs brute force).
+# --------------------------------------------------------------------------
+def _plane_component(p: int, d: int) -> str:
+    # pseudo-random ±1 component from md5 parity — deterministic everywhere
+    return f"(CASE WHEN substring(md5('{p}|{d}'), 1, 1) >= '8' THEN 1.0D ELSE -1.0D END)"
+
+
+def _projection_bit(p: int) -> str:
+    terms = " + ".join(
+        f"CAST(element_at(embedding, {d + 1}) AS DOUBLE) * {_plane_component(p, d)}"
+        for d in range(64)
+    )
+    return f"(CASE WHEN ({terms}) >= 0D THEN '1' ELSE '0' END)"
+
+
+_BUCKET_EXPR = "concat(" + ", ".join(
+    _projection_bit(p) for p in range(LSH_PLANES)
+) + ")"
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    return e.select("vec_id", F.expr(_BUCKET_EXPR).alias("bucket"))
+
+
+@register("ann_lsh_bucketed", None)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram of the hyperplane LSH index (rows-only check);
+    in-bucket search reuses the brute-force kernel on a tiny slice."""
+    return (
+        lsh_buckets(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )

@@ -1,1 +1,172 @@
-"""Placeholder — ops land per SURVEY.md §7 build plan."""
+"""Text-analysis operators (SURVEY.md §2.5) over `documents`.
+
+All native `F.*` array/string expressions — no Python UDFs — so the
+whole stage stays in codegen and scales linearly with scan width.
+Each op has a byte-identical DuckDB oracle (same regexes, same md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_to_firehose_spark.registry import register
+from kinesis_to_firehose_spark.sources.tables import load
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+WS_RE = "\\s+"
+
+STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "it")
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# heuristic language ID.
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "de", "que"),
+    "fr": ("le", "les", "et", "des", "un"),
+}
+
+
+def _tokens():
+    return F.split(F.lower(F.trim(F.col("text"))), WS_RE)
+
+
+def _hits(words: tuple[str, ...]):
+    return F.size(F.filter(_tokens(), lambda x: x.isin(*words)))
+
+
+def _sql_tokens() -> str:
+    return r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _sql_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_sql_tokens()}, x -> x IN ({lst})))"
+
+
+# --------------------------------------------------------------------------
+TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+@register("text_token_count", TOKEN_COUNT_SQL)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), WS_RE)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+# --------------------------------------------------------------------------
+_STOP_SQL = _sql_hits(STOPWORDS)
+QUALITY_SQL = rf"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+       ROUND({_STOP_SQL} * 1.0 / len(string_split_regex(lower(trim(text)), '\s+')), 4)
+         AS stopword_ratio,
+       ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text), 4)
+         AS punct_ratio,
+       ROUND(
+         LEAST(1.0, len(string_split_regex(lower(trim(text)), '\s+')) / 200.0) * 0.5
+         + ({_STOP_SQL} * 1.0 / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.3
+         + (1 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)) * 0.2
+       , 4) AS quality_score
+FROM documents
+"""
+
+
+@register("text_quality", QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    n_tokens = F.size(_tokens())
+    stop_ratio = _hits(STOPWORDS) / n_tokens
+    punct_ratio = F.size(
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9\\s]"), 0)
+    ) / F.length("text")
+    score = (
+        F.least(F.lit(1.0), n_tokens / 200.0) * 0.5
+        + stop_ratio * 0.3
+        + (1 - punct_ratio) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+_HIT_COLS_SQL = ",\n       ".join(
+    f"{_sql_hits(words)} AS {lang}_hits" for lang, words in LANG_PROFILES.items()
+)
+LANG_ID_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_HIT_COLS_SQL}
+  FROM documents
+)
+SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+       CASE
+         WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         WHEN es_hits >= fr_hits THEN 'es'
+         ELSE 'fr'
+       END AS predicted_lang
+FROM scored
+"""
+
+
+@register("text_lang_id", LANG_ID_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            _hits(words).alias(f"{lang}_hits")
+            for lang, words in LANG_PROFILES.items()
+        ],
+    )
+    en, de, es, fr = (F.col(f"{x}_hits") for x in ("en", "de", "es", "fr"))
+    predicted = (
+        F.when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de >= es) & (de >= fr), F.lit("de"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+# --------------------------------------------------------------------------
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+         AS fingerprint_prefix
+FROM documents
+"""
+
+
+@register("text_fingerprint", FINGERPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint_prefix"),
+    )

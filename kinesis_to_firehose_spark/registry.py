@@ -47,9 +47,9 @@ def all_ops() -> dict[str, Op]:
     # Imports deferred so `import registry` stays cheap and cycle-free.
     from kinesis_to_firehose_spark.operators import (  # noqa: F401
         analytics,
-        batching,
         dedup,
         logpipe,
+        multimodal,
         similarity,
         textops,
     )

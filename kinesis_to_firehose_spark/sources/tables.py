@@ -34,7 +34,17 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+        # (nanosAsLong). Truncate to micros — same as DuckDB's
+        # nanos→micros conversion — so oracle timestamps match.
+        from pyspark.sql import functions as F
+
+        # Integer DIV, not float division: DuckDB truncates nanos and a
+        # double round-trip would round ...999ns up a whole microsecond.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

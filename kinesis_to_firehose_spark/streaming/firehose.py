@@ -1,0 +1,251 @@
+"""Firehose-style delivery sink for Structured Streaming.
+
+Re-expresses the reference sender (/root/reference/sender/
+firehose_sender.go) in Spark's execution model:
+
+- ProcessMessage → the decode/serialize columns happen upstream in
+  the streaming DataFrame (JVM-side, codegen), not per record here.
+- SendBatch (firehose_sender.go:96-134): per-record failure retry
+  with 250 ms × 2ⁿ backoff, ≤ MAX_RETRIES rounds, then a
+  PartialSendBatchError carrying the still-failed records — which the
+  caller appends to the dead-letter file (main.go FailedLogsFile).
+- Batch bounds (main.go:50-53): ≤ BATCH_COUNT records and
+  ≤ BATCH_SIZE bytes per PutRecordBatch call.
+
+Spark mapping: the unit of delivery parallelism is the partition —
+`foreachPartition` workers each run the batch/retry loop against the
+transport, so delivery scales with the number of partitions instead
+of a single consumer process. Exactly-once: foreachBatch gives the
+sink the epoch id; the default transport writes epoch-scoped files so
+a replayed epoch overwrites rather than duplicates.
+
+The transport is injectable (tests use flaky/failing fakes; a real
+deployment would wrap boto3 firehose PutRecordBatch — not available
+in this environment, so the AWS transport is an explicit stub).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+
+BATCH_COUNT = 500  # main.go:51
+BATCH_SIZE = 4 * 1024 * 1024  # main.go:52 (4 MiB)
+MAX_RETRIES = 5  # firehose_sender.go:125 (retries > 4)
+BASE_DELAY_S = 0.25  # firehose_sender.go:98 (250 ms)
+
+
+class CatastrophicSendBatchError(RuntimeError):
+    """Whole-call failure (firehose_sender.go:100) — abort the task."""
+
+
+@dataclass
+class PartialSendBatchError(RuntimeError):
+    """Retries exhausted; carries the records still failing
+    (firehose_sender.go:126-130)."""
+
+    message: str
+    failed_records: list[bytes]
+
+    def __str__(self) -> str:  # pragma: no cover
+        return f"{self.message} ({len(self.failed_records)} records)"
+
+
+# A transport takes (records, stream_name) and returns indices of the
+# records that failed (empty list = full success). Mirrors
+# PutRecordBatch's per-record RequestResponses.
+Transport = Callable[[list[bytes], str], list[int]]
+
+
+class LocalDirTransport:
+    """Simulated Firehose delivery stream: each PutRecordBatch call
+    appends one file of newline-terminated records under
+    <root>/<stream>/. File names carry (epoch, task, seq) so replayed
+    epochs are idempotent (same name → overwrite)."""
+
+    def __init__(self, root: str, epoch_id: int = 0, task_id: str | None = None):
+        self.root = root
+        self.epoch_id = epoch_id
+        self.task_id = task_id or uuid.uuid4().hex[:8]
+        self.seq = 0
+
+    def __call__(self, records: list[bytes], stream: str) -> list[int]:
+        d = os.path.join(self.root, stream)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(
+            d, f"epoch={self.epoch_id:08d}-task={self.task_id}-{self.seq:06d}.jsonl"
+        )
+        self.seq += 1
+        with open(path, "wb") as f:
+            for r in records:
+                f.write(r)
+        return []
+
+
+@dataclass
+class SendStats:
+    batches: int = 0
+    records: int = 0
+    bytes: int = 0
+    retried_records: int = 0
+    dead_letters: int = 0
+    backoff_schedule: list[float] = field(default_factory=list)
+
+
+def plan_batches(
+    records: Iterable[bytes],
+    batch_count: int = BATCH_COUNT,
+    batch_size: int = BATCH_SIZE,
+) -> Iterator[list[bytes]]:
+    """Greedy arrival-order batching under count+size bounds — the
+    sequential semantics of kbc's flush conditions (main.go:50-53)."""
+    batch: list[bytes] = []
+    size = 0
+    for r in records:
+        if batch and (len(batch) >= batch_count or size + len(r) > batch_size):
+            yield batch
+            batch, size = [], 0
+        batch.append(r)
+        size += len(r)
+    if batch:
+        yield batch
+
+
+def send_batch(
+    transport: Transport,
+    batch: list[bytes],
+    stream: str,
+    stats: SendStats | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    max_retries: int = MAX_RETRIES,
+    base_delay_s: float = BASE_DELAY_S,
+) -> None:
+    """Deliver one batch with the reference's retry loop
+    (firehose_sender.go:96-134): resend only the failed records,
+    doubling the delay each round; raise PartialSendBatchError with
+    the survivors after max_retries rounds."""
+    stats = stats if stats is not None else SendStats()
+    try:
+        failed_idx = transport(batch, stream)
+    except PartialSendBatchError:
+        raise
+    except Exception as exc:  # whole-call failure
+        raise CatastrophicSendBatchError(str(exc)) from exc
+
+    stats.batches += 1
+    stats.records += len(batch)
+    stats.bytes += sum(len(r) for r in batch)
+
+    retries = 0
+    delay = base_delay_s
+    pending = [batch[i] for i in failed_idx]
+    while pending:
+        if retries >= max_retries:
+            stats.dead_letters += len(pending)
+            raise PartialSendBatchError(
+                f"Too many retries failed to put records -- stream: {stream}",
+                pending,
+            )
+        stats.backoff_schedule.append(delay)
+        sleep(delay)
+        stats.retried_records += len(pending)
+        try:
+            failed_idx = transport(pending, stream)
+        except Exception as exc:
+            raise CatastrophicSendBatchError(str(exc)) from exc
+        pending = [pending[i] for i in failed_idx]
+        retries += 1
+        delay *= 2
+
+
+def deliver_partition(
+    rows: Iterable,
+    stream_col: str,
+    line_col: str,
+    make_transport: Callable[[], Transport],
+    dead_letter_dir: str | None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> SendStats:
+    """Per-partition delivery loop: group arriving rows by stream tag
+    into bounded batches, send each with retries, append exhausted
+    failures to the dead-letter file (main.go FailedLogsFile)."""
+    transport = make_transport()
+    stats = SendStats()
+    # per-stream open batches, flushed on bound overflow and at the end
+    open_batches: dict[str, tuple[list[bytes], int]] = {}
+
+    def flush(stream: str, batch: list[bytes]) -> None:
+        try:
+            send_batch(transport, batch, stream, stats, sleep)
+        except PartialSendBatchError as exc:
+            _append_dead_letters(dead_letter_dir, stream, exc.failed_records)
+
+    for row in rows:
+        stream = row[stream_col]
+        rec = (row[line_col] + "\n").encode("utf-8")
+        batch, size = open_batches.get(stream, ([], 0))
+        if batch and (
+            len(batch) >= BATCH_COUNT or size + len(rec) > BATCH_SIZE
+        ):
+            flush(stream, batch)
+            batch, size = [], 0
+        batch.append(rec)
+        open_batches[stream] = (batch, size + len(rec))
+    for stream, (batch, _) in open_batches.items():
+        if batch:
+            flush(stream, batch)
+    return stats
+
+
+def _append_dead_letters(
+    dead_letter_dir: str | None, stream: str, records: list[bytes]
+) -> None:
+    if dead_letter_dir is None:
+        return
+    os.makedirs(dead_letter_dir, exist_ok=True)
+    path = os.path.join(dead_letter_dir, f"failed-{stream}.log")
+    with open(path, "ab") as f:
+        for r in records:
+            f.write(r)
+
+
+def firehose_foreach_batch(
+    output_root: str,
+    stream_col: str = "stream",
+    line_col: str = "line",
+    dead_letter_dir: str | None = None,
+    transport_factory: Callable[[int], Transport] | None = None,
+):
+    """Build a foreachBatch(df, epoch_id) callable delivering each
+    micro-batch through the Firehose protocol. Partition-parallel;
+    epoch-scoped file names keep replays idempotent (exactly-once)."""
+
+    def _sink(df, epoch_id: int) -> None:
+        def _run(it):
+            if transport_factory is not None:
+                make = lambda: transport_factory(epoch_id)  # noqa: E731
+            else:
+                make = lambda: LocalDirTransport(output_root, epoch_id)  # noqa: E731
+            deliver_partition(it, stream_col, line_col, make, dead_letter_dir)
+
+        df.select(stream_col, line_col).foreachPartition(_run)
+
+    return _sink
+
+
+def read_delivered(root: str, stream: str) -> list[dict]:
+    """Read back everything delivered to a simulated stream dir."""
+    d = os.path.join(root, stream)
+    if not os.path.isdir(d):
+        return []
+    out: list[dict] = []
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name), "rb") as f:
+            for ln in f.read().splitlines():
+                if ln.strip():
+                    out.append(json.loads(ln))
+    return out

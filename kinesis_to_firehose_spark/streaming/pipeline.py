@@ -1,0 +1,145 @@
+"""End-to-end streaming pipeline: Kinesis-shaped source → decode →
+Firehose-shaped sink (the whole reference app, Spark-first).
+
+Reference: main.go wires batchconsumer(Kinesis/KCL) → FirehoseSender.
+Here: `readStream` file source (each dropped file ≅ a shard's worth of
+records — the local simulator) → decode_enhance + jsonl serialization
+(all narrow, codegen) → foreachBatch Firehose sink with checkpointing
+(KCL checkpoint ≅ Spark streaming checkpoint; both give resume +
+exactly-once).
+
+A real cluster deployment would swap the file source for the
+spark-sql-kinesis connector — config surface kept in
+KinesisSourceConfig, but constructing a reader from it here raises,
+because the connector jar cannot be shipped in this environment.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_to_firehose_spark.functions.decode import decode_enhance, jsonl_line
+from kinesis_to_firehose_spark.streaming.firehose import firehose_foreach_batch
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class KinesisSourceConfig:
+    """Env-var surface of the reference consumer (launch/*.yml)."""
+
+    stream_name: str
+    region: str = "us-west-2"
+    app_name: str = "kinesis-to-firehose-spark"
+    initial_position: str = "LATEST"
+    read_rate_limit: int | None = None
+
+    def reader(self, spark: SparkSession):
+        raise NotImplementedError(
+            "The Kinesis connector jar is not available in this "
+            "environment; use file_stream_source() locally or add the "
+            "spark-sql-kinesis connector on a real cluster."
+        )
+
+
+def file_stream_source(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Local Kinesis simulator: a directory where each new parquet file
+    is a micro-batch of records (≅ shard get-records pages)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def decoded_stream(events: DataFrame) -> DataFrame:
+    """Decode + serialize, producing (stream, line) delivery rows.
+
+    stream tag = event_type (the reference routes by log tag to the
+    configured delivery stream; firehose_sender.go:75 uses a single
+    stream name — we keep per-type streams to exercise multi-stream
+    routing, same as kbc's []string tags)."""
+    d = decode_enhance(events)
+    return d.select(
+        F.col("event_type").alias("stream"),
+        jsonl_line(d).alias("line"),
+        "ts",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    output_root: str,
+    checkpoint_dir: str,
+    dead_letter_dir: str | None = None,
+    transport_factory=None,
+):
+    """Start the full pipeline; returns the StreamingQuery. Callers
+    use q.processAllAvailable() for deterministic local runs."""
+    src = file_stream_source(spark, source_dir)
+    delivery = decoded_stream(src)
+    sink = firehose_foreach_batch(
+        output_root,
+        dead_letter_dir=dead_letter_dir,
+        transport_factory=transport_factory,
+    )
+    return (
+        delivery.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def drop_stats_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming drop-stats (stats.go): 1-minute tumbling window counts
+    of dropped records by app/level, with a watermark for late data."""
+    src = file_stream_source(spark, source_dir)
+    dropped = src.filter(
+        ~F.col("event_type").isin("click", "view", "purchase", "signup")
+    )
+    level = F.when(F.col("value") < 50, F.lit("warning")).otherwise(
+        F.lit("critical")
+    )
+    return (
+        dropped.withColumn("level", level)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 minute").alias("minute"),
+            F.col("event_type").alias("container_app"),
+            "level",
+        )
+        .agg(F.count("*").alias("n_dropped"))
+    )
+
+
+def write_source_slice(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Split the events table into n parquet files to feed the file
+    stream simulator."""
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        load(spark, "events", sf_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -1,0 +1,47 @@
+"""Multimodal plumbing tests (SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+from kinesis_to_firehose_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_features,
+    media_repartition_by_bytes,
+    synthetic_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_schema_types(spark):
+    m = synthetic_media(spark, SF)
+    fields = dict((f.name, f.dataType.simpleString()) for f in m.schema.fields)
+    assert fields["content"] == "binary"
+    assert fields["meta"].startswith("struct<mime:string,width:int")
+    assert m.count() > 0
+
+
+def test_decode_features_deterministic(spark):
+    m = synthetic_media(spark, SF)
+    a = decode_features(m).orderBy("media_id").collect()
+    b = decode_features(m).orderBy("media_id").collect()
+    assert a == b
+    row = a[0].asDict()
+    feats = [row[f"f{i}"] for i in range(FEATURE_DIM)]
+    assert len(feats) == FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    # blob column must be gone after extraction
+    assert "content" not in a[0].asDict()
+
+
+def test_metadata_projection_prunes_blob(spark):
+    m = synthetic_media(spark, SF)
+    meta_only = m.select("media_id", "kind", "meta.mime")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+
+
+def test_repartition_by_bytes(spark):
+    m = synthetic_media(spark, SF)
+    out = media_repartition_by_bytes(m, target_partition_bytes=10_000)
+    assert out.count() == m.count()
+    assert out.rdd.getNumPartitions() >= 1

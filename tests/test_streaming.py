@@ -1,0 +1,184 @@
+"""Streaming pipeline tests (SURVEY.md §5b/c) — mirrors the reference's
+sender tests (sender/firehose_sender_test.go): happy-path delivery,
+per-record retry, retry exhaustion → failed records preserved; plus
+batch bounds, checkpoint resume, and the windowed drop-stats query.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kinesis_to_firehose_spark.streaming.firehose import (
+    BATCH_COUNT,
+    LocalDirTransport,
+    PartialSendBatchError,
+    SendStats,
+    plan_batches,
+    read_delivered,
+    send_batch,
+)
+from kinesis_to_firehose_spark.streaming.pipeline import (
+    drop_stats_stream,
+    run_pipeline,
+    write_source_slice,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- unit: batching + retry protocol ----------------------
+
+
+def test_plan_batches_count_bound():
+    recs = [b"x" * 10] * 1205
+    batches = list(plan_batches(recs, batch_count=500, batch_size=10**9))
+    assert [len(b) for b in batches] == [500, 500, 205]
+
+
+def test_plan_batches_size_bound():
+    recs = [b"x" * 400] * 30
+    batches = list(plan_batches(recs, batch_count=500, batch_size=1000))
+    assert all(sum(len(r) for r in b) <= 1000 for b in batches)
+    assert sum(len(b) for b in batches) == 30
+
+
+class FlakyTransport:
+    """Fails specific records a set number of times, then succeeds —
+    mirrors the FailedPutCount path of PutRecordBatch."""
+
+    def __init__(self, fail_times: dict[bytes, int]):
+        self.fail_times = dict(fail_times)
+        self.calls: list[list[bytes]] = []
+
+    def __call__(self, records, stream):
+        self.calls.append(list(records))
+        failed = []
+        for i, r in enumerate(records):
+            if self.fail_times.get(r, 0) > 0:
+                self.fail_times[r] -= 1
+                failed.append(i)
+        return failed
+
+
+def test_send_batch_retries_only_failed_records():
+    batch = [b"a", b"b", b"c"]
+    t = FlakyTransport({b"b": 2})
+    stats = SendStats()
+    sleeps: list[float] = []
+    send_batch(t, batch, "s1", stats, sleep=sleeps.append)
+    # first call all 3, then only the failed record, twice
+    assert [len(c) for c in t.calls] == [3, 1, 1]
+    assert t.calls[1] == [b"b"] and t.calls[2] == [b"b"]
+    # exponential backoff: 250ms then 500ms (firehose_sender.go:98,131)
+    assert sleeps == [0.25, 0.5]
+    assert stats.retried_records == 2
+
+
+def test_send_batch_exhausts_to_partial_error():
+    batch = [b"a", b"bad"]
+    t = FlakyTransport({b"bad": 99})
+    sleeps: list[float] = []
+    with pytest.raises(PartialSendBatchError) as ei:
+        send_batch(t, batch, "s1", sleep=sleeps.append)
+    assert ei.value.failed_records == [b"bad"]
+    # 5 retry rounds with doubling delays
+    assert sleeps == [0.25, 0.5, 1.0, 2.0, 4.0]
+
+
+def test_local_dir_transport_idempotent_epoch(tmp_path):
+    root = str(tmp_path / "fh")
+    t1 = LocalDirTransport(root, epoch_id=7, task_id="t0")
+    t1([b'{"a":1}\n'], "s")
+    # replay of the same epoch/task overwrites the same file
+    t2 = LocalDirTransport(root, epoch_id=7, task_id="t0")
+    t2([b'{"a":1}\n'], "s")
+    assert len(read_delivered(root, "s")) == 1
+
+
+# ---------------- end-to-end: stream → decode → deliver ----------------
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_src"))
+    return d
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dlq = str(tmp_path / "dlq")
+    write_source_slice(spark, SF, src, n_files=3)
+
+    q = run_pipeline(spark, src, out, ckpt, dead_letter_dir=dlq)
+    q.processAllAvailable()
+    q.stop()
+
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    n_expected = load(spark, "events", SF).count()
+    delivered = sum(
+        len(read_delivered(out, s))
+        for s in ["click", "view", "purchase", "signup", "error"]
+    )
+    assert delivered == n_expected
+    # every delivered line is the canonical JSON with enhanced fields
+    sample = read_delivered(out, "click")[0]
+    assert sample["env"] == "production"
+    assert set(sample) == {
+        "env", "event_id", "event_type", "k", "level", "ts", "user_id", "value",
+    }
+
+
+def test_pipeline_checkpoint_resume_no_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_source_slice(spark, SF, src, n_files=2)
+
+    q = run_pipeline(spark, src, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    first = sum(
+        len(read_delivered(out, s))
+        for s in ["click", "view", "purchase", "signup", "error"]
+    )
+
+    # restart from the same checkpoint with no new data → no dupes
+    q2 = run_pipeline(spark, src, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    second = sum(
+        len(read_delivered(out, s))
+        for s in ["click", "view", "purchase", "signup", "error"]
+    )
+    assert second == first
+
+
+def test_drop_stats_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_source_slice(spark, SF, src, n_files=2)
+    agg = drop_stats_stream(spark, src)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("drop_stats_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT sum(n_dropped) AS n FROM drop_stats_out"
+    ).collect()[0]["n"]
+    from kinesis_to_firehose_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    want = (
+        load(spark, "events", SF)
+        .filter(~F.col("event_type").isin("click", "view", "purchase", "signup"))
+        .count()
+    )
+    assert got == want
