@@ -518,3 +518,170 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "last_click_ts")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q18_large_orders — HAVING over a grouped fact (TPC-H Q18 adapted).
+# --------------------------------------------------------------------------
+Q18_SQL = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+HAVING SUM(l_quantity) > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@register("q18_large_orders", Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    l = load(spark, "lineitem", sf_dir)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _r(F.sum("l_quantity")).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q17_small_qty — correlated scalar subquery: lineitems below 50% of the
+# part's average quantity (TPC-H Q17 adapted). Spark expresses the
+# correlation as a broadcast-grouped self-join (the plan Catalyst would
+# decorrelate to anyway).
+# --------------------------------------------------------------------------
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
+@register("q17_small_qty", Q17_SQL)
+def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, "lineitem", sf_dir)
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(part_avg), l.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            _r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# set_ops — UNION / INTERSECT / EXCEPT over customer key sets.
+# --------------------------------------------------------------------------
+SET_OPS_SQL = """
+WITH building AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+big_spenders AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+)
+SELECT 'union' AS op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM building UNION SELECT c_custkey FROM big_spenders
+)
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big_spenders
+)
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big_spenders
+)
+ORDER BY op
+"""
+
+
+@register("set_ops", SET_OPS_SQL)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    spenders = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    rows = [
+        ("union", building.union(spenders).distinct().count()),
+        ("intersect", building.intersect(spenders).count()),
+        ("except", building.exceptAll(spenders).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long").orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# percentile_by_group — exact continuous percentiles per group.
+# --------------------------------------------------------------------------
+PERCENTILE_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("percentile_by_group", PERCENTILE_SQL)
+def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# monthly_revenue — calendar rollup via date_trunc + extract.
+# --------------------------------------------------------------------------
+MONTHLY_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY yr, mo
+ORDER BY yr, mo
+"""
+
+
+@register("monthly_revenue", MONTHLY_SQL)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(
+            _r(F.sum("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("yr", "mo")
+    )

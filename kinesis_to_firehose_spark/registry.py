@@ -51,6 +51,7 @@ def all_ops() -> dict[str, Op]:
         logpipe,
         multimodal,
         similarity,
+        streaming_ops,
         textops,
     )
 

@@ -1,0 +1,52 @@
+"""Plan-shape assertions (SURVEY.md §5e): filters push to parquet,
+columns prune, dims broadcast, hot paths stay in codegen."""
+
+from __future__ import annotations
+
+from kinesis_to_firehose_spark.plans.explain import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_ids,
+)
+from kinesis_to_firehose_spark.registry import all_ops
+
+SF = "/root/testdata/sf0.01"
+OPS = all_ops()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = OPS["q6_forecast_revenue"].fn(spark, SF)
+    pushed = pushed_filters(df)
+    assert "l_shipdate" in pushed
+    assert "l_quantity" in pushed or "l_discount" in pushed
+
+
+def test_q6_column_pruning(spark):
+    df = OPS["q6_forecast_revenue"].fn(spark, SF)
+    schemas = read_schemas(df)
+    # only the 4 needed columns are read, not the 11-column table
+    assert "l_extendedprice" in schemas
+    assert "l_returnflag" not in schemas
+    assert "l_orderkey" not in schemas
+
+
+def test_q3_broadcasts_customer(spark):
+    assert has_broadcast_join(OPS["q3_shipping_priority"].fn(spark, SF))
+
+
+def test_q5_broadcasts_dims(spark):
+    assert has_broadcast_join(OPS["q5_local_supplier"].fn(spark, SF))
+
+
+def test_decode_is_single_codegen_stage(spark):
+    df = OPS["decode_parse_enhance"].fn(spark, SF)
+    # narrow decode: no exchange, one codegen span over the scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert wholestage_codegen_ids(df) >= 1
+
+
+def test_filter_allowlist_pushdown(spark):
+    df = OPS["filter_allowlist"].fn(spark, SF)
+    assert "event_type" in pushed_filters(df)
