@@ -263,7 +263,7 @@ def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, "part", sf_dir)
     w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
     return (
-        p.withColumn("rn", F.row_number().over(w))
+        p.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", "rn")
         .orderBy("p_brand", "rn")
@@ -407,7 +407,7 @@ def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0))).alias(
             "running_value"
         ),
-        F.row_number().over(w).alias("user_seq"),
+        F.row_number().over(w).cast("bigint").alias("user_seq"),
     )
 
 

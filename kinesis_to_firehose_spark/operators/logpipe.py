@@ -75,7 +75,7 @@ def serialize_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "event_id",
         line.alias("line"),
-        (F.length(line) + 1).alias("line_bytes"),
+        (F.length(line) + 1).cast("bigint").alias("line_bytes"),
     )
 
 
@@ -112,7 +112,7 @@ WHERE line_bytes > {MAX_RECORD_BYTES}
 def decode_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oversize records → dead-letter set (Firehose record cap analogue)."""
     d = _decoded(spark, sf_dir)
-    line_bytes = (F.length(jsonl_line(d)) + 1).alias("line_bytes")
+    line_bytes = (F.length(jsonl_line(d)) + 1).cast("bigint").alias("line_bytes")
     return (
         d.select("event_id", "event_type", line_bytes)
         .filter(F.col("line_bytes") > MAX_RECORD_BYTES)
@@ -149,7 +149,7 @@ def batch_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign records to ≤500-count delivery batches per stream, in
     arrival order, and report per-batch size (main.go:50-53)."""
     d = _decoded(spark, sf_dir)
-    line_bytes = (F.length(jsonl_line(d)) + 1).alias("line_bytes")
+    line_bytes = (F.length(jsonl_line(d)) + 1).cast("bigint").alias("line_bytes")
     s = d.select("event_id", F.col("event_type").alias("stream"), "ts", line_bytes)
     w = W.partitionBy("stream").orderBy("ts", "event_id")
     numbered = s.withColumn("rn", F.row_number().over(w))

@@ -82,7 +82,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
@@ -185,7 +185,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
     return (
-        scored.withColumn("rk", F.row_number().over(wk))
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
         .filter(F.col("rk") <= IVF_TOP_K)
         .select("query_id", "candidate_id", "cell", "cosine", "rk")
         .orderBy("query_id", "rk")

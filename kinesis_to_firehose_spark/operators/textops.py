@@ -61,9 +61,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), WS_RE)).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars_calc"),
+        F.size(F.split(F.trim("text"), WS_RE)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
     )
 
 
@@ -101,8 +101,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(score, 4).alias("quality_score"),
@@ -137,7 +137,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         *[
-            _hits(words).alias(f"{lang}_hits")
+            _hits(words).cast("bigint").alias(f"{lang}_hits")
             for lang, words in LANG_PROFILES.items()
         ],
     )
