@@ -230,3 +230,40 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("bucket")
     )
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
+    """In-bucket ANN search: queries probe only candidates sharing
+    their LSH bucket — the candidate set shrinks ~2^planes-fold, the
+    probe is a co-partitioned equi-join on bucket, and scoring reuses
+    the exact-cosine kernel. Recall vs brute force is asserted in
+    pytest (approximate by design, so no SQL oracle)."""
+    n = normed_embeddings(spark, sf_dir)
+    b = lsh_buckets(spark, sf_dir)
+    nb = n.join(b, "vec_id")
+    q = nb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    c = nb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "bucket",
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "candidate_id", F.round(F.expr(_COS), 6).alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+        .orderBy("query_id", "rk")
+    )
+
+
+@register("ann_lsh_topk", None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(spark, sf_dir)

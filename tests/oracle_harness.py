@@ -44,8 +44,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and trailing-precision noise post-rounding
-        return f"{v:.6f}"
+        # BIT-EXACT float compare (strictly harder than any plausible
+        # driver hash). Verified achievable: identical fold orders and
+        # ROUND implementations across engines on this data.
+        import struct
+
+        return struct.pack(">d", v).hex()
     return str(v)
 
 

