@@ -38,12 +38,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, op in sorted(ops.items()):
-        # Two runs, report the faster: the first run after heavy
-        # neighbors pays JVM lazy-cleanup/codegen-cache penalties that
-        # are session artifacts, not query cost (verified: 17s → 0.4s
-        # on immediate repeat with no data caching involved).
+        # Best of three: first runs after heavy neighbors pay JVM
+        # lazy-cleanup/codegen-cache penalties and transient host
+        # stalls that are session artifacts, not query cost (verified:
+        # 17s → 0.4s on immediate repeat, no data caching involved).
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = op.fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0
