@@ -226,3 +226,75 @@ def throughput_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("*") / 60.0, 4).alias("records_per_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# decode_syslog_kayvee — the reference's actual input format: an
+# RFC3164-ish syslog line whose program field carries env--app ECS
+# metadata and whose payload is kayvee JSON
+# (amazon-kinesis-client-go/decode.ParseAndEnhance). We synthesize the
+# line from `events` (deterministic), then parse it back with the same
+# regex in both engines — a round-trip proof of the decode path.
+# --------------------------------------------------------------------------
+_SYSLOG_RE = r"^<(\d+)>(\S+) (\S+) ([a-z]+)--([a-z]+)\[(\d+)\]: (.*)$"
+
+SYSLOG_SQL = rf"""
+WITH lines AS (
+  SELECT event_id,
+         '<' || CAST(8 + (event_id % 8) AS VARCHAR) || '>'
+         || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+         || ' ip-10-0-0-' || CAST(user_id AS VARCHAR)
+         || ' production--' || event_type
+         || '[' || CAST(1000 + user_id AS VARCHAR) || ']: '
+         || '{{"title":"' || event_type || '","k":'
+         || COALESCE(json_extract_string(props, '$.k'), 'null') || '}}'
+           AS rawline
+  FROM events
+)
+SELECT event_id,
+       CAST(regexp_extract(rawline, '{_SYSLOG_RE}', 1) AS BIGINT) AS pri,
+       CAST(regexp_extract(rawline, '{_SYSLOG_RE}', 1) AS BIGINT) // 8 AS facility,
+       CAST(regexp_extract(rawline, '{_SYSLOG_RE}', 1) AS BIGINT) % 8 AS severity,
+       regexp_extract(rawline, '{_SYSLOG_RE}', 2) AS ts_str,
+       regexp_extract(rawline, '{_SYSLOG_RE}', 3) AS hostname,
+       regexp_extract(rawline, '{_SYSLOG_RE}', 4) AS env,
+       regexp_extract(rawline, '{_SYSLOG_RE}', 5) AS container_app,
+       CAST(regexp_extract(rawline, '{_SYSLOG_RE}', 6) AS BIGINT) AS pid,
+       CAST(json_extract_string(regexp_extract(rawline, '{_SYSLOG_RE}', 7), '$.k')
+            AS INTEGER) AS payload_k,
+       json_extract_string(regexp_extract(rawline, '{_SYSLOG_RE}', 7), '$.title')
+         AS payload_title
+FROM lines
+"""
+
+
+@register("decode_syslog_kayvee", SYSLOG_SQL)
+def decode_syslog_kayvee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    line = F.concat(
+        F.lit("<"), (8 + F.col("event_id") % 8).cast("string"), F.lit(">"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z"),
+        F.lit(" ip-10-0-0-"), F.col("user_id").cast("string"),
+        F.lit(" production--"), F.col("event_type"),
+        F.lit("["), (1000 + F.col("user_id")).cast("string"), F.lit("]: "),
+        F.lit('{"title":"'), F.col("event_type"), F.lit('","k":'),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+        F.lit("}"),
+    )
+    lines = e.select("event_id", line.alias("rawline"))
+    rx = _SYSLOG_RE
+    pri = F.regexp_extract("rawline", rx, 1).cast("bigint")
+    payload = F.regexp_extract("rawline", rx, 7)
+    return lines.select(
+        "event_id",
+        pri.alias("pri"),
+        (pri / 8).cast("bigint").alias("facility"),
+        (pri % 8).alias("severity"),
+        F.regexp_extract("rawline", rx, 2).alias("ts_str"),
+        F.regexp_extract("rawline", rx, 3).alias("hostname"),
+        F.regexp_extract("rawline", rx, 4).alias("env"),
+        F.regexp_extract("rawline", rx, 5).alias("container_app"),
+        F.regexp_extract("rawline", rx, 6).cast("bigint").alias("pid"),
+        F.get_json_object(payload, "$.k").cast("int").alias("payload_k"),
+        F.get_json_object(payload, "$.title").alias("payload_title"),
+    )

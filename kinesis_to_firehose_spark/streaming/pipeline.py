@@ -40,13 +40,21 @@ EVENT_SCHEMA = T.StructType(
 
 @dataclass(frozen=True)
 class KinesisSourceConfig:
-    """Env-var surface of the reference consumer (launch/*.yml)."""
+    """Config surface of the reference consumer: env vars from
+    launch/kinesis-to-firehose-log-archive.yml plus the KCL worker
+    knobs from consumer.properties.template. Local runs map the
+    micro-batch-shaping knobs onto the file-stream simulator; the
+    connector itself needs the spark-sql-kinesis jar (not shippable
+    here)."""
 
     stream_name: str
     region: str = "us-west-2"
-    app_name: str = "kinesis-to-firehose-spark"
-    initial_position: str = "LATEST"
-    read_rate_limit: int | None = None
+    app_name: str = "kinesis-to-firehose-spark"  # applicationName (lease table)
+    initial_position: str = "LATEST"  # TRIM_HORIZON | LATEST
+    read_rate_limit: int | None = None  # READ_RATE_LIMIT (records/s/shard)
+    max_records: int = 10000  # maxRecords per GetRecords call
+    idle_time_between_reads_ms: int = 1000  # idleTimeBetweenReadsInMillis
+    failover_time_ms: int = 10000  # failoverTimeMillis (lease takeover)
 
     def reader(self, spark: SparkSession):
         raise NotImplementedError(
@@ -54,6 +62,12 @@ class KinesisSourceConfig:
             "environment; use file_stream_source() locally or add the "
             "spark-sql-kinesis connector on a real cluster."
         )
+
+    def simulator_options(self) -> dict[str, str]:
+        """Map KCL batch-shaping knobs onto the file-stream simulator."""
+        return {
+            "maxFilesPerTrigger": str(max(1, self.max_records // 2500)),
+        }
 
 
 def file_stream_source(
