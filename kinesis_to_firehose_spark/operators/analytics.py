@@ -685,3 +685,57 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+# --------------------------------------------------------------------------
+# cube_agg — full grouping-set lattice over two dims.
+# --------------------------------------------------------------------------
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", CUBE_SQL)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, "lineitem", sf_dir)
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        _r(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# value_histogram — fixed-width binning of a measure (the width_bucket
+# pattern, expressed portably as floor division).
+# --------------------------------------------------------------------------
+HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS lo,
+       ROUND(MAX(value), 2) AS hi
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@register("value_histogram", HISTOGRAM_SQL)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _r(F.min("value")).alias("lo"),
+            _r(F.max("value")).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -577,3 +577,57 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_pairs, schema="vec_id_1 long, vec_id_2 long, cosine double")
         .orderBy("vec_id_1", "vec_id_2")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_edit_distance — Levenshtein on 32-char normalized prefixes
+# within (lang, length-bucket) blocks. Edit distance is O(n·m) per
+# pair, so the prefix bound + blocking is what keeps it viable; the
+# full-text confirmation belongs to ngram_jaccard/minhash upstream.
+# --------------------------------------------------------------------------
+EDIT_TAU = 8
+_PREFIX = 32
+
+EDIT_SQL = f"""
+WITH p AS (
+  SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+         substr({NORM_SQL}, 1, {_PREFIX}) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+FROM p a
+JOIN p b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {EDIT_TAU}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("dedup_edit_distance", EDIT_SQL)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    p = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        F.substring(F.expr(NORM_EXPR), 1, _PREFIX).alias("prefix"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_TAU)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
