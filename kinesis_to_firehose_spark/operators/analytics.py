@@ -739,3 +739,65 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# session_window_agg — Spark's NATIVE session_window operator (the same
+# engine primitive Structured Streaming uses for streaming
+# sessionization), cross-checked against the explicit gap-based
+# construction in the oracle: a session closes 6h after its last event,
+# so window.end == max(ts) + 6h and window.start == min(ts).
+# --------------------------------------------------------------------------
+SESSION_WINDOW_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE
+           WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                )) > {SESSION_GAP_S}
+                OR LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL
+           THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS window_start,
+       MAX(ts) + INTERVAL 6 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, window_start
+"""
+
+
+@register("session_window_agg", SESSION_WINDOW_SQL)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.session_window("ts", "6 hours").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _r(F.sum("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "window_start")
+    )
