@@ -103,8 +103,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
     return (
+        # customer scales with the fact tables — no forced broadcast;
+        # AQE + autoBroadcastJoinThreshold pick the strategy by size.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -114,8 +116,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q5_local_supplier — 6-way star join; all dims broadcast, the fact-fact
-# lineitem ⋈ orders join shuffles on orderkey with AQE skew handling.
+# q5_local_supplier — 6-way star join. nation/region are FIXED-size
+# dims (25/5 rows at any scale) and get explicit broadcasts;
+# customer/supplier scale linearly with the facts, so their joins are
+# left to AQE + autoBroadcastJoinThreshold (a forced hint would OOM
+# executors at 100×). The fact-fact lineitem ⋈ orders join shuffles on
+# orderkey with AQE skew handling.
 # --------------------------------------------------------------------------
 Q5_SQL = """
 SELECT n_name,
@@ -147,9 +153,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -223,8 +229,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     n = load(spark, "nation", sf_dir)
     return (
+        # customer scales with the facts — strategy left to AQE; nation
+        # is a fixed 25-row dim and stays an explicit broadcast.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
@@ -577,7 +585,10 @@ def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
     )
     return (
-        l.join(F.broadcast(part_avg), l.l_partkey == part_avg.pk)
+        # part_avg has one row PER PARTKEY — it scales with part, so no
+        # forced broadcast; the l_partkey equi-join shuffles both sides
+        # (or broadcasts under the threshold, AQE's call).
+        l.join(part_avg, l.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             _r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
@@ -621,12 +632,20 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
     )
-    rows = [
-        ("union", building.union(spenders).distinct().count()),
-        ("intersect", building.intersect(spenders).count()),
-        ("except", building.exceptAll(spenders).distinct().count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n long").orderBy("op")
+    # ONE distributed plan (union of three 1-row aggregates), not three
+    # driver-side .count() actions: Spark reuses the building/spenders
+    # exchanges across branches and the driver never assembles results.
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(tag).alias("op"), "n"
+        )
+
+    return (
+        tagged(building.union(spenders).distinct(), "union")
+        .unionAll(tagged(building.intersect(spenders), "intersect"))
+        .unionAll(tagged(building.subtract(spenders), "except"))
+        .orderBy("op")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -27,8 +27,11 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Dimension tables small enough to broadcast at any scale factor.
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Dimension tables small enough to broadcast at ANY scale factor —
+# TPC-H fixes them at 5/25 rows. customer/supplier/part grow linearly
+# with SF, so their join strategy is left to AQE + the
+# autoBroadcastJoinThreshold size estimate, never a forced hint.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -32,11 +32,35 @@ def test_q6_column_pruning(spark):
 
 
 def test_q3_broadcasts_customer(spark):
+    # at test SF customer is far under the threshold → auto-broadcast
     assert has_broadcast_join(OPS["q3_shipping_priority"].fn(spark, SF))
 
 
 def test_q5_broadcasts_dims(spark):
     assert has_broadcast_join(OPS["q5_local_supplier"].fn(spark, SF))
+
+
+def test_scaling_tables_not_force_broadcast(spark):
+    """VERDICT r1 #2: customer/supplier/part_avg grow linearly with the
+    facts, so their joins must follow the size estimate, not a forced
+    hint. Lowering the threshold simulates the 100× scale-up where the
+    estimate exceeds it: those joins must stop broadcasting, while
+    q5's fixed-size nation/region dims keep their explicit hints."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for op in ("q3_shipping_priority", "q10_returned_items", "q17_small_qty"):
+            plan = physical_plan(OPS[op].fn(spark, SF))
+            # nation (25 rows) may keep its explicit hint in q10; the
+            # scaling joins must all be shuffle joins
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, op
+        q5 = physical_plan(OPS["q5_local_supplier"].fn(spark, SF))
+        assert q5.count("BroadcastExchange") <= 2  # nation + region only
+        assert "SortMergeJoin" in q5 or "ShuffledHashJoin" in q5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_decode_is_single_codegen_stage(spark):
