@@ -169,35 +169,93 @@ def batch_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-DROP_STATS_SQL = """
-SELECT date_trunc('minute', ts) AS minute,
-       event_type AS container_app,
-       CASE WHEN value < 50 THEN 'warning' ELSE 'critical' END AS level,
-       COUNT(*) AS n_dropped
-FROM events
-WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
-GROUP BY minute, container_app, level
-ORDER BY minute, container_app, level
+# drop_stats — full stats.go parity. Each minute the reference emits
+# total_dropped, app_count, a by-app map, and a by-level map
+# (stats.go:27-41), with missing container_app → '_UNKNOWN_' and
+# missing level → 'debug' (stats.go:49-56). Records with value < 5 /
+# value ≥ 90 model partially-decoded records whose app / level fields
+# are absent. Long format: one row per (minute, metric, key).
+# --------------------------------------------------------------------------
+_DS_APP_SQL = "CASE WHEN value >= 5 THEN event_type END"
+_DS_LEVEL_SQL = (
+    "CASE WHEN value < 50 THEN 'warning' WHEN value < 90 THEN 'critical' END"
+)
+
+DROP_STATS_SQL = f"""
+WITH base AS (
+  SELECT date_trunc('minute', ts) AS minute,
+         COALESCE({_DS_APP_SQL}, '_UNKNOWN_') AS app,
+         COALESCE({_DS_LEVEL_SQL}, 'debug') AS level
+  FROM events
+  WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+),
+pre AS (
+  SELECT minute, app, level, COUNT(*) AS n FROM base GROUP BY 1, 2, 3
+)
+SELECT minute, 'app' AS metric, app AS key, CAST(SUM(n) AS BIGINT) AS n
+FROM pre GROUP BY minute, app
+UNION ALL
+SELECT minute, 'level', level, CAST(SUM(n) AS BIGINT) FROM pre GROUP BY minute, level
+UNION ALL
+SELECT minute, 'total', 'total_dropped', CAST(SUM(n) AS BIGINT) FROM pre GROUP BY minute
+UNION ALL
+SELECT minute, 'total', 'app_count', CAST(COUNT(DISTINCT app) AS BIGINT)
+FROM pre GROUP BY minute
+ORDER BY minute, metric, key
 """
 
 
 @register("drop_stats", DROP_STATS_SQL)
 def drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-minute tumbling counts of dropped records (stats.go analogue)."""
+    """Per-minute drop stats with stats.go's exact output surface.
+
+    One wide pre-aggregation on (minute, app, level) — the only
+    shuffle that touches the raw records, map-side combined — then the
+    by-app / by-level / totals views re-aggregate the tiny intermediate
+    (minutes × apps × levels rows), the same shape stats.go gets from
+    its in-memory maps at tick time."""
     e = load(spark, "events", sf_dir)
     dropped = e.filter(~F.col("event_type").isin(*ALLOWED_TYPES))
-    level = F.when(F.col("value") < 50, F.lit("warning")).otherwise(
-        F.lit("critical")
-    )
-    return (
+    pre = (
         dropped.select(
             F.date_trunc("minute", "ts").alias("minute"),
-            F.col("event_type").alias("container_app"),
-            level.alias("level"),
+            F.coalesce(F.expr(_DS_APP_SQL), F.lit("_UNKNOWN_")).alias("app"),
+            F.coalesce(F.expr(_DS_LEVEL_SQL), F.lit("debug")).alias("level"),
         )
-        .groupBy("minute", "container_app", "level")
-        .agg(F.count("*").alias("n_dropped"))
-        .orderBy("minute", "container_app", "level")
+        .groupBy("minute", "app", "level")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def shaped(df: DataFrame, metric: str, key_col) -> DataFrame:
+        return df.select(
+            "minute", F.lit(metric).alias("metric"), key_col.alias("key"), "n"
+        )
+
+    by_app = shaped(
+        pre.groupBy("minute", "app").agg(F.sum("n").alias("n")),
+        "app",
+        F.col("app"),
+    )
+    by_level = shaped(
+        pre.groupBy("minute", "level").agg(F.sum("n").alias("n")),
+        "level",
+        F.col("level"),
+    )
+    totals = shaped(
+        pre.groupBy("minute").agg(F.sum("n").alias("n")),
+        "total",
+        F.lit("total_dropped"),
+    )
+    app_count = shaped(
+        pre.groupBy("minute").agg(F.countDistinct("app").alias("n")),
+        "total",
+        F.lit("app_count"),
+    )
+    return (
+        by_app.unionAll(by_level)
+        .unionAll(totals)
+        .unionAll(app_count)
+        .orderBy("minute", "metric", "key")
     )
 
 

@@ -15,38 +15,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_COMBINERS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-stage aggregation: groupBy (key, salt) first so a hot key
     spreads over n_salts tasks, then re-aggregate per key.
 
-    `aggs` maps output column name → first-stage aggregate expression.
-    Second stage re-combines with the matching combiner (sum→sum,
-    count→sum, min→min, max→max) — callers pass F.count/F.sum/F.min/
-    F.max expressions; algebraic combiners only.
+    `aggs` maps output column name → (first-stage expr, combiner) with
+    combiner in {'sum','min','max'} (count combines with 'sum'). The
+    combiner is REQUIRED because Column gives no reliable way to
+    introspect the aggregate — Spark 4 renders countDistinct as plain
+    'count(v)', so any string/`_jc` inference would silently SUM
+    per-salt distinct counts into a wrong total (and `_jc` breaks
+    under Spark Connect anyway). A bare Column raises. DISTINCT
+    aggregates are not algebraic — the same value can appear under
+    several salts — so they have no valid combiner; compute them with
+    a plain two-level groupBy instead.
     """
     salted = df.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )
-    stage1 = salted.groupBy(key, "_salt").agg(
-        *[expr.alias(f"_s1_{name}") for name, expr in aggs.items()]
-    )
+    stage1_exprs = []
     recombine = []
-    for name, expr in aggs.items():
-        fn = expr._jc.toString().split("(")[0].lower()
-        col = F.col(f"_s1_{name}")
-        if fn.startswith("count") or fn.startswith("sum"):
-            recombine.append(F.sum(col).alias(name))
-        elif fn.startswith("min"):
-            recombine.append(F.min(col).alias(name))
-        elif fn.startswith("max"):
-            recombine.append(F.max(col).alias(name))
-        else:
-            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise ValueError(
+                f"agg {name!r}: pass (expr, combiner) with combiner in "
+                f"{sorted(_COMBINERS)} — a bare Column is ambiguous "
+                "(countDistinct renders as plain count and would be "
+                "silently mis-combined)"
+            )
+        expr, comb = spec
+        if comb not in _COMBINERS:
+            raise ValueError(
+                f"unknown combiner {comb!r}; expected one of "
+                f"{sorted(_COMBINERS)}"
+            )
+        stage1_exprs.append(expr.alias(f"_s1_{name}"))
+        recombine.append(_COMBINERS[comb](F.col(f"_s1_{name}")).alias(name))
+    stage1 = salted.groupBy(key, "_salt").agg(*stage1_exprs)
     return stage1.groupBy(key).agg(*recombine)
 
 

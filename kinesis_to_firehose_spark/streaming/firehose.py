@@ -35,7 +35,10 @@ from dataclasses import dataclass, field
 
 BATCH_COUNT = 500  # main.go:51
 BATCH_SIZE = 4 * 1024 * 1024  # main.go:52 (4 MiB)
-MAX_RETRIES = 5  # firehose_sender.go:125 (retries > 4)
+BATCH_INTERVAL_S = 10.0  # main.go:48 (flush even when count/size unmet)
+# firehose_sender.go:125 checks `retries > 4` AFTER each resend, so the
+# reference runs 6 backoff rounds (250 ms .. 8 s) before giving up.
+MAX_RETRIES = 6
 BASE_DELAY_S = 0.25  # firehose_sender.go:98 (250 ms)
 
 
@@ -65,7 +68,10 @@ class LocalDirTransport:
     """Simulated Firehose delivery stream: each PutRecordBatch call
     appends one file of newline-terminated records under
     <root>/<stream>/. File names carry (epoch, task, seq) so replayed
-    epochs are idempotent (same name → overwrite)."""
+    epochs are idempotent (same name → overwrite) — PROVIDED task_id is
+    deterministic across replays; firehose_foreach_batch derives it
+    from the Spark partition id. The uuid fallback is only for ad-hoc
+    direct use where no replay exists."""
 
     def __init__(self, root: str, epoch_id: int = 0, task_id: str | None = None):
         self.root = root
@@ -169,14 +175,23 @@ def deliver_partition(
     make_transport: Callable[[], Transport],
     dead_letter_dir: str | None,
     sleep: Callable[[float], None] = time.sleep,
+    batch_interval_s: float = BATCH_INTERVAL_S,
+    clock: Callable[[], float] = time.monotonic,
 ) -> SendStats:
     """Per-partition delivery loop: group arriving rows by stream tag
     into bounded batches, send each with retries, append exhausted
-    failures to the dead-letter file (main.go FailedLogsFile)."""
+    failures to the dead-letter file (main.go FailedLogsFile).
+
+    A batch also flushes once it has been open for `batch_interval_s`
+    (main.go:48 BatchInterval: 10s) — on a trickle stream latency stays
+    bounded instead of waiting for the count/size bounds. The clock is
+    injectable so tests drive the timer deterministically; end-of-
+    iterator still flushes everything (a Spark partition is finite, so
+    the interval matters only while rows keep arriving slowly)."""
     transport = make_transport()
     stats = SendStats()
-    # per-stream open batches, flushed on bound overflow and at the end
-    open_batches: dict[str, tuple[list[bytes], int]] = {}
+    # per-stream open batches: (records, bytes, opened_at)
+    open_batches: dict[str, tuple[list[bytes], int, float]] = {}
 
     def flush(stream: str, batch: list[bytes]) -> None:
         try:
@@ -185,17 +200,24 @@ def deliver_partition(
             _append_dead_letters(dead_letter_dir, stream, exc.failed_records)
 
     for row in rows:
+        now = clock()
+        # interval-expire ALL open batches, not just the arriving row's
+        # stream — a quiet stream must not wait for its next record.
+        for s, (b, sz, opened) in list(open_batches.items()):
+            if b and now - opened >= batch_interval_s:
+                flush(s, b)
+                del open_batches[s]
         stream = row[stream_col]
         rec = (row[line_col] + "\n").encode("utf-8")
-        batch, size = open_batches.get(stream, ([], 0))
+        batch, size, opened = open_batches.get(stream, ([], 0, now))
         if batch and (
             len(batch) >= BATCH_COUNT or size + len(rec) > BATCH_SIZE
         ):
             flush(stream, batch)
-            batch, size = [], 0
+            batch, size, opened = [], 0, now
         batch.append(rec)
-        open_batches[stream] = (batch, size + len(rec))
-    for stream, (batch, _) in open_batches.items():
+        open_batches[stream] = (batch, size + len(rec), opened)
+    for stream, (batch, _, _) in open_batches.items():
         if batch:
             flush(stream, batch)
     return stats
@@ -226,10 +248,21 @@ def firehose_foreach_batch(
 
     def _sink(df, epoch_id: int) -> None:
         def _run(it):
+            # Deterministic task id from the partition id: a replayed
+            # epoch (or a task retry after a partial write) regenerates
+            # the SAME (epoch, task, seq) file names and overwrites
+            # instead of duplicating — a random id would break the
+            # exactly-once claim exactly when it matters.
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            task_id = f"p{tc.partitionId():05d}" if tc is not None else "p00000"
             if transport_factory is not None:
                 make = lambda: transport_factory(epoch_id)  # noqa: E731
             else:
-                make = lambda: LocalDirTransport(output_root, epoch_id)  # noqa: E731
+                make = lambda: LocalDirTransport(  # noqa: E731
+                    output_root, epoch_id, task_id=task_id
+                )
             deliver_partition(it, stream_col, line_col, make, dead_letter_dir)
 
         df.select(stream_col, line_col).foreachPartition(_run)

@@ -97,6 +97,13 @@ def decoded_stream(events: DataFrame) -> DataFrame:
     )
 
 
+# Production trigger cadence — the reference's BatchInterval (main.go:48)
+# is the outer bound on delivery latency; a processingTime trigger is
+# Spark's equivalent knob. Tests pass trigger_processing_time=None so
+# processAllAvailable() drains micro-batches back-to-back.
+PRODUCTION_TRIGGER = "10 seconds"
+
+
 def run_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -104,9 +111,12 @@ def run_pipeline(
     checkpoint_dir: str,
     dead_letter_dir: str | None = None,
     transport_factory=None,
+    trigger_processing_time: str | None = None,
 ):
     """Start the full pipeline; returns the StreamingQuery. Callers
-    use q.processAllAvailable() for deterministic local runs."""
+    use q.processAllAvailable() for deterministic local runs; a real
+    deployment passes trigger_processing_time=PRODUCTION_TRIGGER so
+    micro-batches fire on the reference's 10 s cadence."""
     src = file_stream_source(spark, source_dir)
     delivery = decoded_stream(src)
     sink = firehose_foreach_batch(
@@ -114,11 +124,12 @@ def run_pipeline(
         dead_letter_dir=dead_letter_dir,
         transport_factory=transport_factory,
     )
-    return (
-        delivery.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = delivery.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if trigger_processing_time is not None:
+        writer = writer.trigger(processingTime=trigger_processing_time)
+    return writer.start()
 
 
 def drop_stats_stream(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -128,15 +139,24 @@ def drop_stats_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     dropped = src.filter(
         ~F.col("event_type").isin("click", "view", "purchase", "signup")
     )
-    level = F.when(F.col("value") < 50, F.lit("warning")).otherwise(
-        F.lit("critical")
+    # same fallback semantics as the batch op (stats.go:49-56):
+    # missing app → _UNKNOWN_, missing level → debug
+    app = F.coalesce(
+        F.when(F.col("value") >= 5, F.col("event_type")), F.lit("_UNKNOWN_")
+    )
+    level = F.coalesce(
+        F.when(F.col("value") < 50, F.lit("warning")).when(
+            F.col("value") < 90, F.lit("critical")
+        ),
+        F.lit("debug"),
     )
     return (
         dropped.withColumn("level", level)
+        .withColumn("container_app", app)
         .withWatermark("ts", "10 minutes")
         .groupBy(
             F.window("ts", "1 minute").alias("minute"),
-            F.col("event_type").alias("container_app"),
+            "container_app",
             "level",
         )
         .agg(F.count("*").alias("n_dropped"))

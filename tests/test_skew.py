@@ -23,7 +23,7 @@ def test_salted_agg_matches_plain(spark):
         for r in salted_agg(
             e,
             "event_type",
-            {"n": F.count("*"), "mx": F.max("value")},
+            {"n": (F.count("*"), "sum"), "mx": (F.max("value"), "max")},
             n_salts=8,
         ).collect()
     }
@@ -38,3 +38,39 @@ def test_salted_join_matches_plain(spark):
     plain = l.join(o, "l_orderkey").count()
     salted = salted_join(l, o, "l_orderkey", n_salts=4).count()
     assert salted == plain
+
+
+def test_salted_agg_rejects_bare_column(spark):
+    """ADVICE r1: a bare Column (e.g. countDistinct, which Spark 4
+    renders as plain count) must raise, not be silently mis-combined
+    into a wrong total."""
+    import pytest
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="combiner"):
+        salted_agg(df, "k", {"nd": F.countDistinct("v")})
+
+
+def test_salted_agg_explicit_combiner(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    got = {
+        r["k"]: (r["total"], r["lo"])
+        for r in salted_agg(
+            df,
+            "k",
+            {"total": (F.sum("v"), "sum"), "lo": (F.min("v"), "min")},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["lo"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.min("v").alias("lo"))
+        .collect()
+    }
+    assert got == want

@@ -83,8 +83,9 @@ def test_send_batch_exhausts_to_partial_error():
     with pytest.raises(PartialSendBatchError) as ei:
         send_batch(t, batch, "s1", sleep=sleeps.append)
     assert ei.value.failed_records == [b"bad"]
-    # 5 retry rounds with doubling delays
-    assert sleeps == [0.25, 0.5, 1.0, 2.0, 4.0]
+    # 6 retry rounds with doubling delays (firehose_sender.go:125
+    # checks `retries > 4` after each resend → 250 ms .. 8 s)
+    assert sleeps == [0.25, 0.5, 1.0, 2.0, 4.0, 8.0]
 
 
 def test_local_dir_transport_idempotent_epoch(tmp_path):
@@ -182,3 +183,85 @@ def test_drop_stats_stream_matches_batch(spark, tmp_path):
         .count()
     )
     assert got == want
+
+
+# ---------------- round-2: interval flush, trigger, task ids -----------
+
+
+def test_batch_interval_flushes_open_batch():
+    """main.go:48 BatchInterval parity: a batch open for 10 s flushes
+    even though the count/size bounds are unmet — driven by a fake
+    clock ticking 6 s per arriving row."""
+    from kinesis_to_firehose_spark.streaming.firehose import deliver_partition
+
+    calls: list[tuple[str, int]] = []
+
+    def transport(records, stream):
+        calls.append((stream, len(records)))
+        return []
+
+    now = [0.0]
+
+    def clock():
+        now[0] += 6.0
+        return now[0]
+
+    rows = [{"stream": "s", "line": f"r{i}"} for i in range(4)]
+    deliver_partition(
+        iter(rows),
+        "stream",
+        "line",
+        lambda: transport,
+        None,
+        sleep=lambda _s: None,
+        batch_interval_s=10.0,
+        clock=clock,
+    )
+    # rows arrive at t=6,12,18,24; the batch opened at t=6 expires at
+    # t=18 (r0,r1 flushed) and the rest flush at end-of-partition
+    assert calls == [("s", 2), ("s", 2)]
+
+
+def test_run_pipeline_with_processing_time_trigger(spark, tmp_path):
+    """Trigger wiring: the production cadence must still drain cleanly
+    under processAllAvailable (short interval keeps the test fast)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_source_slice(spark, SF, src, n_files=2)
+    q = run_pipeline(
+        spark, src, out, ckpt, trigger_processing_time="1 seconds"
+    )
+    q.processAllAvailable()
+    q.stop()
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    n_expected = load(spark, "events", SF).count()
+    delivered = sum(
+        len(read_delivered(out, s))
+        for s in ["click", "view", "purchase", "signup", "error"]
+    )
+    assert delivered == n_expected
+
+
+def test_sink_task_ids_deterministic_from_partition(spark, tmp_path):
+    """ADVICE r1: replayed epochs must regenerate the same (epoch,
+    task, seq) names. Every delivered file's task id must be a
+    partition-derived p%05d, never a random uuid."""
+    import os
+    import re
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_source_slice(spark, SF, src, n_files=2)
+    q = run_pipeline(spark, src, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    pat = re.compile(r"epoch=\d{8}-task=p\d{5}-\d{6}\.jsonl$")
+    seen = 0
+    for stream in os.listdir(out):
+        for name in os.listdir(os.path.join(out, stream)):
+            assert pat.match(name), name
+            seen += 1
+    assert seen > 0
