@@ -27,6 +27,7 @@ from pyspark.sql.window import Window as W
 from kinesis_to_firehose_spark.operators.dedup import (
     NORMED_CTE,
     dot_expr,
+    norm_expr,
     normed_embeddings,
 )
 from kinesis_to_firehose_spark.registry import register
@@ -133,19 +134,15 @@ ORDER BY query_id, rk
 """
 
 
-@register("ann_ivf_topk", IVF_SQL)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = normed_embeddings(spark, sf_dir)
-    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+def _assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: a narrow map over the broadcast
+    centroid list (the only sane shape at scale — centroids are always
+    tiny, vectors never move)."""
     v = n.select(
         "vec_id", F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     wa = W.partitionBy("vec_id").orderBy(F.desc("score"), "centroid_id")
-    assignment = (
+    return (
         v.join(F.broadcast(cents))
         .select(
             "vec_id",
@@ -156,6 +153,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("centroid_id").alias("cell"))
     )
+
+
+@register("ann_ivf_topk", IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normed_embeddings(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    assignment = _assign_cells(n, cents)
+    return _ivf_probe_topk(n, assignment)
+
+
+def _ivf_probe_topk(n: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Probe stage shared by the seed and trained IVF variants: queries
+    join candidates in their own cell (a co-partitioned equi-join on
+    cell id), exact-rescore, per-query top-k window."""
     qa = assignment.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
@@ -190,6 +205,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "candidate_id", "cell", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_trained_topk — IVF with Lloyd-trained centroids. Rows-only:
+# centroid means are floating-point sums whose accumulation order is
+# partition-dependent, so bit-exact cross-engine parity is not
+# guaranteed (the seed-centroid `ann_ivf_topk` remains the SQL-checked
+# path); training quality is asserted in pytest as recall vs brute
+# force beating the seed centroids.
+# --------------------------------------------------------------------------
+EMB_DIM = 64
+LLOYD_ITERS = 3
+
+
+def train_ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    iters: int = LLOYD_ITERS,
+) -> DataFrame:
+    """Deterministic-init Lloyd iterations as pure DataFrame ops.
+
+    Init = the first n_centroids vectors by vec_id (same as the seed
+    variant). Each iteration: assign every vector to its nearest
+    centroid (narrow map over the broadcast centroid list) and
+    recompute each centroid as the per-dimension mean of its members —
+    ONE shuffle per iteration (the cell groupBy, map-side combined),
+    64 avg aggregates instead of an explode. Cells that lose all
+    members keep their previous centroid. The centroid set stays tiny,
+    so each iteration's result is localCheckpointed to cut the lineage
+    (otherwise iteration k replays all k-1 predecessors).
+    """
+    n = normed_embeddings(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    mean_dims = F.array(
+        *[
+            F.avg(F.element_at("embedding", d + 1).cast("double"))
+            for d in range(EMB_DIM)
+        ]
+    )
+    for _ in range(iters):
+        assignment = _assign_cells(n, cents)
+        members = n.join(assignment, "vec_id")
+        new = members.groupBy(F.col("cell").alias("centroid_id")).agg(
+            mean_dims.alias("c_emb")
+        )
+        cents = (
+            cents.select("centroid_id", F.col("c_emb").alias("old_emb"))
+            .join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("c_emb"), F.col("old_emb")).alias("c_emb"),
+            )
+            .withColumn(
+                "c_nrm", F.expr(norm_expr("c_emb", "spark"))
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+@register("ann_ivf_trained_topk", None)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normed_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+    return _ivf_probe_topk(n, _assign_cells(n, cents))
 
 
 # --------------------------------------------------------------------------

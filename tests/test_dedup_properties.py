@@ -293,3 +293,60 @@ def test_edit_distance_passjoin_matches_naive_blocked_join(spark, tmp_path):
         .collect()
     }
     assert got == naive
+
+
+def test_ivf_training_beats_seed_on_clustered_data(spark, tmp_path):
+    """Lloyd-trained centroids must rescue the degenerate-seed case:
+    the first 8 vectors (= the seed centroids AND the queries) are all
+    planted in one cluster, so seed-IVF splits that cluster across all
+    cells and probes garbage; 3 Lloyd iterations migrate centroids to
+    the 8 true clusters. Measured gap ~0.28 vs ~0.88 recall@5."""
+    import numpy as np
+
+    from kinesis_to_firehose_spark.operators.dedup import normed_embeddings
+    from kinesis_to_firehose_spark.operators.similarity import (
+        _assign_cells,
+        _ivf_probe_topk,
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(8, 64)) * 5.0
+    rows = []
+    vid = 0
+    for _ in range(8):  # queries + seed centroids: all cluster 0
+        rows.append(
+            (vid, (centers[0] + rng.normal(size=64) * 0.5).astype("float32").tolist(), "c0")
+        )
+        vid += 1
+    for c in range(8):
+        for _ in range(50):
+            rows.append(
+                (vid, (centers[c] + rng.normal(size=64) * 0.5).astype("float32").tolist(), f"c{c}")
+            )
+            vid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    brute: dict = {}
+    for r in ann_bruteforce_topk(spark, d).collect():
+        if r["rk"] <= 5:
+            brute.setdefault(r["query_id"], set()).add(r["candidate_id"])
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        return sum(
+            len(got.get(q, set()) & b) for q, b in brute.items()
+        ) / sum(len(b) for b in brute.values())
+
+    seed_rec = recall(ann_ivf_topk(spark, d))
+    n = normed_embeddings(spark, d)
+    trained = train_ivf_centroids(spark, d)
+    tr_rec = recall(_ivf_probe_topk(n, _assign_cells(n, trained)))
+    assert tr_rec > seed_rec + 0.2, f"trained {tr_rec} vs seed {seed_rec}"
