@@ -63,6 +63,49 @@ class PartialSendBatchError(RuntimeError):
 # PutRecordBatch's per-record RequestResponses.
 Transport = Callable[[list[bytes], str], list[int]]
 
+# firehose_sender.go:50 wraps the AWS client with WithMaxRetries(10):
+# API-level failures (throttling, 5xx — a raised exception here) retry
+# at the CLIENT layer, underneath the per-record SendBatch loop.
+CLIENT_MAX_ATTEMPTS = 10
+CLIENT_BASE_DELAY_S = 0.05
+
+
+class RetryingTransport:
+    """Client-level whole-call retry wrapper (the SDK retryer layer).
+
+    Per-record failures (the returned index list) pass straight
+    through — they belong to send_batch's resend loop. A RAISED
+    exception is an API-call failure and is retried here with a short
+    exponential backoff, up to max_attempts total attempts; the last
+    failure propagates (and send_batch then classifies it
+    Catastrophic, same as the reference's non-retryable outcome)."""
+
+    def __init__(
+        self,
+        inner: Transport,
+        max_attempts: int = CLIENT_MAX_ATTEMPTS,
+        base_delay_s: float = CLIENT_BASE_DELAY_S,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.inner = inner
+        self.max_attempts = max_attempts
+        self.base_delay_s = base_delay_s
+        self.sleep = sleep
+        self.attempts_made = 0
+
+    def __call__(self, records: list[bytes], stream: str) -> list[int]:
+        delay = self.base_delay_s
+        for attempt in range(1, self.max_attempts + 1):
+            self.attempts_made += 1
+            try:
+                return self.inner(records, stream)
+            except Exception:
+                if attempt == self.max_attempts:
+                    raise
+                self.sleep(delay)
+                delay *= 2
+        raise AssertionError("unreachable")
+
 
 class LocalDirTransport:
     """Simulated Firehose delivery stream: each PutRecordBatch call
@@ -260,8 +303,10 @@ def firehose_foreach_batch(
             if transport_factory is not None:
                 make = lambda: transport_factory(epoch_id)  # noqa: E731
             else:
-                make = lambda: LocalDirTransport(  # noqa: E731
-                    output_root, epoch_id, task_id=task_id
+                # client-level retry wrapper under the SendBatch loop,
+                # matching the reference's WithMaxRetries(10) client
+                make = lambda: RetryingTransport(  # noqa: E731
+                    LocalDirTransport(output_root, epoch_id, task_id=task_id)
                 )
             deliver_partition(it, stream_col, line_col, make, dead_letter_dir)
 

@@ -56,12 +56,51 @@ class KinesisSourceConfig:
     idle_time_between_reads_ms: int = 1000  # idleTimeBetweenReadsInMillis
     failover_time_ms: int = 10000  # failoverTimeMillis (lease takeover)
 
+    def reader_options(self) -> dict[str, str]:
+        """The full option map for the open-source spark-sql-kinesis
+        connector (`.format("kinesis")`), derived from this config —
+        the piece of the wiring that IS testable without the jar.
+        Option names follow the qubole/spark-sql-kinesis surface."""
+        opts = {
+            "streamName": self.stream_name,
+            "endpointUrl": f"https://kinesis.{self.region}.amazonaws.com",
+            "awsUseInstanceProfile": "true",
+            # KCL initial position → connector starting position
+            "startingPosition": {
+                "LATEST": "latest",
+                "TRIM_HORIZON": "trim_horizon",
+            }[self.initial_position],
+            # maxRecords per GetRecords call (consumer.properties)
+            "kinesis.executor.maxFetchRecordsPerShard": str(self.max_records),
+            # idleTimeBetweenReadsInMillis → fetch wait
+            "kinesis.executor.maxFetchTimeInMs": str(
+                self.idle_time_between_reads_ms
+            ),
+            "kinesis.client.describeShardInterval": str(self.failover_time_ms),
+        }
+        if self.read_rate_limit is not None:
+            # READ_RATE_LIMIT records/s/shard ≈ records per 1s fetch
+            opts["kinesis.executor.maxFetchRecordsPerShard"] = str(
+                min(self.max_records, self.read_rate_limit)
+            )
+        return opts
+
     def reader(self, spark: SparkSession):
-        raise NotImplementedError(
-            "The Kinesis connector jar is not available in this "
-            "environment; use file_stream_source() locally or add the "
-            "spark-sql-kinesis connector on a real cluster."
-        )
+        """Build the connector reader. The options wiring is real; only
+        `.load()` can fail here, because the spark-sql-kinesis jar is
+        not shippable in this environment — the error says so instead
+        of surfacing a bare ClassNotFound."""
+        stream_reader = spark.readStream.format("kinesis")
+        for k, v in self.reader_options().items():
+            stream_reader = stream_reader.option(k, v)
+        try:
+            return stream_reader.load()
+        except Exception as exc:
+            raise RuntimeError(
+                "The spark-sql-kinesis connector jar is not available in "
+                "this environment; use file_stream_source() locally or add "
+                "the connector jar on a real cluster."
+            ) from exc
 
     def simulator_options(self) -> dict[str, str]:
         """Map KCL batch-shaping knobs onto the file-stream simulator."""

@@ -265,3 +265,54 @@ def test_sink_task_ids_deterministic_from_partition(spark, tmp_path):
             assert pat.match(name), name
             seen += 1
     assert seen > 0
+
+
+def test_retrying_transport_client_layer():
+    """firehose_sender.go:50 parity: whole-call failures retry at the
+    client layer (10 attempts); per-record failures pass through to
+    send_batch's loop untouched."""
+    from kinesis_to_firehose_spark.streaming.firehose import RetryingTransport
+
+    calls = {"n": 0}
+
+    def flaky_api(records, stream):
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise ConnectionError("throttled")
+        return [0]  # per-record failure passes through
+
+    sleeps: list[float] = []
+    t = RetryingTransport(flaky_api, sleep=sleeps.append)
+    assert t([b"a"], "s") == [0]
+    assert calls["n"] == 4
+    assert sleeps == [0.05, 0.1, 0.2]
+
+    def dead_api(records, stream):
+        raise ConnectionError("down")
+
+    t2 = RetryingTransport(dead_api, max_attempts=3, sleep=lambda _s: None)
+    with pytest.raises(ConnectionError):
+        t2([b"a"], "s")
+    assert t2.attempts_made == 3
+
+
+def test_kinesis_reader_options_wiring(spark):
+    """The connector option map is real and testable without the jar;
+    only .load() is environment-blocked and must explain itself."""
+    from kinesis_to_firehose_spark.streaming.pipeline import KinesisSourceConfig
+
+    cfg = KinesisSourceConfig(
+        stream_name="logs-prod",
+        region="us-east-1",
+        initial_position="TRIM_HORIZON",
+        read_rate_limit=1500,
+        max_records=5000,
+    )
+    opts = cfg.reader_options()
+    assert opts["streamName"] == "logs-prod"
+    assert opts["endpointUrl"] == "https://kinesis.us-east-1.amazonaws.com"
+    assert opts["startingPosition"] == "trim_horizon"
+    # READ_RATE_LIMIT caps the per-shard fetch
+    assert opts["kinesis.executor.maxFetchRecordsPerShard"] == "1500"
+    with pytest.raises(RuntimeError, match="connector jar"):
+        cfg.reader(spark)
