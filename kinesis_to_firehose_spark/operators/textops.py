@@ -173,3 +173,70 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 16).alias("fingerprint_prefix"),
     )
+
+
+# --------------------------------------------------------------------------
+# curate_corpus — the end-to-end pre-training curation chain as ONE
+# declarative plan: quality gate (score ≥ τ) ∧ language agreement
+# (predicted == declared) ∧ exact-dup survivorship (min doc_id per
+# normalized-text hash). Each stage is the already-verified operator's
+# expression; composing them as joins on doc_id lets Catalyst collapse
+# the three scans of `documents` into shared subplans instead of three
+# materialized passes — the shape a 100 TB curation run needs.
+# --------------------------------------------------------------------------
+CURATE_MIN_QUALITY = 0.3  # ≈ corpus median; the synthetic docs top out near 0.49
+
+CURATE_SQL = rf"""
+WITH q AS ({QUALITY_SQL}),
+lid AS ({LANG_ID_SQL}),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT q.doc_id, lid.lang, q.n_tokens, q.quality_score
+FROM q
+JOIN lid ON q.doc_id = lid.doc_id
+JOIN ranked ON q.doc_id = ranked.doc_id
+WHERE ranked.rn = 1
+  AND q.quality_score >= {CURATE_MIN_QUALITY}
+  AND lid.predicted_lang = lid.lang
+ORDER BY q.doc_id
+"""
+
+
+@register("curate_corpus", CURATE_SQL)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from kinesis_to_firehose_spark.operators.dedup import NORM_EXPR
+
+    q = text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    lid = text_lang_id(spark, sf_dir).select(
+        "doc_id", "lang", "predicted_lang"
+    )
+    d = load(spark, "documents", sf_dir)
+    winners = (
+        d.select("doc_id", F.md5(F.expr(NORM_EXPR)).alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("h").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    return (
+        q.join(lid, "doc_id")
+        .join(winners, "doc_id")
+        .filter(
+            (F.col("quality_score") >= CURATE_MIN_QUALITY)
+            & (F.col("predicted_lang") == F.col("lang"))
+        )
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )

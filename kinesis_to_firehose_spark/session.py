@@ -32,6 +32,13 @@ def get_spark(app_name: str = "kinesis-to-firehose-spark", cpus: int | None = No
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed-table warehouse (bucketed tables) out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

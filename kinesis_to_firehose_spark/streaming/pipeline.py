@@ -202,6 +202,35 @@ def drop_stats_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "6 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization with the NATIVE session_window operator
+    (same engine primitive as the batch `session_window_agg` op, so the
+    two are directly comparable). Append mode emits a session once the
+    watermark passes its close; state per open session is bounded by
+    the gap — the shape that holds on an unbounded stream."""
+    src = file_stream_source(spark, source_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def write_source_slice(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> None:

@@ -74,3 +74,37 @@ def test_decode_is_single_codegen_stage(spark):
 def test_filter_allowlist_pushdown(spark):
     df = OPS["filter_allowlist"].fn(spark, SF)
     assert "event_type" in pushed_filters(df)
+
+
+def test_cobucketed_join_has_no_exchange(spark):
+    """Write lineitem+orders bucketed by orderkey: the fact-fact join
+    must then run with ZERO Exchange operators (the shuffle moved to
+    write time, once) — the co-location story that matters at 100 TB."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+    from kinesis_to_firehose_spark.sources.bucketed import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    l = write_bucketed(spark, SF, "lineitem", "l_orderkey", 4)
+    o = write_bucketed(spark, SF, "orders", "o_orderkey", 4)
+    # at test SF the planner would broadcast tiny orders (which also
+    # disables bucket use); lower the threshold to exercise the
+    # at-scale shape where neither side fits an executor
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, l, o, "l_orderkey", "o_orderkey")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # sanity: same row count as the shuffled join of the raw parquet
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    li = load(spark, "lineitem", SF)
+    od = load(spark, "orders", SF)
+    raw = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+    assert joined.count() == raw

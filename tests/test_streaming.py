@@ -316,3 +316,54 @@ def test_kinesis_reader_options_wiring(spark):
     assert opts["kinesis.executor.maxFetchRecordsPerShard"] == "1500"
     with pytest.raises(RuntimeError, match="connector jar"):
         cfg.reader(spark)
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window == batch session_window_agg on the same
+    slice. Append mode only emits sessions the watermark has passed, so
+    after draining the real data we append a far-future sentinel event
+    to push the watermark beyond every real session's close."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        session_window_stream,
+    )
+
+    src = str(tmp_path / "src")
+    write_source_slice(spark, SF, src, n_files=2)
+
+    agg = session_window_stream(spark, src)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # sentinel: one event far past every real session close
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    far = load(spark, "events", SF).agg(
+        F.max("ts").alias("m")
+    ).collect()[0]["m"]
+    import datetime
+
+    sentinel_ts = far + datetime.timedelta(days=30)
+    spark.createDataFrame(
+        [(10**9, sentinel_ts, -1, "click", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["window_start"], r["window_end"], r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+        if r["user_id"] != -1
+    }
+    want = {
+        (r["user_id"], r["window_start"], r["window_end"], r["n_events"], r["session_value"])
+        for r in all_ops()["session_window_agg"].fn(spark, SF).collect()
+    }
+    assert got == want
