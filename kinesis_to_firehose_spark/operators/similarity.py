@@ -352,3 +352,50 @@ def lsh_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
 @register("ann_lsh_topk", None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# embedding_quantize — symmetric int8 quantization per vector (the
+# standard 4× memory cut for ANN indexes at scale: 64 float32 dims →
+# 64 bytes + one scale). Narrow per-row map, no shuffle; dequantized
+# cosine error is bounded by 1/127 per axis. The int8 codes are
+# emitted as a CSV string so the value-hash compare is
+# representation-independent across engines.
+# --------------------------------------------------------------------------
+QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS max_abs
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(s.max_abs, 6) AS scale,
+       list_aggregate(
+         list_transform(e.embedding,
+                        v -> CAST(ROUND(v::DOUBLE * 127.0 / s.max_abs, 0) AS BIGINT)),
+         'string_agg', ','
+       ) AS q_csv
+FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@register("embedding_quantize", QUANT_SQL)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    max_abs = F.expr(
+        "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+    )
+    q_csv = F.expr(
+        "array_join(transform(embedding, "
+        "v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / max_abs, 0) AS BIGINT)), ',')"
+    )
+    return (
+        e.withColumn("max_abs", max_abs)
+        .select(
+            "vec_id",
+            F.round("max_abs", 6).alias("scale"),
+            q_csv.alias("q_csv"),
+        )
+        .orderBy("vec_id")
+    )

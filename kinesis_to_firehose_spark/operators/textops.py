@@ -240,3 +240,48 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "quality_score")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# sample_stratified — deterministic per-language sampling for train /
+# eval splits: hash the doc id (md5, engine-portable), keep the doc if
+# hash % 100 < rate(lang). No randomness, no state — re-running on a
+# grown corpus keeps every previously-selected doc, which is exactly
+# what incremental training-data builds need. Narrow map + filter,
+# pushdown-friendly.
+# --------------------------------------------------------------------------
+SAMPLE_RATES = {"en": 80, "de": 50, "es": 50, "fr": 50}  # % per lang
+SAMPLE_DEFAULT_RATE = 20
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+)
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            AS BIGINT) AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < {_RATE_CASE_SQL}
+ORDER BY doc_id
+"""
+
+_RATE_CASE_SPARK = _RATE_CASE_SQL  # identical CASE syntax in Spark SQL
+
+
+@register("sample_stratified", SAMPLE_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+        "AS BIGINT) % 100"
+    )
+    return (
+        d.withColumn("bucket", bucket.cast("bigint"))
+        .filter(F.col("bucket") < F.expr(_RATE_CASE_SPARK))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
