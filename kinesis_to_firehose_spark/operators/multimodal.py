@@ -140,3 +140,65 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode/feature-extract over the media table (rows-only
     check; kernel determinism asserted in pytest)."""
     return decode_features(synthetic_media(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# mm_frame_sample — video frame sampling plumbing: each video blob
+# yields ceil(duration / stride) frame rows (timestamp + per-frame
+# features). The real-codec swap point is `_fake_frame`; the Spark
+# surface — one-to-many mapInPandas fan-out, blob dropped on output,
+# per-frame rows sized for downstream batch training — is real.
+# --------------------------------------------------------------------------
+FRAME_STRIDE_MS = 1000
+
+
+def _fake_frame(content: bytes, ts_ms: int) -> list[float]:
+    """Deterministic stand-in for decode-at-timestamp: hash-seeded by
+    (content, timestamp). Replace with pyav frame seek on a cluster."""
+    import hashlib
+
+    h = hashlib.sha256(content + ts_ms.to_bytes(8, "big")).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def sample_frames(
+    media: DataFrame, stride_ms: int = FRAME_STRIDE_MS
+) -> DataFrame:
+    """One-to-many frame fan-out as an Arrow-batched kernel. Output is
+    narrow (no blob), so the expensive column dies at this stage; the
+    fan-out factor is duration/stride, which is why the INPUT must be
+    partitioned by bytes (media_repartition_by_bytes) — a row-count
+    split would put all the long videos in one task."""
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, frame_ts_ms long, "
+        + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
+    )
+
+    def _sample(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "frame_ts_ms": []}
+            feats: list[list[float]] = []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                duration = int(meta["duration_ms"])
+                for ts in range(0, max(1, duration), stride_ms):
+                    rows["media_id"].append(mid)
+                    rows["frame_ts_ms"].append(ts)
+                    feats.append(_fake_frame(bytes(content), ts))
+            out = pd.DataFrame(rows)
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = [f[i] for f in feats]
+            yield out
+
+    return media.mapInPandas(_sample, schema=out_schema)
+
+
+@register("mm_frame_sample", None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample every video blob (rows-only check; determinism and
+    fan-out arithmetic asserted in pytest)."""
+    videos = synthetic_media(spark, sf_dir).filter(F.col("kind") == "video")
+    return sample_frames(media_repartition_by_bytes(videos))

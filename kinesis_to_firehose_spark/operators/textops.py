@@ -285,3 +285,46 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# vocab_top_terms — tokenizer-training heavy hitters: global top-k
+# terms by corpus term frequency (plus document frequency). The explode→groupBy is map-side
+# combined (partial counts per partition before the shuffle), and the
+# final top-k is a single ORDER BY over the tiny aggregated term table
+# — at 100 TB the shuffle carries one row per DISTINCT term per
+# partition, never one per token occurrence.
+# --------------------------------------------------------------------------
+VOCAB_TOP_K = 100
+
+VOCAB_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS n_docs
+  FROM tok WHERE term != '' GROUP BY term
+)
+SELECT term, CAST(term_freq AS BIGINT) AS term_freq, CAST(n_docs AS BIGINT) AS n_docs
+FROM counts
+ORDER BY term_freq DESC, term
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+@register("vocab_top_terms", VOCAB_SQL)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("term_freq"), "term")
+        .limit(VOCAB_TOP_K)
+    )

@@ -45,3 +45,38 @@ def test_repartition_by_bytes(spark):
     out = media_repartition_by_bytes(m, target_partition_bytes=10_000)
     assert out.count() == m.count()
     assert out.rdd.getNumPartitions() >= 1
+
+
+def test_frame_sample_fanout_and_determinism(spark):
+    """Each video yields ceil(duration/stride) frames; re-running
+    produces identical features (codec stub is content+ts seeded)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.multimodal import (
+        FRAME_STRIDE_MS,
+        mm_frame_sample,
+        synthetic_media,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    frames = mm_frame_sample(spark, sf)
+    per_media = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in synthetic_media(spark, sf)
+        .filter(F.col("kind") == "video")
+        .select("media_id", F.col("meta.duration_ms").alias("duration_ms"))
+        .collect()
+    }
+    assert set(per_media) == set(durations)
+    for mid, dur in durations.items():
+        assert per_media[mid] == max(1, math.ceil(max(1, dur) / FRAME_STRIDE_MS))
+
+    a = {(r["media_id"], r["frame_ts_ms"]): r["f0"] for r in frames.collect()}
+    b = {(r["media_id"], r["frame_ts_ms"]): r["f0"] for r in mm_frame_sample(spark, sf).collect()}
+    assert a == b
