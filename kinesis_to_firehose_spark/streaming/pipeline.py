@@ -231,6 +231,21 @@ def session_window_stream(
     )
 
 
+def dedup_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup on event_id: Kinesis redelivers on shard
+    handover / consumer restart, and at-least-once sources make
+    duplicate records a WHEN not an IF. dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes, so state is
+    bounded by (event rate × watermark) instead of growing forever —
+    the only dedup shape that survives an unbounded stream."""
+    src = file_stream_source(spark, source_dir)
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def write_source_slice(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> None:

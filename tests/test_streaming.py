@@ -367,3 +367,38 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         for r in all_ops()["session_window_agg"].fn(spark, SF).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
+    """At-least-once redelivery (the same slice lands twice, as Kinesis
+    does on shard handover) must come out exactly once."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    write_source_slice(spark, SF, src, n_files=2)
+    # redeliver: copy each source file under a new name
+    for name in list(os.listdir(src)):
+        if name.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(src, name), os.path.join(src, f"redeliver-{name}")
+            )
+
+    from kinesis_to_firehose_spark.streaming.pipeline import dedup_stream
+
+    q = (
+        dedup_stream(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS nd FROM dedup_out"
+    ).collect()[0]
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    want = load(spark, "events", SF).count()
+    assert got["n"] == want
+    assert got["nd"] == want
