@@ -820,3 +820,60 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# grouping_sets_agg — explicit GROUPING SETS with grouping_id: the
+# general lattice primitive rollup/cube specialize. One shuffle
+# computes all three granularities ((type), (user bucket), ()) — at
+# scale this replaces three separate scans+aggs with one.
+# --------------------------------------------------------------------------
+GROUPING_SETS_SQL = """
+SELECT event_type,
+       user_id % 10 AS user_bucket,
+       GROUPING(event_type, user_id % 10) AS grp_id,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+ORDER BY grp_id, event_type NULLS FIRST, user_bucket NULLS FIRST
+"""
+
+
+@register("grouping_sets_agg", GROUPING_SETS_SQL)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    e.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               user_id % 10 AS user_bucket,
+               CAST(GROUPING_ID(event_type, user_id % 10) AS BIGINT) AS grp_id,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY grp_id, event_type NULLS FIRST, user_bucket NULLS FIRST
+        """
+    )
+
+
+@register("approx_percentile_by_group", None)  # t-digest-style sketch: engine-specific
+def approx_percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the 100 TB path for quantiles — one pass,
+    mergeable sketches, no per-group sort of raw values (the exact
+    twin is `percentile_by_group`). Rows-only like approx_distinct;
+    pytest bounds the error against the exact percentiles."""
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("approx_percentile(value, 0.5, 1000)"), 4
+            ).alias("p50_approx"),
+            F.round(
+                F.expr("approx_percentile(value, 0.95, 1000)"), 4
+            ).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )

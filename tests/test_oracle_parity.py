@@ -28,3 +28,24 @@ def test_rows_only_runs(spark, name):
     df = op.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_percentile_error_bounded(spark):
+    """Sketch vs exact: approx_percentile must land within a small
+    absolute error of the exact per-group percentiles."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    ops = all_ops()
+    sf = "/root/testdata/sf0.01"
+    ap = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in ops["approx_percentile_by_group"].fn(spark, sf).collect()
+    }
+    ex = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in ops["percentile_by_group"].fn(spark, sf).collect()
+    }
+    assert set(ap) == set(ex)
+    for k in ex:
+        assert abs(ap[k][0] - ex[k][0]) < 2.0, k
+        assert abs(ap[k][1] - ex[k][1]) < 2.0, k
