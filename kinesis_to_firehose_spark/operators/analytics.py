@@ -633,8 +633,13 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # ONE distributed plan (union of three 1-row aggregates), not three
-    # driver-side .count() actions: Spark reuses the building/spenders
-    # exchanges across branches and the driver never assembles results.
+    # driver-side .count() actions — the driver never assembles results.
+    # The two key sets are materialized once via localCheckpoint: the
+    # three set-op branches would otherwise rescan customer/orders 6×
+    # (measured), and the key sets are tiny relative to the raw tables.
+    building = building.localCheckpoint(eager=True)
+    spenders = spenders.localCheckpoint(eager=True)
+
     def tagged(df: DataFrame, tag: str) -> DataFrame:
         return df.agg(F.count("*").alias("n")).select(
             F.lit(tag).alias("op"), "n"

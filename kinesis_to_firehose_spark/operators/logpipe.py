@@ -213,7 +213,10 @@ def drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle that touches the raw records, map-side combined — then the
     by-app / by-level / totals views re-aggregate the tiny intermediate
     (minutes × apps × levels rows), the same shape stats.go gets from
-    its in-memory maps at tick time."""
+    its in-memory maps at tick time. The intermediate is materialized
+    via localCheckpoint: without it each of the four union branches
+    replays the full scan+pre-agg lineage (4 scans, 9 exchanges
+    measured) instead of re-aggregating a few thousand rows."""
     e = load(spark, "events", sf_dir)
     dropped = e.filter(~F.col("event_type").isin(*ALLOWED_TYPES))
     pre = (
@@ -224,6 +227,7 @@ def drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("minute", "app", "level")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
 
     def shaped(df: DataFrame, metric: str, key_col) -> DataFrame:
