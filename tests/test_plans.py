@@ -108,3 +108,45 @@ def test_cobucketed_join_has_no_exchange(spark):
     od = load(spark, "orders", SF)
     raw = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
     assert joined.count() == raw
+
+
+def test_drop_stats_single_raw_pass(spark):
+    """The four drop_stats views must re-aggregate the materialized
+    pre-agg, never replay the raw-events scan per branch."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    plan = physical_plan(OPS["drop_stats"].fn(spark, SF))
+    assert plan.count("FileScan parquet") == 0  # branches read the checkpoint
+
+
+def test_aqe_splits_skewed_join(spark):
+    """§6 skew posture: a hot key (90% of the fact side) must trigger
+    AQE's skew-join split instead of pinning one task."""
+    from pyspark.sql import functions as F
+
+    n = 400_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        df = fact.join(dim, "k")
+        # collect() (not count()) so the INSPECTED QueryExecution is the
+        # one that ran — count() wraps the plan in its own execution
+        assert len(df.collect()) > 0
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
