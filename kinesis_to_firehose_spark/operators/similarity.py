@@ -279,36 +279,38 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # ann_lsh_bucketed — hyperplane signs derived from md5(plane, dim) so the
-# planes are deterministic without a random source. Bucket = sign bits of
-# the projections. Rows-only (recall asserted in tests vs brute force).
+# planes are deterministic AND engine-reproducible: the same
+# '{p}|{d}'-keyed parity planes back dedup_embedding_lsh, so the DuckDB
+# oracle mirrors the bucket construction bit-for-bit (left-assoc double
+# sums → identical sign bits).
 # --------------------------------------------------------------------------
-def _plane_component(p: int, d: int) -> str:
-    # pseudo-random ±1 component from md5 parity — deterministic everywhere
-    return f"(CASE WHEN substring(md5('{p}|{d}'), 1, 1) >= '8' THEN 1.0D ELSE -1.0D END)"
+from kinesis_to_firehose_spark.operators.dedup import _emb_projection_bit
 
 
-def _projection_bit(p: int) -> str:
-    terms = " + ".join(
-        f"CAST(element_at(embedding, {d + 1}) AS DOUBLE) * {_plane_component(p, d)}"
-        for d in range(64)
-    )
-    return f"(CASE WHEN ({terms}) >= 0D THEN '1' ELSE '0' END)"
-
-
-_BUCKET_EXPR = "concat(" + ", ".join(
-    _projection_bit(p) for p in range(LSH_PLANES)
-) + ")"
+def _bucket_expr(engine: str) -> str:
+    bits = [_emb_projection_bit(p, engine) for p in range(LSH_PLANES)]
+    if engine == "spark":
+        return "concat(" + ", ".join(bits) + ")"
+    return " || ".join(bits)
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "embeddings", sf_dir)
-    return e.select("vec_id", F.expr(_BUCKET_EXPR).alias("bucket"))
+    return e.select("vec_id", F.expr(_bucket_expr("spark")).alias("bucket"))
 
 
-@register("ann_lsh_bucketed", None)
+LSH_BUCKETED_SQL = f"""
+SELECT bucket, COUNT(*) AS n_vectors
+FROM (SELECT {_bucket_expr("duck")} AS bucket FROM embeddings)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("ann_lsh_bucketed", LSH_BUCKETED_SQL)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket histogram of the hyperplane LSH index (rows-only check);
-    in-bucket search reuses the brute-force kernel on a tiny slice."""
+    """Bucket histogram of the hyperplane LSH index; in-bucket search
+    reuses the brute-force kernel on a tiny slice."""
     return (
         lsh_buckets(spark, sf_dir)
         .groupBy("bucket")
@@ -349,7 +351,36 @@ def lsh_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", None)
+LSH_TOPK_SQL = f"""
+{NORMED_CTE},
+bucketed AS (
+  SELECT vec_id, {_bucket_expr("duck")} AS bucket FROM embeddings
+),
+nb AS (
+  SELECT n.vec_id, n.embedding, n.nrm, b.bucket
+  FROM normed n JOIN bucketed b ON n.vec_id = b.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         ROUND({_COS_SQL}, 6) AS cosine
+  FROM nb q
+  JOIN nb c ON q.bucket = c.bucket
+   AND q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, candidate_id, cosine, rk
+FROM ranked
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("ann_lsh_topk", LSH_TOPK_SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(spark, sf_dir)
 
