@@ -402,3 +402,60 @@ def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
     want = load(spark, "events", SF).count()
     assert got["n"] == want
     assert got["nd"] == want
+
+
+# ---------------- hypothesis: protocol invariants (pure logic) ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5000), max_size=60),
+    batch_count=st.integers(min_value=1, max_value=10),
+    batch_size=st.integers(min_value=5000, max_value=20000),
+)
+def test_plan_batches_bounds_hold_for_any_input(sizes, batch_count, batch_size):
+    """Every emitted batch respects BOTH bounds (a single oversize
+    record still ships alone — same as the reference, which must send
+    whatever Kinesis delivered); nothing is lost or reordered."""
+    recs = [b"x" * n for n in sizes]
+    batches = list(
+        plan_batches(recs, batch_count=batch_count, batch_size=batch_size)
+    )
+    for b in batches:
+        assert len(b) <= batch_count
+        assert sum(len(r) for r in b) <= batch_size or len(b) == 1
+    flat = [r for b in batches for r in b]
+    assert flat == recs
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    fail_counts=st.lists(
+        st.integers(min_value=0, max_value=8), min_size=1, max_size=20
+    )
+)
+def test_send_batch_eventual_delivery_or_dead_letter(fail_counts):
+    """For any per-record failure pattern: records failing ≤ MAX_RETRIES
+    times are delivered; the rest surface in PartialSendBatchError —
+    never silently dropped."""
+    from kinesis_to_firehose_spark.streaming.firehose import MAX_RETRIES
+
+    batch = [f"r{i}".encode() for i in range(len(fail_counts))]
+    t = FlakyTransport(
+        {r: n for r, n in zip(batch, fail_counts)}
+    )
+    expected_dead = {r for r, n in zip(batch, fail_counts) if n > MAX_RETRIES}
+    try:
+        send_batch(t, batch, "s", sleep=lambda _s: None)
+        assert not expected_dead
+    except PartialSendBatchError as exc:
+        assert set(exc.failed_records) == expected_dead
+    delivered = set()
+    for call_idx, call in enumerate(t.calls):
+        for r in call:
+            if t.fail_times.get(r, 0) == 0:
+                delivered.add(r)
+    assert delivered >= set(batch) - expected_dead
