@@ -92,27 +92,33 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _ASSIGN_COS_SQL = f"({dot_expr('v.embedding', 'c.embedding', 'duck')} / (v.nrm * c.nrm))"
 
+N_PROBE = 2  # queries probe their 2 nearest cells (multi-probe IVF)
+
 IVF_SQL = f"""
 {NORMED_CTE},
 centroids AS (
   SELECT vec_id AS centroid_id, embedding, nrm FROM normed
   WHERE vec_id < {N_CENTROIDS}
 ),
+ranked_cells AS (
+  SELECT v.vec_id, c.centroid_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({_ASSIGN_COS_SQL}, 6) DESC, c.centroid_id
+         ) AS rk
+  FROM normed v, centroids c
+),
 assignment AS (
-  SELECT vec_id, cell FROM (
-    SELECT v.vec_id, c.centroid_id AS cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY ROUND({_ASSIGN_COS_SQL.replace('c.embedding', 'c.embedding').replace('c.nrm', 'c.nrm')}, 6) DESC, c.centroid_id
-           ) AS rk
-    FROM normed v, centroids c
-  ) WHERE rk = 1
+  SELECT vec_id, cell FROM ranked_cells WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id, cell FROM ranked_cells
+  WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}
 ),
 probe AS (
   SELECT qa.vec_id AS query_id, ca.vec_id AS candidate_id, qa.cell
-  FROM assignment qa
+  FROM probes qa
   JOIN assignment ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
-  WHERE qa.vec_id < {N_QUERIES}
 ),
 scored AS (
   SELECT p.query_id, p.candidate_id, p.cell,
@@ -134,8 +140,8 @@ ORDER BY query_id, rk
 """
 
 
-def _assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: a narrow map over the broadcast
+def _ranked_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-vector centroid ranking: a narrow map over the broadcast
     centroid list (the only sane shape at scale — centroids are always
     tiny, vectors never move)."""
     v = n.select(
@@ -150,8 +156,14 @@ def _assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
             F.round(F.expr(_COS), 6).alias("score"),
         )
         .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cell"))
+        .select("vec_id", F.col("centroid_id").alias("cell"), "rk")
+    )
+
+
+def _assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (rank-1 cell per vector)."""
+    return _ranked_cells(n, cents).filter(F.col("rk") == 1).select(
+        "vec_id", "cell"
     )
 
 
@@ -163,17 +175,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    assignment = _assign_cells(n, cents)
-    return _ivf_probe_topk(n, assignment)
+    return _ivf_probe_topk(n, _ranked_cells(n, cents))
 
 
-def _ivf_probe_topk(n: DataFrame, assignment: DataFrame) -> DataFrame:
-    """Probe stage shared by the seed and trained IVF variants: queries
-    join candidates in their own cell (a co-partitioned equi-join on
-    cell id), exact-rescore, per-query top-k window."""
-    qa = assignment.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
+def _ivf_probe_topk(n: DataFrame, ranked: DataFrame) -> DataFrame:
+    """Probe stage shared by the seed and trained IVF variants:
+    MULTI-PROBE — each query searches its N_PROBE nearest cells while
+    data vectors live in exactly one (so no candidate duplicates), a
+    co-partitioned equi-join on cell id, exact-rescore, per-query
+    top-k window. Probing 2 cells roughly doubles scanned candidates
+    but rescues the near-boundary queries single-probe IVF misses."""
+    qa = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    assignment = ranked.filter(F.col("rk") == 1)
     ca = assignment.select(F.col("vec_id").alias("candidate_id"), "cell")
     probe = qa.join(ca, "cell").filter(
         F.col("query_id") != F.col("candidate_id")
@@ -274,7 +289,7 @@ def train_ivf_centroids(
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = normed_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
-    return _ivf_probe_topk(n, _assign_cells(n, cents))
+    return _ivf_probe_topk(n, _ranked_cells(n, cents))
 
 
 # --------------------------------------------------------------------------

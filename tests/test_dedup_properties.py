@@ -305,8 +305,8 @@ def test_ivf_training_beats_seed_on_clustered_data(spark, tmp_path):
 
     from kinesis_to_firehose_spark.operators.dedup import normed_embeddings
     from kinesis_to_firehose_spark.operators.similarity import (
-        _assign_cells,
         _ivf_probe_topk,
+        _ranked_cells,
         ann_bruteforce_topk,
         ann_ivf_topk,
         train_ivf_centroids,
@@ -348,5 +348,5 @@ def test_ivf_training_beats_seed_on_clustered_data(spark, tmp_path):
     seed_rec = recall(ann_ivf_topk(spark, d))
     n = normed_embeddings(spark, d)
     trained = train_ivf_centroids(spark, d)
-    tr_rec = recall(_ivf_probe_topk(n, _assign_cells(n, trained)))
+    tr_rec = recall(_ivf_probe_topk(n, _ranked_cells(n, trained)))
     assert tr_rec > seed_rec + 0.2, f"trained {tr_rec} vs seed {seed_rec}"
