@@ -47,6 +47,7 @@ def all_ops() -> dict[str, Op]:
     # Imports deferred so `import registry` stays cheap and cycle-free.
     from kinesis_to_firehose_spark.operators import (  # noqa: F401
         analytics,
+        curation,
         dedup,
         logpipe,
         multimodal,
