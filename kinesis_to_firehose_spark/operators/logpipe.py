@@ -229,6 +229,16 @@ def drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=True)
     )
+    return stats_views(pre)
+
+
+def stats_views(pre: DataFrame) -> DataFrame:
+    """(minute, app, level, n) → stats.go's four per-minute views in
+    long format. Shared by the batch op and the streaming path
+    (tests/test_streaming.py): the streaming query maintains the same
+    (minute, app, level) pre-aggregate as watermarked state, and this
+    shaping runs on the tiny materialized result — exactly how
+    stats.go re-reads its in-memory maps at each tick."""
 
     def shaped(df: DataFrame, metric: str, key_col) -> DataFrame:
         return df.select(

@@ -185,6 +185,37 @@ def test_drop_stats_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_drop_stats_stream_views_match_batch(spark, tmp_path):
+    """stats.go totals-view parity on the STREAMING path: the streamed
+    (minute, app, level) pre-aggregate, shaped through the shared
+    stats_views helper, must equal the batch drop_stats op row-for-row
+    (by-app + by-level + total_dropped + app_count views)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.logpipe import drop_stats, stats_views
+
+    src = str(tmp_path / "src")
+    write_source_slice(spark, SF, src, n_files=2)
+    agg = drop_stats_stream(spark, src)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("drop_stats_pre")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pre = spark.table("drop_stats_pre").select(
+        F.col("minute.start").alias("minute"),
+        F.col("container_app").alias("app"),
+        "level",
+        F.col("n_dropped").alias("n"),
+    )
+    got = [tuple(r) for r in stats_views(pre).collect()]
+    want = [tuple(r) for r in drop_stats(spark, SF).collect()]
+    assert got == want
+
+
 # ---------------- round-2: interval flush, trigger, task ids -----------
 
 
