@@ -248,23 +248,30 @@ _V_SPARK = (
 )
 _V_SQL = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE})"
 
-_SIG_AGG_SPARK = [
-    f"min(({a} * v + {b}) % {_MERSENNE}) AS h{p}"
-    for p, (a, b) in ((p, _perm_consts(p)) for p in range(N_PERMS))
-]
+def _sig_agg_spark(n_perms: int) -> list[str]:
+    return [
+        f"min(({a} * v + {b}) % {_MERSENNE}) AS h{p}"
+        for p, (a, b) in ((p, _perm_consts(p)) for p in range(n_perms))
+    ]
+
+
+def _band_keys_spark(n_perms: int, n_bands: int) -> str:
+    rows = n_perms // n_bands
+    return ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{b * rows + r} AS STRING)" for r in range(rows))
+        + "))"
+        for b in range(n_bands)
+    )
+
+
+_SIG_AGG_SPARK = _sig_agg_spark(N_PERMS)
 _SIG_AGG_SQL = ", ".join(
     f"min(({a} * v + {b}) % {_MERSENNE}) AS h{p}"
     for p, (a, b) in ((p, _perm_consts(p)) for p in range(N_PERMS))
 )
 
-_BAND_KEYS_SPARK = ", ".join(
-    "md5(concat_ws(',', "
-    + ", ".join(
-        f"CAST(h{b * ROWS_PER_BAND + r} AS STRING)" for r in range(ROWS_PER_BAND)
-    )
-    + "))"
-    for b in range(N_BANDS)
-)
+_BAND_KEYS_SPARK = _band_keys_spark(N_PERMS, N_BANDS)
 _BAND_KEYS_SQL = ", ".join(
     "md5("
     + " || ',' || ".join(
@@ -316,9 +323,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(ex)
 
 
-def minhash_lsh_pairs(exploded: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    exploded: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
     """Core LSH pipeline over exploded (doc_id, shingle) rows — reused
-    by tests with synthetic near-dup corpora.
+    by tests with synthetic near-dup corpora. Parameterized by
+    (n_perms, n_bands) for the banded-recall scaling study
+    (tests/test_dedup_properties.py); the registered op and its oracle
+    stay pinned at 32/8.
 
     Signatures are materialized via localCheckpoint: the band self-join
     plus the signature rejoin would otherwise recompute the whole
@@ -331,12 +343,13 @@ def minhash_lsh_pairs(exploded: DataFrame) -> DataFrame:
     hashed_v = exploded.select("doc_id", F.expr(_V_SPARK).alias("v"))
     sigs = (
         hashed_v.groupBy("doc_id")
-        .agg(*[F.expr(e) for e in _SIG_AGG_SPARK])
+        .agg(*[F.expr(e) for e in _sig_agg_spark(n_perms)])
         .localCheckpoint(eager=True)
     )
+    band_keys = _band_keys_spark(n_perms, n_bands)
     bands = sigs.select(
         "doc_id",
-        F.posexplode(F.expr(f"array({_BAND_KEYS_SPARK})")).alias(
+        F.posexplode(F.expr(f"array({band_keys})")).alias(
             "band_idx0", "band_key"
         ),
     ).withColumn("band_idx", F.col("band_idx0") + 1)
@@ -359,7 +372,7 @@ def minhash_lsh_pairs(exploded: DataFrame) -> DataFrame:
     s2 = sigs.alias("s2")
     est_match = sum(
         F.when(F.col(f"s1.h{p}") == F.col(f"s2.h{p}"), 1).otherwise(0)
-        for p in range(N_PERMS)
+        for p in range(n_perms)
     )
     return (
         cand.join(s1, F.col("s1.doc_id") == F.col("doc_id_1"))
@@ -367,7 +380,7 @@ def minhash_lsh_pairs(exploded: DataFrame) -> DataFrame:
         .select(
             "doc_id_1",
             "doc_id_2",
-            F.round(est_match / float(N_PERMS), 6).alias("est_jaccard"),
+            F.round(est_match / float(n_perms), 6).alias("est_jaccard"),
         )
         .orderBy("doc_id_1", "doc_id_2")
     )

@@ -61,6 +61,46 @@ def test_minhash_lsh_recall_on_planted_dups(spark, planted):
     assert found >= 9, f"LSH recall too low: {found}/10 planted pairs found"
 
 
+@pytest.fixture(scope="module")
+def mid_sim(spark):
+    """40 planted pairs at ~0.55-0.65 Jaccard (the band-count-sensitive
+    regime: P(candidate) = 1-(1-s^4)^b ≈ 0.43 / 0.67 / 0.89 at b=4/8/16)
+    plus 60 unrelated docs."""
+    rng = random.Random(7)
+    docs: dict[int, list[str]] = {i: _mk_doc(rng) for i in range(60)}
+    pairs = []
+    for k in range(40):
+        src, dst = 1000 + 2 * k, 1001 + 2 * k
+        base = _mk_doc(rng, n=80)
+        mutated = list(base)
+        # each rewritten token kills its 2 adjacent bigram shingles:
+        # 10 rewrites ⇒ ~20/79 shingles differ ⇒ Jaccard ≈ 0.6
+        for _ in range(10):
+            mutated[rng.randrange(len(mutated))] = rng.choice(WORDS)
+        docs[src], docs[dst] = base, mutated
+        pairs.append((src, dst))
+    df = spark.createDataFrame(_shingle_rows(docs), "doc_id long, shingle string")
+    return df.localCheckpoint(eager=True), pairs
+
+
+def test_minhash_perm_count_recall_curve(spark, mid_sim):
+    """Perm-count scaling study (SURVEY §6): at fixed rows-per-band=4,
+    recall on mid-similarity pairs rises with band count — the knob a
+    100 TB dedup run turns when the similarity threshold drops. Also
+    pins the 32-perm op's recall floor in this regime."""
+    df, pairs = mid_sim
+    recall = {}
+    for n_perms, n_bands in ((16, 4), (32, 8), (64, 16)):
+        got = {
+            (r["doc_id_1"], r["doc_id_2"])
+            for r in minhash_lsh_pairs(df, n_perms, n_bands).collect()
+        }
+        recall[n_perms] = sum(1 for p in pairs if p in got) / len(pairs)
+    assert recall[64] >= recall[32] >= recall[16]
+    assert recall[64] > recall[16]  # band count must actually matter here
+    assert recall[32] >= 0.5  # the registered op's floor at s≈0.6
+
+
 def test_minhash_identical_docs_full_signature_match(spark):
     rows = [(1, s) for s in ("a b", "b c", "c d")] + [
         (2, s) for s in ("a b", "b c", "c d")
