@@ -119,6 +119,18 @@ def test_drop_stats_single_raw_pass(spark):
     assert plan.count("FileScan parquet") == 0  # branches read the checkpoint
 
 
+def test_decontaminate_joins_broadcast(spark):
+    """The eval-gram semi-join and the contaminated-id anti-join must
+    both broadcast (eval set and hit set are fixed-size relative to
+    the corpus); a SortMergeJoin here would shuffle every gram of the
+    full corpus at 100 TB."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    plan = physical_plan(OPS["decontaminate_ngram"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """§6 skew posture: a hot key (90% of the fact side) must trigger
     AQE's skew-join split instead of pinning one task."""
