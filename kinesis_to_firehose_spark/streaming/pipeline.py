@@ -231,6 +231,54 @@ def session_window_stream(
     )
 
 
+def attribution_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    horizon: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks in the preceding `horizon`. Both sides are
+    watermarked and the join carries a time-range predicate, so state
+    on each side is bounded by (rate × (watermark + horizon)) — the
+    only stream-stream join shape that survives an unbounded stream;
+    an unconstrained join would buffer both streams forever. Batch
+    twin for the parity test: the same filter+join on the static
+    events table."""
+    src = file_stream_source(spark, source_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        "purchase_id", "click_id", "p_user", "purchase_ts", "click_ts",
+        "purchase_value",
+    )
+
+
 def dedup_stream(
     spark: SparkSession, source_dir: str, watermark: str = "10 minutes"
 ) -> DataFrame:

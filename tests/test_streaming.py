@@ -435,6 +435,60 @@ def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
     assert got["nd"] == want
 
 
+def test_attribution_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream click→purchase join == the same join
+    on the static table (append mode emits once the watermark passes;
+    processAllAvailable + a final empty batch flushes all state on the
+    file simulator)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        attribution_stream_join,
+    )
+
+    src = str(tmp_path / "src")
+    write_source_slice(spark, SF, src, n_files=2)
+    q = (
+        attribution_stream_join(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attribution_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT purchase_id) AS np "
+        "FROM attribution_out"
+    ).collect()[0]
+
+    e = load(spark, "events", SF)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 hours")),
+    )
+    want = batch.count()
+    want_p = batch.select("purchase_id").distinct().count()
+    # inner stream-stream joins emit on match (the watermark only
+    # bounds buffered state), so the stream output equals the batch
+    # join exactly once the source is drained.
+    assert got["n"] == want
+    assert got["np"] == want_p
+
+
 # ---------------- hypothesis: protocol invariants (pure logic) ---------
 
 from hypothesis import given, settings
