@@ -1048,3 +1048,121 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2", "edit_dist")
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental — continuous-ingest dedup: check a NEW batch of
+# documents (doc_id % 10 == 0 models the day's arrivals) against the
+# EXISTING corpus, never old-vs-old. Exact membership via the
+# normalized fingerprint plus near-dup candidates via the minhash band
+# index, joined new×old only. At 100 TB the old side's signatures and
+# band keys are a persisted index table updated per ingest (computed
+# here from the parquet because no index store exists in the harness);
+# the property that scales is the join shape: per-ingest cost is
+# O(new batch) signature work + equi-joins that touch only matching
+# band buckets — the corpus is never re-paired against itself.
+# --------------------------------------------------------------------------
+NEW_MOD = 10
+
+DEDUP_INCREMENTAL_SQL = f"""
+{SHINGLES_CTE},
+exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+),
+hashed_v AS (
+  SELECT doc_id, {_V_SQL} AS v FROM exploded
+),
+sigs AS (
+  SELECT doc_id, {_SIG_AGG_SQL} FROM hashed_v GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_KEYS_SQL}]) AS band_key,
+         generate_subscripts([{_BAND_KEYS_SQL}], 1) AS band_idx
+  FROM sigs
+),
+near AS (
+  SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_near
+  FROM bands n
+  JOIN bands o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+  WHERE n.doc_id % {NEW_MOD} = 0 AND o.doc_id % {NEW_MOD} != 0
+  GROUP BY n.doc_id
+),
+fp AS (
+  SELECT doc_id, md5({NORM_SQL}) AS h FROM documents
+),
+new_exact AS (
+  SELECT e.doc_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM fp o WHERE o.doc_id % {NEW_MOD} != 0 AND o.h = e.h
+         ) THEN 1 ELSE 0 END AS is_exact_dup
+  FROM fp e WHERE e.doc_id % {NEW_MOD} = 0
+)
+SELECT ne.doc_id,
+       CAST(ne.is_exact_dup AS BIGINT) AS is_exact_dup,
+       CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near_candidates,
+       CASE WHEN ne.is_exact_dup = 1 THEN 'exact'
+            WHEN COALESCE(near.n_near, 0) > 0 THEN 'near'
+            ELSE 'unique' END AS verdict
+FROM new_exact ne
+LEFT JOIN near ON ne.doc_id = near.doc_id
+ORDER BY ne.doc_id
+"""
+
+
+@register("dedup_incremental", DEDUP_INCREMENTAL_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = exploded_shingles(spark, sf_dir).select("doc_id", "shingle")
+    hashed_v = ex.select("doc_id", F.expr(_V_SPARK).alias("v"))
+    sigs = (
+        hashed_v.groupBy("doc_id")
+        .agg(*[F.expr(e) for e in _sig_agg_spark(N_PERMS)])
+        .localCheckpoint(eager=True)
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({_BAND_KEYS_SPARK})")).alias(
+            "band_idx0", "band_key"
+        ),
+    ).withColumn("band_idx", F.col("band_idx0") + 1)
+    is_new = F.col("doc_id") % NEW_MOD == 0
+    n_bands = bands.filter(is_new).alias("n")
+    o_bands = bands.filter(~is_new).alias("o")
+    near = (
+        n_bands.join(
+            o_bands,
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("o.doc_id")).alias("n_near"))
+    )
+    d = load(spark, "documents", sf_dir)
+    fp = d.select("doc_id", F.md5(F.expr(NORM_EXPR)).alias("h"))
+    old_fp = fp.filter(~is_new).select("h").distinct()
+    new_exact = (
+        fp.filter(is_new)
+        .join(old_fp.withColumn("hit", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("hit").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_exact_dup"),
+        )
+    )
+    return (
+        new_exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.coalesce(F.col("n_near"), F.lit(0))
+            .cast("bigint")
+            .alias("n_near_candidates"),
+            F.when(F.col("is_exact_dup") == 1, "exact")
+            .when(F.coalesce(F.col("n_near"), F.lit(0)) > 0, "near")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
