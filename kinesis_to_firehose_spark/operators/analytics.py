@@ -1114,3 +1114,83 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# interval_join — point-in-range join (each event → the gap-session
+# that contains it) WITHOUT an inequality-only join. Spark executes a
+# pure range predicate as BroadcastNestedLoopJoin — a non-starter when
+# both sides scale. Here both sides are bucketed into fixed 1-hour
+# time chunks: intervals explode into every bucket they overlap,
+# events map to exactly one bucket, and the join becomes a shuffled
+# equi-join on (user_id, bucket) with the exact containment filter
+# applied to the bucket-matched candidates only. Fan-out is bounded by
+# interval_length/bucket_width (sessions here span hours, not weeks).
+# The oracle states the semantics as the plain inequality join —
+# proving the bucketing is execution strategy, not meaning.
+# --------------------------------------------------------------------------
+INTERVAL_BUCKET_S = 3600
+
+INTERVAL_JOIN_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE
+           WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                )) > {SESSION_GAP_S}
+                OR LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL
+           THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM gaps
+),
+sess AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM tagged GROUP BY user_id, session_id
+)
+SELECT e.event_id, s.user_id, s.session_id
+FROM events e
+JOIN sess s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts <= s.session_end
+ORDER BY e.event_id
+"""
+
+
+@register("interval_join", INTERVAL_JOIN_SQL)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    w = INTERVAL_BUCKET_S
+    s_b = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("session_start") / w).cast("long"),
+                F.floor(F.unix_timestamp("session_end") / w).cast("long"),
+            )
+        ),
+    )
+    e = load(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    e_b = e.withColumn(
+        "bucket", F.floor(F.unix_timestamp("ts") / w).cast("long")
+    )
+    return (
+        e_b.join(s_b, ["user_id", "bucket"])
+        .filter(
+            (F.col("ts") >= F.col("session_start"))
+            & (F.col("ts") <= F.col("session_end"))
+        )
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    )

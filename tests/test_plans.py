@@ -131,6 +131,18 @@ def test_decontaminate_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash equi-join on
+    (user_id, bucket); a raw inequality join would fall back to
+    BroadcastNestedLoopJoin, which cannot scale past a broadcastable
+    side."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    plan = physical_plan(OPS["interval_join"].fn(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """§6 skew posture: a hot key (90% of the fact side) must trigger
     AQE's skew-join split instead of pinning one task."""
