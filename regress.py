@@ -63,9 +63,13 @@ def main() -> None:
         print(f"{name:34} {now:8.3f} {b:8.3f} {ratio:6.2f}x{flag}")
         if ratio > THRESHOLD:
             regressions.append((name, now, b, ratio))
-    total_now = sum(bench.values())
-    total_base = sum(v for k, v in base.items() if k in bench)
-    print(f"\ntotal (shared ops) {total_now:.2f}s vs baseline {total_base:.2f}s")
+    shared = [k for k in bench if k in base]
+    total_now = sum(bench[k] for k in shared)
+    total_base = sum(base[k] for k in shared)
+    print(
+        f"\ntotal {sum(bench.values()):.2f}s over {len(bench)} ops; "
+        f"shared {len(shared)} ops {total_now:.2f}s vs baseline {total_base:.2f}s"
+    )
     if update:
         lines = BASELINE.read_text().splitlines(keepends=True)
         seen = set()
