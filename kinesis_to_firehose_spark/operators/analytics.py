@@ -1194,3 +1194,252 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "session_id")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q8_market_share (TPC-H Q8 adapted): NATION_1 suppliers' share of
+# revenue delivered to customers of region REGION_0, per order year.
+# Two-level aggregate: conditional sum / total sum per year — one
+# shuffle to the year grain after the star joins (dims broadcast).
+# --------------------------------------------------------------------------
+Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n1 = F.broadcast(load(spark, "nation", sf_dir).alias("n1"))
+    n2 = F.broadcast(load(spark, "nation", sf_dir).alias("n2"))
+    r = F.broadcast(
+        load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(r, F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_1", F.col("volume")
+                    ).otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13_order_distribution (TPC-H Q13): distribution of per-customer
+# order counts INCLUDING zero-order customers — the left-outer-join
+# aggregate pattern. Two shuffles (custkey count, then count-of-counts
+# over the tiny histogram).
+# --------------------------------------------------------------------------
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_distribution", Q13_SQL)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q15_top_supplier (TPC-H Q15): suppliers whose quarterly revenue
+# equals the maximum. The max-of-aggregate is a 1-row cross join
+# (broadcast), not a window over all suppliers.
+# --------------------------------------------------------------------------
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = load(spark, "supplier", sf_dir)
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22_dormant_customers (TPC-H Q22 adapted, no phone codes): customers
+# with above-average positive balance and no RECENT orders (the
+# testdata gives every customer at least one lifetime order), by
+# nation. Scalar subquery (1-row broadcast) + left anti join against
+# the date-filtered orders.
+# --------------------------------------------------------------------------
+Q22_SQL = """
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("q22_dormant_customers", Q22_SQL)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            _r(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# sliding_window_agg — hopping 1-hour windows every 15 minutes (each
+# event lands in size/slide = 4 windows). Spark's native window()
+# generates the window copies BEFORE the shuffle, so the aggregate is
+# still one map-side-combined exchange — the same cost model a
+# streaming deployment of this aggregation has. The oracle replays the
+# identical epoch-aligned window arithmetic with a generate_series
+# fan-out; both sides emit window starts as epoch seconds to keep the
+# comparison type-exact across engines.
+# --------------------------------------------------------------------------
+SLIDE_S = 900
+WSIZE_S = 3600
+
+SLIDING_WINDOW_SQL = f"""
+SELECT CAST(FLOOR(epoch(ts) / {SLIDE_S}) * {SLIDE_S} - k * {SLIDE_S} AS BIGINT)
+         AS window_start_s,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events, generate_series(0, {WSIZE_S // SLIDE_S - 1}) AS g(k)
+GROUP BY window_start_s, event_type
+ORDER BY window_start_s, event_type
+"""
+
+
+@register("sliding_window_agg", SLIDING_WINDOW_SQL)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", f"{WSIZE_S} seconds", f"{SLIDE_S} seconds").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            _r(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start"))
+            .cast("bigint")
+            .alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
