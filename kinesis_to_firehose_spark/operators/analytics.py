@@ -1443,3 +1443,123 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_s", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# profile_table — the ingest data-quality pass: per-column null count,
+# exact distinct count, min/max, in long format. ONE scan; every
+# metric is an aggregate over the same pass (Spark computes the
+# multi-distinct via Expand, still a single scan+shuffle). At 100 TB
+# this is the profile job that runs after every load; long format so
+# new columns don't change the schema.
+# --------------------------------------------------------------------------
+PROFILE_SQL = """
+SELECT col, n_rows, n_nulls, n_distinct, min_val, max_val
+FROM (
+  SELECT 'event_type' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+         CAST(MIN(event_type) AS VARCHAR) AS min_val,
+         CAST(MAX(event_type) AS VARCHAR) AS max_val
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT),
+         CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'value', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT value) AS BIGINT),
+         CAST(ROUND(MIN(value), 2) AS VARCHAR), CAST(ROUND(MAX(value), 2) AS VARCHAR)
+  FROM events
+)
+ORDER BY col
+"""
+
+
+@register("profile_table", PROFILE_SQL)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+
+    def metrics(col: str, numeric: bool):
+        mn = F.min(col)
+        mx = F.max(col)
+        if numeric:
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        return e.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            mn.cast("string").alias("min_val"),
+            mx.cast("string").alias("max_val"),
+        ).select(F.lit(col).alias("col"), "*")
+
+    return (
+        metrics("event_type", False)
+        .unionAll(metrics("user_id", False))
+        .unionAll(metrics("value", True))
+        .orderBy("col")
+    )
+
+
+# --------------------------------------------------------------------------
+# value_outliers — per-type z-score outliers (|z| > 3). The per-type
+# moments are a tiny aggregate joined back (broadcast — one row per
+# event_type); the z computation is narrow. Moments use the two-pass
+# formulation (avg, then avg of squared deviations) so both engines
+# fold identically after rounding.
+# --------------------------------------------------------------------------
+OUTLIER_Z = 3.0
+
+OUTLIERS_SQL = f"""
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu,
+         SQRT(AVG((value - (SELECT AVG(value) FROM events e2
+                            WHERE e2.event_type = events.event_type))
+                  * (value - (SELECT AVG(value) FROM events e2
+                              WHERE e2.event_type = events.event_type))))
+           AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 2) AS value,
+       ROUND((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS((e.value - s.mu) / s.sigma) > {OUTLIER_Z}
+ORDER BY e.event_id
+"""
+
+
+@register("value_outliers", OUTLIERS_SQL)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    mu = e.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    sigma = (
+        e.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sqrt(
+                F.avg(
+                    (F.col("value") - F.col("mu"))
+                    * (F.col("value") - F.col("mu"))
+                )
+            ).alias("sigma"),
+            F.first("mu").alias("mu"),
+        )
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(sigma), "event_type")
+        .filter(F.abs(z) > OUTLIER_Z)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )
