@@ -331,3 +331,133 @@ def quality_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# tokenize_to_ids — apply a trained vocabulary: rank the top-VOCAB_K
+# terms by corpus frequency (ties broken lexically, rank = token id),
+# then map every token occurrence to its id (OOV → -1). Long format
+# (doc_id, pos, token_id) so the output is pure BIGINTs — the
+# array-reassembly is a trivial downstream collect_list per doc. The
+# vocab is fixed-size → broadcast into the mapping join; the token
+# explode is the same single shuffle every *_token op here pays.
+# --------------------------------------------------------------------------
+VOCAB_K = 100
+OOV_ID = -1
+
+TOKENIZE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, t.term, t.pos
+  FROM (
+    SELECT doc_id, unnest({TOK_SQL}) AS term,
+           generate_subscripts({TOK_SQL}, 1) AS pos
+    FROM documents
+  ) t(doc_id, term, pos)
+),
+vocab AS (
+  SELECT term,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS BIGINT) - 1
+           AS token_id
+  FROM tok GROUP BY term
+  ORDER BY token_id LIMIT {VOCAB_K}
+)
+SELECT tok.doc_id, CAST(tok.pos AS BIGINT) AS pos,
+       COALESCE(vocab.token_id, {OOV_ID}) AS token_id
+FROM tok LEFT JOIN vocab USING (term)
+ORDER BY doc_id, pos
+"""
+
+
+@register("tokenize_to_ids", TOKENIZE_SQL)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exploded_tokens(spark, sf_dir).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("tok").alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "term",
+            (
+                F.row_number().over(
+                    W.orderBy(F.desc("tf"), "term")
+                )
+                - 1
+            )
+            .cast("bigint")
+            .alias("token_id"),
+        )
+        .filter(F.col("token_id") < VOCAB_K)
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(OOV_ID))
+            .cast("bigint")
+            .alias("token_id"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# pack_sequences — concat-and-chunk training-sequence packing: docs in
+# doc_id order per language are laid head-to-tail and cut every
+# SEQ_LEN tokens; a doc's pack is where its first token lands. The
+# running offset is a prefix-sum window per lang (range-partitioned
+# sort, no global order), identical to batch_planner's byte-packing
+# shape — this is that operator re-targeted at token budgets.
+# --------------------------------------------------------------------------
+SEQ_LEN = 2048
+
+PACK_SQL = rf"""
+WITH counted AS (
+  SELECT doc_id, lang, CAST(len({TOK_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+running AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM counted
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(tokens_before // {SEQ_LEN} AS BIGINT) AS pack_id,
+       CAST(tokens_before % {SEQ_LEN} AS BIGINT) AS offset_in_pack
+FROM running
+ORDER BY lang, doc_id
+"""
+
+
+@register("pack_sequences", PACK_SQL)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    counted = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(TOK_EXPR)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    running = counted.withColumn(
+        "tokens_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    return running.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("tokens_before") / SEQ_LEN)
+        .cast("bigint")
+        .alias("pack_id"),
+        (F.col("tokens_before") % SEQ_LEN).cast("bigint").alias(
+            "offset_in_pack"
+        ),
+    ).orderBy("lang", "doc_id")
