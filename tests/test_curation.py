@@ -1,0 +1,101 @@
+"""Curation-operator invariants (SURVEY.md §5d extension): planted
+contamination must be caught, sequence packing must conserve and bound
+offsets, tokenizer ids must match the trained vocab ranking.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_to_firehose_spark.operators.curation import (
+    EVAL_MOD,
+    OOV_ID,
+    SEQ_LEN,
+    VOCAB_K,
+    decontaminate_ngram,
+    pack_sequences,
+    tokenize_to_ids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_documents(spark, path, docs):
+    rows = [(i, t, "en", "synth", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_decontaminate_drops_planted_overlap(spark, tmp_path):
+    """A train doc embedding a 4-gram of an eval doc must be dropped;
+    an overlap-free train doc must survive."""
+    eval_id = EVAL_MOD * 2  # % EVAL_MOD == 0 → eval split
+    docs = [
+        (eval_id, "alpha beta gamma delta epsilon"),
+        # shares the 4-gram "alpha beta gamma delta"
+        (1, "zz alpha beta gamma delta yy"),
+        # no shared 4-gram (only a trigram overlap)
+        (2, "alpha beta gamma zz yy ww qq"),
+    ]
+    _write_documents(spark, str(tmp_path), docs)
+    kept = {r["doc_id"] for r in decontaminate_ngram(spark, str(tmp_path)).collect()}
+    assert kept == {2}
+
+
+def test_pack_sequences_invariants(spark):
+    """Per lang in doc_id order: offsets are in [0, SEQ_LEN), the pack
+    start position equals the running token count, and pack_id never
+    decreases."""
+    rows = pack_sequences(spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        assert rs == sorted(rs, key=lambda r: r["doc_id"])
+        running = 0
+        prev_pack = 0
+        for r in rs:
+            assert 0 <= r["offset_in_pack"] < SEQ_LEN
+            assert r["pack_id"] * SEQ_LEN + r["offset_in_pack"] == running
+            assert r["pack_id"] >= prev_pack
+            prev_pack = r["pack_id"]
+            running += r["n_tokens"]
+
+
+def test_tokenize_ids_match_vocab_ranking(spark):
+    """id 0 is the corpus's most frequent term; ids stay within
+    [-1, VOCAB_K); every (doc, pos) appears exactly once."""
+    ids = tokenize_to_ids(spark, SF)
+    rng = ids.agg(
+        F.min("token_id").alias("lo"), F.max("token_id").alias("hi")
+    ).collect()[0]
+    assert rng["lo"] >= OOV_ID
+    assert rng["hi"] < VOCAB_K
+    n = ids.count()
+    assert ids.select("doc_id", "pos").distinct().count() == n
+
+    from kinesis_to_firehose_spark.operators.curation import _exploded_tokens
+
+    top_term = (
+        _exploded_tokens(spark, SF)
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), "tok")
+        .first()["tok"]
+    )
+    joined = (
+        ids.filter(F.col("token_id") == 0)
+        .join(
+            _exploded_tokens(spark, SF).select(
+                "doc_id", (F.col("pos") + 1).alias("pos"), "tok"
+            ),
+            ["doc_id", "pos"],
+        )
+        .select("tok")
+        .distinct()
+        .collect()
+    )
+    assert [r["tok"] for r in joined] == [top_term]
