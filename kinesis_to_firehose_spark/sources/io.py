@@ -43,3 +43,37 @@ def read_table(
     if fmt == "csv":
         r = r.option("header", "true")
     return r.format(fmt).load(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite `src_path` into files of
+    ~`target_file_bytes` each and return the output file count.
+
+    Streaming sinks and fine-grained ingests leave thousands of tiny
+    files per partition; at 100 TB that inflates the NameNode/listing
+    cost and makes every scan open-file-bound. The file count is sized
+    from the ACTUAL on-disk bytes of the source (not a row-count
+    guess), and the rewrite is a single repartition — one shuffle,
+    no collect. Rows are round-robin'd across output files, which
+    keeps them uniformly sized regardless of input skew.
+    """
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+    df = read_table(spark, src_path, fmt)
+    df.repartition(int(n_files)).write.mode("overwrite").format(fmt).save(dst_path)
+    out = [
+        f
+        for f in fs.listStatus(sc._jvm.org.apache.hadoop.fs.Path(dst_path))
+        if f.getPath().getName().endswith(f".{fmt}")
+        or f.getPath().getName().startswith("part-")
+    ]
+    return len([f for f in out if f.getPath().getName().startswith("part-")])

@@ -76,3 +76,32 @@ def test_rate_limited_counts_state_accumulates(spark, tmp_path):
     # over_limit consistent with the per-trigger budget
     assert all(r["over_limit"] >= 0 for r in rows)
     assert any(r["over_limit"] > 0 for r in rows)  # sf0.001 shards exceed 10
+
+
+def test_compact_table_hits_target_file_count(spark, tmp_path):
+    """1 MiB target over a source scattered into 64 tiny files →
+    output file count == ceil(source_bytes / target); all rows
+    survive."""
+    from kinesis_to_firehose_spark.sources.io import compact_table
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    src = str(tmp_path / "scattered")
+    dst = str(tmp_path / "compacted")
+    events = load(spark, "events", "/root/testdata/sf0.01")
+    events.repartition(64).write.mode("overwrite").parquet(src)
+
+    import os
+
+    src_bytes = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.startswith("part-")
+    )
+    target = 1024 * 1024
+    n_out = compact_table(spark, src, dst, target_file_bytes=target)
+    import math
+
+    assert n_out == math.ceil(src_bytes / target)
+    assert spark.read.parquet(dst).count() == events.count()
+    n_src_files = len([f for f in os.listdir(src) if f.startswith("part-")])
+    assert n_out < n_src_files
