@@ -1166,3 +1166,103 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_connected_components — the last stage of the near-dup
+# pipeline: candidate PAIRS (minhash est_jaccard ≥ τ) → dup CLUSTERS,
+# as min-label propagation over the pair graph. Each iteration is a
+# join of the current labels with the edge list plus a min-aggregate,
+# localCheckpointed to cut the iterative lineage; the loop exits as
+# soon as an iteration changes nothing (cluster diameter bounds the
+# count — near-dup clusters are short chains, so 2-4 iterations in
+# practice; a 100 TB run on adversarial chain-shaped graphs would
+# switch to the log-diameter large-star/small-star variant, same join
+# primitives). The edge list is the tiny LSH-candidate output, NOT the
+# corpus: this never touches non-duplicate documents. The DuckDB
+# oracle states the same fixpoint as a recursive CTE.
+# --------------------------------------------------------------------------
+CLUSTER_TAU = 0.5
+_CC_MAX_ITERS = 15
+
+_MINHASH_BODY = MINHASH_SQL.replace(
+    "\nORDER BY doc_id_1, doc_id_2\n", "\n"
+)
+
+CONNECTED_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_MINHASH_BODY})
+  WHERE est_jaccard >= {CLUSTER_TAU}
+),
+edges AS (
+  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+  UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.l < e.dst
+),
+labeled AS (
+  SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labeled
+ORDER BY doc_id
+"""
+
+
+@register("dedup_connected_components", CONNECTED_COMPONENTS_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
+        .select("doc_id_1", "doc_id_2")
+    )
+    edges = (
+        pairs.select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("l", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        propagated = (
+            labels.join(edges, F.col("v") == F.col("src"))
+            .select(F.col("dst").alias("v"), "l")
+            .unionAll(labels.select("v", "l"))
+            .groupBy("v")
+            .agg(F.min("l").alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            propagated.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .limit(1)
+            .count()
+        )
+        labels = propagated
+        if changed == 0:
+            break
+    w = W.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .orderBy("doc_id")
+    )

@@ -390,3 +390,36 @@ def test_ivf_training_beats_seed_on_clustered_data(spark, tmp_path):
     trained = train_ivf_centroids(spark, d)
     tr_rec = recall(_ivf_probe_topk(n, _ranked_cells(n, trained)))
     assert tr_rec > seed_rec + 0.2, f"trained {tr_rec} vs seed {seed_rec}"
+
+
+def test_connected_components_collapse_planted_chain(spark, tmp_path):
+    """A near-dup CHAIN (A~B, B~C, A·C more distant) must land in ONE
+    cluster labeled by the min doc id — transitivity that pairwise
+    output alone can't express."""
+    import random as _random
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+
+    rng = _random.Random(3)
+    base = [rng.choice(WORDS) for _ in range(80)]
+    b = list(base)
+    b[5] = "zzz1"
+    c = list(b)
+    c[50] = "zzz2"
+    docs = [(10, " ".join(base)), (11, " ".join(b)), (12, " ".join(c))]
+    # unrelated docs so the corpus isn't only the chain
+    docs += [(i, " ".join(rng.choice(WORDS) for _ in range(60))) for i in range(20, 30)]
+    rows = [(i, t, "en", "synth", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_connected_components(spark, str(tmp_path)).collect()
+    }
+    assert out[10] == (10, 3)
+    assert out[11] == (10, 3)
+    assert out[12] == (10, 3)
