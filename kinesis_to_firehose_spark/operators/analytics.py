@@ -1563,3 +1563,109 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# funnel_analysis — ordered conversion funnel click → purchase: a
+# user converts when their first purchase follows their first click.
+# One shuffle to the user grain (conditional min aggregates), then a
+# single-row summary — the per-user table never leaves the executors.
+# --------------------------------------------------------------------------
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicked,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       ROUND(SUM(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
+                      THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END), 6)
+         AS conversion_rate
+FROM per_user
+"""
+
+
+@register("funnel_analysis", FUNNEL_SQL)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    clicked = F.col("first_click").isNotNull()
+    converted = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("n_clicked"),
+        F.sum(F.when(converted, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.round(
+            F.sum(F.when(converted, 1).otherwise(0))
+            * 1.0
+            / F.sum(F.when(clicked, 1).otherwise(0)),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort_retention — weekly acquisition cohorts × activity offset:
+# users grouped by first-seen week, counted at each later week they
+# were active. Two shuffles (first-seen per user, then the
+# cohort×offset count over DISTINCT user-weeks); cohort tables are
+# minutes-of-weeks small no matter the corpus.
+# --------------------------------------------------------------------------
+COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+              AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("cohort_retention", COHORT_SQL)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
