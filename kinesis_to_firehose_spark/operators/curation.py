@@ -373,21 +373,21 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _exploded_tokens(spark, sf_dir).select(
         "doc_id", (F.col("pos") + 1).alias("pos"), F.col("tok").alias("term")
     )
-    vocab = (
+    # Distributed top-k FIRST (orderBy+limit = TakeOrdered, a partial
+    # per-partition top-k merged on the driver-side of the job — never
+    # a single-partition sort of the full term table), THEN the global
+    # rank window runs over only VOCAB_K rows.
+    top_terms = (
         toks.groupBy("term")
         .agg(F.count("*").alias("tf"))
-        .select(
-            "term",
-            (
-                F.row_number().over(
-                    W.orderBy(F.desc("tf"), "term")
-                )
-                - 1
-            )
-            .cast("bigint")
-            .alias("token_id"),
-        )
-        .filter(F.col("token_id") < VOCAB_K)
+        .orderBy(F.desc("tf"), "term")
+        .limit(VOCAB_K)
+    )
+    vocab = top_terms.select(
+        "term",
+        (F.row_number().over(W.orderBy(F.desc("tf"), "term")) - 1)
+        .cast("bigint")
+        .alias("token_id"),
     )
     return (
         toks.join(F.broadcast(vocab), "term", "left")
