@@ -461,3 +461,142 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offset_in_pack"
         ),
     ).orderBy("lang", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# tfidf_top_terms — per-document top-3 terms by tf·idf (the classic
+# keyword extractor). Term counts per doc and document frequencies
+# come from the SAME exploded pass; idf joins back by term (DF table ≪
+# corpus, broadcast); top-3 is a per-doc window over that doc's own
+# terms — never a global sort. ln() on both engines; tfidf rounded to
+# 6 dp before ranking so the rank ties break identically.
+# --------------------------------------------------------------------------
+TFIDF_TOP = 3
+
+TFIDF_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n_docs n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TFIDF_TOP}
+ORDER BY doc_id, rk
+"""
+
+
+@register("tfidf_top_terms", TFIDF_SQL)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exploded_tokens(spark, sf_dir).select("doc_id", F.col("tok").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, "documents", sf_dir).agg(
+        F.count("*").alias("n")
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TFIDF_TOP)
+        .orderBy("doc_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# source_quality_report — the per-crawl dashboard: for each `source`,
+# corpus share, mean quality score, mean token count, and exact-dup
+# rate. All four signals re-use the verified component expressions;
+# one narrow pass + one groupBy on source (a handful of groups no
+# matter the corpus size).
+# --------------------------------------------------------------------------
+SOURCE_REPORT_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         LEAST(1.0, len(string_split_regex(lower(trim(text)), '\s+')) / 200.0) * 0.5
+         + (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x IN ('the', 'and', 'of', 'to', 'in', 'a', 'is', 'it'))) * 1.0
+            / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.3
+         + (1 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)) * 0.2
+           AS q,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(q), 4) AS avg_quality,
+       ROUND(AVG(n_tokens), 2) AS avg_tokens,
+       ROUND(SUM(is_dup) * 1.0 / COUNT(*), 4) AS dup_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("source_quality_report", SOURCE_REPORT_SQL)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.operators.textops import (
+        STOPWORDS,
+        _hits,
+        _tokens,
+    )
+
+    d = load(spark, "documents", sf_dir)
+    n_tokens = F.size(_tokens())
+    q = (
+        F.least(F.lit(1.0), n_tokens / 200.0) * 0.5
+        + (_hits(STOPWORDS) / n_tokens) * 0.3
+        + (1 - F.regexp_count("text", F.lit("[^A-Za-z0-9\\s]")) / F.length("text"))
+        * 0.2
+    )
+    is_dup = F.when(
+        F.row_number().over(
+            W.partitionBy(F.md5(F.expr(NORM_EXPR))).orderBy("doc_id")
+        )
+        > 1,
+        1,
+    ).otherwise(0)
+    per_doc = d.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        q.alias("q"),
+        is_dup.alias("is_dup"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.sum("is_dup") * 1.0 / F.count("*"), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
