@@ -143,6 +143,39 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_no_accidental_cartesian_or_nested_loop(spark):
+    """Sweep EVERY registered batch op's physical plan: a
+    CartesianProduct or BroadcastNestedLoopJoin is only legal where a
+    deliberately tiny side is crossed in (ANN query/centroid fan-outs,
+    1-row scalar aggregates). Anything else is an accidental
+    scale-killer and fails here."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    DELIBERATE = {
+        # tiny broadcast cross joins by design:
+        "ann_bruteforce_topk",   # 5 query vectors × candidates
+        "ann_ivf_topk",          # centroid list × vectors
+        "ann_ivf_trained_topk",  # same, trained centroids
+        "ann_lsh_topk",          # query-side fan-out
+        "dedup_embedding",       # block-id grid
+        "dedup_embedding_lsh",   # bucketed variant of the same kernel
+        "q15_top_supplier",      # 1-row MAX(total_revenue)
+        "q22_dormant_customers", # 1-row AVG(c_acctbal)
+        "tfidf_top_terms",       # 1-row corpus doc count
+        "value_outliers",        # per-type moments (≤5 rows)
+        "embedding_quantize",    # per-vector scale cross
+    }
+    STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
+    bad = []
+    for name, op in sorted(OPS.items()):
+        if name in DELIBERATE or name in STREAMING:
+            continue
+        plan = physical_plan(op.fn(spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"accidental cartesian/NL joins in: {bad}"
+
+
 def test_aqe_splits_skewed_join(spark):
     """§6 skew posture: a hot key (90% of the fact side) must trigger
     AQE's skew-join split instead of pinning one task."""
