@@ -600,3 +600,49 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# quality_adaptive_gate — adaptive per-language curation threshold:
+# keep a doc when its fused quality score is at or above its
+# LANGUAGE'S p25 (fixed global thresholds mis-gate whole languages
+# whose score distributions sit lower). The per-lang quantile is a
+# tiny aggregate (one row per language) broadcast back into a narrow
+# filter — the quantile-threshold-join pattern.
+# --------------------------------------------------------------------------
+GATE_QUANTILE = 0.25
+
+ADAPTIVE_GATE_SQL = rf"""
+WITH scored AS (
+  SELECT d.doc_id, d.lang, f.fused_score
+  FROM documents d
+  JOIN ({FUSED_SQL.replace("ORDER BY q.doc_id", "")}) f ON d.doc_id = f.doc_id
+),
+thresholds AS (
+  SELECT lang,
+         ROUND(quantile_cont(fused_score, {GATE_QUANTILE}), 4) AS tau
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.fused_score, t.tau
+FROM scored s JOIN thresholds t USING (lang)
+WHERE s.fused_score >= t.tau
+ORDER BY s.doc_id
+"""
+
+
+@register("quality_adaptive_gate", ADAPTIVE_GATE_SQL)
+def quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = quality_fused(spark, sf_dir).select("doc_id", "fused_score")
+    d = load(spark, "documents", sf_dir).select("doc_id", "lang")
+    scored = d.join(scored, "doc_id")
+    thresholds = scored.groupBy("lang").agg(
+        F.round(
+            F.expr(f"percentile(fused_score, {GATE_QUANTILE})"), 4
+        ).alias("tau")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("fused_score") >= F.col("tau"))
+        .select("doc_id", "lang", "fused_score", "tau")
+        .orderBy("doc_id")
+    )
