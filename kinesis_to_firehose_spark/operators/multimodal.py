@@ -202,3 +202,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out arithmetic asserted in pytest)."""
     videos = synthetic_media(spark, sf_dir).filter(F.col("kind") == "video")
     return sample_frames(media_repartition_by_bytes(videos))
+
+
+# --------------------------------------------------------------------------
+# mm_ann_search — the media pipeline closed end-to-end: blob →
+# mapInPandas feature extraction → feature vector → cosine top-k
+# against the rest of the media corpus (the "find similar images"
+# query). The search stage is the same broadcast-queries + per-query
+# window shape as ann_bruteforce_topk; at scale the candidate side
+# switches to the LSH/IVF index ops — the feature-vector column is
+# what they consume. Rows-only: the stub codec is a Python kernel, so
+# no SQL oracle (determinism + shape pinned in pytest).
+# --------------------------------------------------------------------------
+MM_N_QUERIES = 3
+MM_TOP_K = 5
+
+
+@register("mm_ann_search", None)
+def mm_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    feats = decode_features(synthetic_media(spark, sf_dir))
+    emb = feats.select(
+        "media_id",
+        "kind",
+        F.array(*[F.col(f"f{i}") for i in range(FEATURE_DIM)]).alias("emb"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                "emb",
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        ),
+    )
+    q = emb.filter(F.col("media_id") < MM_N_QUERIES).select(
+        F.col("media_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = emb.filter(F.col("media_id") >= MM_N_QUERIES).select(
+        F.col("media_id").alias("candidate_id"),
+        F.col("kind").alias("candidate_kind"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    ) / (F.col("q_nrm") * F.col("c_nrm"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "candidate_id",
+        "candidate_kind",
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= MM_TOP_K)
+        .orderBy("query_id", "rk")
+    )

@@ -80,3 +80,28 @@ def test_frame_sample_fanout_and_determinism(spark):
     a = {(r["media_id"], r["frame_ts_ms"]): r["f0"] for r in frames.collect()}
     b = {(r["media_id"], r["frame_ts_ms"]): r["f0"] for r in mm_frame_sample(spark, sf).collect()}
     assert a == b
+
+
+def test_mm_ann_search_shape_and_determinism(spark):
+    """media → stub features → cosine top-k: deterministic across
+    runs, exactly MM_TOP_K ranked hits per query, correctly ordered."""
+    from kinesis_to_firehose_spark.operators.multimodal import (
+        MM_N_QUERIES,
+        MM_TOP_K,
+        mm_ann_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in mm_ann_search(spark, sf).collect()]
+    b = [tuple(r) for r in mm_ann_search(spark, sf).collect()]
+    assert a == b
+    assert len(a) == MM_N_QUERIES * MM_TOP_K
+    by_q: dict = {}
+    for r in mm_ann_search(spark, sf).collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+            range(1, MM_TOP_K + 1)
+        )
