@@ -164,6 +164,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "tfidf_top_terms",       # 1-row corpus doc count
         "value_outliers",        # per-type moments (≤5 rows)
         "embedding_quantize",    # per-vector scale cross
+        "mm_ann_search",         # 3 media query vectors × candidates
     }
     STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
     bad = []
