@@ -38,7 +38,11 @@ def decode_enhance(events: DataFrame) -> DataFrame:
         F.col("event_type"),
         F.col("value"),
         F.col("props").alias("rawlog"),
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a
+        # single non-numeric payload field would fail the whole job;
+        # the reference fails per record (ProcessMessage error), so a
+        # bad field must degrade to NULL for that record only.
+        F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
         F.lit(DEPLOY_ENV).alias("env"),
         F.concat(F.lit("ip-10-0-0-"), F.col("user_id").cast("string")).alias(
             "hostname"

@@ -354,19 +354,28 @@ def decode_syslog_kayvee(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("}"),
     )
     lines = e.select("event_id", line.alias("rawline"))
+    return parse_syslog_lines(lines)
+
+
+def parse_syslog_lines(lines: DataFrame) -> DataFrame:
+    """Regex-parse (event_id, rawline) rows. try_cast everywhere a
+    capture feeds a numeric column: an unparseable line yields an
+    empty capture, and under ANSI mode (Spark 4 default) a plain cast
+    of '' would fail the whole job instead of that record — the
+    reference errors per record (ParseAndEnhance), never per batch."""
     rx = _SYSLOG_RE
-    pri = F.regexp_extract("rawline", rx, 1).cast("bigint")
+    pri = F.regexp_extract("rawline", rx, 1).try_cast("bigint")
     payload = F.regexp_extract("rawline", rx, 7)
     return lines.select(
         "event_id",
         pri.alias("pri"),
-        (pri / 8).cast("bigint").alias("facility"),
+        (pri / 8).try_cast("bigint").alias("facility"),
         (pri % 8).alias("severity"),
         F.regexp_extract("rawline", rx, 2).alias("ts_str"),
         F.regexp_extract("rawline", rx, 3).alias("hostname"),
         F.regexp_extract("rawline", rx, 4).alias("env"),
         F.regexp_extract("rawline", rx, 5).alias("container_app"),
-        F.regexp_extract("rawline", rx, 6).cast("bigint").alias("pid"),
-        F.get_json_object(payload, "$.k").cast("int").alias("payload_k"),
+        F.regexp_extract("rawline", rx, 6).try_cast("bigint").alias("pid"),
+        F.get_json_object(payload, "$.k").try_cast("int").alias("payload_k"),
         F.get_json_object(payload, "$.title").alias("payload_title"),
     )

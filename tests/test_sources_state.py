@@ -105,3 +105,51 @@ def test_compact_table_hits_target_file_count(spark, tmp_path):
     assert spark.read.parquet(dst).count() == events.count()
     n_src_files = len([f for f in os.listdir(src) if f.startswith("part-")])
     assert n_out < n_src_files
+
+
+def test_decode_enhance_survives_malformed_props(spark):
+    """Malformed kayvee payloads must not kill the pipeline: the
+    record survives with rawlog intact and a NULL parsed field (the
+    dead-letter routing decision stays with the caller, as in the
+    reference where ProcessMessage returns an error per record)."""
+    from datetime import datetime
+
+    from kinesis_to_firehose_spark.functions.decode import decode_enhance
+
+    rows = [
+        (1, datetime(2000, 1, 1), 7, "click", 1.0, '{"k": 3}'),
+        (2, datetime(2000, 1, 1), 7, "click", 1.0, "not json at all"),
+        (3, datetime(2000, 1, 1), 7, "click", 1.0, ""),
+        (4, datetime(2000, 1, 1), 7, "click", 1.0, None),
+        (5, datetime(2000, 1, 1), 7, "click", 1.0, '{"k": "str-not-int"}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r for r in decode_enhance(df).collect()}
+    assert len(out) == 5  # nothing dropped, nothing thrown
+    assert out[1]["prop_k"] == 3
+    for eid in (2, 3, 4, 5):
+        assert out[eid]["prop_k"] is None
+    assert out[2]["rawlog"] == "not json at all"  # original preserved
+
+
+def test_syslog_parse_survives_garbage_lines(spark):
+    """An unparseable syslog line must degrade to NULL fields for that
+    record only — not abort the batch under ANSI mode."""
+    from kinesis_to_firehose_spark.operators.logpipe import parse_syslog_lines
+
+    rows = [
+        (1, "<14>2000-01-01T00:00:00.000000Z ip-10-0-0-7 "
+            'production--click[1007]: {"title":"click","k":3}'),
+        (2, "complete garbage, no syslog shape"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, rawline string")
+    out = {r["event_id"]: r for r in parse_syslog_lines(df).collect()}
+    assert len(out) == 3
+    assert out[1]["pri"] == 14 and out[1]["payload_k"] == 3
+    assert out[2]["pri"] is None and out[2]["payload_k"] is None
+    assert out[3]["pri"] is None
