@@ -1669,3 +1669,37 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# latest_per_key — CDC/upsert compaction: keep each user's most recent
+# event (the "current state" view over an append-only change stream).
+# One window shuffle on the key; ties broken by event_id so the result
+# is deterministic under concurrent timestamps.
+# --------------------------------------------------------------------------
+LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type, ROUND(value, 2) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rk
+  FROM events
+)
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@register("latest_per_key", LATEST_SQL)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", "event_id", "ts", "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id")
+    )

@@ -153,3 +153,42 @@ def test_syslog_parse_survives_garbage_lines(spark):
     assert out[1]["pri"] == 14 and out[1]["payload_k"] == 3
     assert out[2]["pri"] is None and out[2]["payload_k"] is None
     assert out[3]["pri"] is None
+
+
+def test_jsonl_read_captures_corrupt_records(spark, tmp_path):
+    """PERMISSIVE ingestion: a malformed JSONL line must land in the
+    _corrupt_record column — visible and dead-letterable — while good
+    lines parse normally. (The silent alternative, DROPMALFORMED,
+    loses data; FAILFAST kills the batch.)"""
+    import os
+
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"event_id": 1, "event_type": "click"}\n')
+        f.write("this is not json\n")
+        f.write('{"event_id": 2, "event_type": "view"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+        .cache()  # required: corrupt-record column + raw-line queries
+    )
+    try:
+        assert df.count() == 3
+        good = df.filter(df._corrupt_record.isNull())
+        bad = df.filter(df._corrupt_record.isNotNull())
+        assert {r["event_id"] for r in good.collect()} == {1, 2}
+        assert bad.count() == 1
+        assert "not json" in bad.collect()[0]["_corrupt_record"]
+    finally:
+        df.unpersist()
