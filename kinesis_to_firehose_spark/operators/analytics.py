@@ -1703,3 +1703,369 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q2_min_cost_supplier (TPC-H Q2 adapted: the schema has no partsupp,
+# so supply cost is derived as MIN(l_extendedprice / l_quantity) per
+# (part, supplier) observed in lineitem). Correlated min-cost subquery
+# becomes a groupBy(partkey).min + equi-join back — no window over the
+# fact table, and the per-part minimum is a map-side-combinable agg.
+# --------------------------------------------------------------------------
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+), eur AS (
+  SELECT partkey, suppkey, unit_cost, s_acctbal, s_name, n_name
+  FROM cost
+  JOIN supplier ON s_suppkey = suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), best AS (
+  SELECT partkey AS b_partkey, MIN(unit_cost) AS min_cost
+  FROM eur GROUP BY partkey
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       p_partkey, p_brand, ROUND(unit_cost, 2) AS unit_cost
+FROM eur
+JOIN best ON partkey = b_partkey AND unit_cost = min_cost
+JOIN part ON p_partkey = partkey
+WHERE p_size = 15 AND p_type = 'ECONOMY'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = F.broadcast(load(spark, "nation", sf_dir))
+    r = F.broadcast(load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE"))
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur = (
+        cost.join(s, F.col("s_suppkey") == F.col("suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("partkey", "suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    best = eur.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eur.join(
+            best,
+            (F.col("partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(p, F.col("p_partkey") == F.col("partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q9_profit_by_nation_year (TPC-H Q9 adapted: no ps_supplycost, so the
+# cost side of profit is proxied by 0.6 * p_retailprice * l_quantity).
+# Star join over part-filtered lineitem, one shuffle to the
+# (nation, year) grain.
+# --------------------------------------------------------------------------
+Q9_SQL = """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%green%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_profit_by_nation_year", Q9_SQL)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%green%"))
+    s = load(spark, "supplier", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    n = F.broadcast(load(spark, "nation", sf_dir))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_r(F.sum("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q11_important_parts (TPC-H Q11 adapted: part "value" held by one
+# nation's suppliers = SUM(l_extendedprice * l_quantity) over their
+# lineitems; keep parts above 0.1% of the nation total). The scalar
+# threshold is a 1-row aggregate broadcast into the filter — no second
+# scan of the grouped data.
+# --------------------------------------------------------------------------
+Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(l_extendedprice * l_quantity) AS raw_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT partkey, ROUND(raw_value, 2) AS value
+FROM val
+WHERE ROUND(raw_value, 2) > ROUND(
+        (SELECT SUM(raw_value) FROM val) * 0.001, 2)
+ORDER BY value DESC, partkey
+"""
+
+
+@register("q11_important_parts", Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = F.broadcast(
+        load(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    )
+    val = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value")
+        )
+    )
+    threshold = val.agg(
+        F.round(F.sum("raw_value") * 0.001, 2).alias("threshold")
+    )
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.round(F.col("raw_value"), 2) > F.col("threshold"))
+        .select("partkey", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16_supplier_part_counts (TPC-H Q16 adapted: the part-supplier
+# relation is DISTINCT (l_partkey, l_suppkey) from lineitem; "customer
+# complaints" suppliers are those with negative balance, removed by an
+# anti join). countDistinct over the deduped pair relation.
+# --------------------------------------------------------------------------
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem) ps
+JOIN part ON p_partkey = partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+  AND suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_part_counts", Q16_SQL)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49)
+    )
+    bad = load(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0.0)
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    return (
+        ps.join(bad, F.col("suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("suppkey")).cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20_promotion_candidates (TPC-H Q20 adapted: "availqty" is the
+# 1997 shipped quantity per (part, supplier); a supplier qualifies if,
+# for some red part, they shipped more than half that part's 1997
+# total). Nested EXISTS becomes groupBy + ratio filter + semi join.
+# --------------------------------------------------------------------------
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+), part_total AS (
+  SELECT partkey AS t_partkey, SUM(qty) AS total_qty
+  FROM shipped GROUP BY partkey
+), qualifying AS (
+  SELECT DISTINCT suppkey
+  FROM shipped
+  JOIN part_total ON partkey = t_partkey
+  JOIN part ON p_partkey = partkey
+  WHERE p_name LIKE 'red%' AND qty > 0.5 * total_qty
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT suppkey FROM qualifying)
+ORDER BY s_name
+"""
+
+
+@register("q20_promotion_candidates", Q20_SQL)
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("red%"))
+    s = load(spark, "supplier", sf_dir)
+    n = F.broadcast(
+        load(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_1")
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    part_total = shipped.groupBy(F.col("partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    qualifying = (
+        shipped.join(part_total, F.col("partkey") == F.col("t_partkey"))
+        .join(p, F.col("p_partkey") == F.col("partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21_waiting_suppliers (TPC-H Q21 adapted: the schema has no
+# commit/receipt dates, so "late" = shipped more than 60 days after
+# the order date, on finalized orders). The EXISTS becomes a left semi
+# join (another supplier on the order) and the NOT EXISTS a left anti
+# join (no OTHER supplier was also late) — both hash equi-joins on
+# orderkey with a suppkey-inequality residual, never a cartesian.
+# --------------------------------------------------------------------------
+Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_suppliers", Q21_SQL)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    s = load(spark, "supplier", sf_dir)
+    n = F.broadcast(
+        load(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_2")
+    )
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = (
+        late.alias("l1")
+        .join(s, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l1.l_orderkey").alias("okey"),
+                F.col("l1.l_suppkey").alias("skey"), "s_name")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_okey"), F.col("l_suppkey").alias("o2_skey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_okey"), F.col("l_suppkey").alias("o3_skey")
+    )
+    return (
+        l1.join(
+            other,
+            (F.col("okey") == F.col("o2_okey")) & (F.col("skey") != F.col("o2_skey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("okey") == F.col("o3_okey")) & (F.col("skey") != F.col("o3_skey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
