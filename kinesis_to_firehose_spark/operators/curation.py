@@ -646,3 +646,49 @@ def quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "fused_score", "tau")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# split_train_val_test — deterministic 90/5/5 corpus split by md5 of
+# the doc id (engine-portable, re-run-stable: a grown corpus never
+# moves a previously assigned doc between splits). Output is the
+# per-split manifest summary; the assignment expression itself is a
+# narrow map suitable for a partitioned writer. Pure map + one tiny
+# aggregate — no shuffle of the corpus itself.
+# --------------------------------------------------------------------------
+SPLIT_SQL = """
+SELECT CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS b,
+         n_chars
+  FROM documents
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("split_train_val_test", SPLIT_SQL)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+        "AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -1,0 +1,193 @@
+"""Time-series operators over ``events`` (SURVEY.md §2.2 extension):
+gap-filled resampling, winsorization, and equi-depth histograms.
+
+Design notes (100 TB posture):
+- ``resample_gapfill`` generates each key's calendar grid with
+  ``sequence()`` + ``explode`` — the grid is born distributed, sized
+  by that key's own span, and never leaves the key's partition; the
+  forward fill is one window over (user, day), i.e. the same shuffle
+  the daily aggregate already paid. No driver-side calendars.
+- ``value_winsorize`` / ``equidepth_histogram`` reduce the fact table
+  to a tiny exact-percentile aggregate (one row, or one per group)
+  that is broadcast back — never a global sort and never NTILE over a
+  single partition, which is the classic equi-depth scale trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesis_to_firehose_spark.registry import register
+from kinesis_to_firehose_spark.sources.tables import load
+
+# --------------------------------------------------------------------------
+# resample_gapfill — hypertable-style resample: daily grid per user
+# between that user's first and last active day, day-value = rounded
+# daily sum, gaps forward-filled from the last observed day. The
+# rounding happens BEFORE the fill so both engines propagate an
+# identical double.
+# --------------------------------------------------------------------------
+RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         ROUND(SUM(value), 2) AS day_value
+  FROM events
+  GROUP BY user_id, date_trunc('day', ts)
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+  FROM daily
+  GROUP BY user_id
+)
+SELECT g.user_id, g.day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value,
+       CAST(d.day_value IS NULL AS BOOLEAN) AS is_gap
+FROM grid g
+LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+ORDER BY g.user_id, g.day
+"""
+
+
+@register("resample_gapfill", RESAMPLE_SQL)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(
+            F.sequence(
+                F.min("day"), F.max("day"), F.expr("INTERVAL 1 DAY")
+            ).alias("days")
+        )
+        .select("user_id", F.explode("days").alias("day"))
+    )
+    joined = grid.alias("g").join(
+        daily.alias("d"),
+        (F.col("g.user_id") == F.col("d.user_id"))
+        & (F.col("g.day") == F.col("d.day")),
+        "left",
+    )
+    w = (
+        W.partitionBy("g.user_id")
+        .orderBy("g.day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.select(
+            F.col("g.user_id").alias("user_id"),
+            F.col("g.day").alias("day"),
+            F.last("d.day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("d.day_value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# value_winsorize — robust-mean preprocessing: clip value to the
+# [p05, p95] of its event_type, report raw vs winsorized mean and the
+# clipped-row count. Exact percentiles: Spark `percentile` ==
+# DuckDB `quantile_cont` (same linear interpolation).
+# --------------------------------------------------------------------------
+WINSORIZE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(AVG(e.value), 4) AS avg_raw,
+       ROUND(AVG(LEAST(GREATEST(e.value, q.lo), q.hi)), 4) AS avg_winsorized,
+       CAST(SUM(CASE WHEN e.value < q.lo OR e.value > q.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events e
+JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("value_winsorize", WINSORIZE_SQL)
+def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    q = e.groupBy(F.col("event_type").alias("q_type")).agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(q), F.col("event_type") == F.col("q_type"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_raw"),
+            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# equidepth_histogram — 10 equal-population bins over `value` WITHOUT
+# a global sort: exact decile edges come from one tiny percentile
+# aggregate (broadcast back), and bin assignment is a narrow
+# comparison map. NTILE over a single partition — the naive plan —
+# would serialize the whole table through one task at 100 TB.
+# --------------------------------------------------------------------------
+_EDGE_PS = [i / 10 for i in range(1, 10)]  # 0.1 .. 0.9
+
+EQUIDEPTH_SQL = f"""
+WITH edges AS (
+  SELECT {', '.join(f'quantile_cont(value, {p}) AS e{i}'
+                    for i, p in enumerate(_EDGE_PS, 1))}
+  FROM events
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+FROM (
+  SELECT value,
+         1 {' '.join(f'+ CASE WHEN value > e{i} THEN 1 ELSE 0 END'
+                     for i in range(1, 10))} AS bin
+  FROM events, edges
+)
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("equidepth_histogram", EQUIDEPTH_SQL)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    edges = e.agg(
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"e{i}")
+            for i, p in enumerate(_EDGE_PS, 1)
+        ]
+    )
+    bin_col = F.lit(1)
+    for i in range(1, 10):
+        bin_col = bin_col + (F.col("value") > F.col(f"e{i}")).cast("int")
+    return (
+        e.join(F.broadcast(edges))
+        .select("value", bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bin")
+    )

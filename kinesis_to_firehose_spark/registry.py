@@ -54,6 +54,7 @@ def all_ops() -> dict[str, Op]:
         similarity,
         streaming_ops,
         textops,
+        timeseries,
     )
 
     return dict(_REGISTRY)

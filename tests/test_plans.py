@@ -162,6 +162,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "q15_top_supplier",      # 1-row MAX(total_revenue)
         "q22_dormant_customers", # 1-row AVG(c_acctbal)
         "tfidf_top_terms",       # 1-row corpus doc count
+        "q11_important_parts",   # 1-row value threshold
+        "equidepth_histogram",   # 1-row decile-edge aggregate
         "value_outliers",        # per-type moments (≤5 rows)
         "embedding_quantize",    # per-vector scale cross
         "mm_ann_search",         # 3 media query vectors × candidates
