@@ -239,6 +239,7 @@ def train_ivf_centroids(
     sf_dir: str,
     n_centroids: int = N_CENTROIDS,
     iters: int = LLOYD_ITERS,
+    prenormed: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic-init Lloyd iterations as pure DataFrame ops.
 
@@ -252,7 +253,7 @@ def train_ivf_centroids(
     so each iteration's result is localCheckpointed to cut the lineage
     (otherwise iteration k replays all k-1 predecessors).
     """
-    n = normed_embeddings(spark, sf_dir)
+    n = prenormed if prenormed is not None else normed_embeddings(spark, sf_dir)
     cents = n.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
@@ -287,8 +288,14 @@ def train_ivf_centroids(
 
 @register("ann_ivf_trained_topk", None)
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = normed_embeddings(spark, sf_dir)
-    cents = train_ivf_centroids(spark, sf_dir)
+    # The interpreted-HOF norm column is reused twice per Lloyd
+    # iteration plus by the final probe; materialize it ONCE (eager
+    # localCheckpoint — no persist bookkeeping to leak) instead of
+    # recomputing it ~7×. IVF training always materializes its
+    # training set; at 100 TB this is the same spill-backed exchange
+    # any multi-pass trainer pays.
+    n = normed_embeddings(spark, sf_dir).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(spark, sf_dir, prenormed=n)
     return _ivf_probe_topk(n, _ranked_cells(n, cents))
 
 
