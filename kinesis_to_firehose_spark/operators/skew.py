@@ -83,3 +83,48 @@ def salted_join(
         salted_fact.join(replicated_dim, [key, "_salt"])
         .drop("_salt")
     )
+
+
+# --------------------------------------------------------------------------
+# salted_event_rollup — the skew path exercised end-to-end through the
+# correctness gate: per-event_type totals computed via the two-stage
+# salted aggregate (hot event types spread over 16 salts before the
+# final per-key combine). The salt is internal plumbing — the result
+# is bit-identical to a plain GROUP BY, which is exactly what the
+# DuckDB oracle states. SUMs are rounded at the edge because the salt
+# stage changes accumulation order.
+# --------------------------------------------------------------------------
+from pyspark.sql import SparkSession
+
+from kinesis_to_firehose_spark.registry import register
+from kinesis_to_firehose_spark.sources.tables import load
+
+SALTED_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("salted_event_rollup", SALTED_ROLLUP_SQL)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    out = salted_agg(
+        e,
+        "event_type",
+        {
+            "n_events": (F.count("*"), "sum"),
+            "total_value": (F.sum("value"), "sum"),
+            "max_value": (F.max("value"), "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_type")

@@ -52,6 +52,7 @@ def all_ops() -> dict[str, Op]:
         logpipe,
         multimodal,
         similarity,
+        skew,
         streaming_ops,
         textops,
         timeseries,
