@@ -210,3 +210,30 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_q21_semi_anti_are_hash_joins(spark):
+    """The EXISTS / NOT EXISTS with suppkey-inequality residuals must
+    compile to semi/anti HASH joins on orderkey — never a nested-loop
+    over the fact table."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    plan = physical_plan(OPS["q21_waiting_suppliers"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_windows_are_partitioned(spark):
+    """Forward fill must run per-key: an empty Window partition spec
+    (the classic move-everything-to-one-task trap) is a bug."""
+    import re
+
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    plan = physical_plan(OPS["resample_gapfill"].fn(spark, SF))
+    windows = re.findall(r"Window(?:GroupLimit)? \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert windows, "expected a Window node in the resample plan"
+    for partition_spec in windows:
+        assert partition_spec.strip(), "unpartitioned Window in plan"
