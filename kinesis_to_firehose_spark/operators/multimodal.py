@@ -123,9 +123,40 @@ def media_repartition_by_bytes(
     return sized.repartition(n_parts).drop("_bytes")
 
 
-@register("mm_binary_schema", None)
+# --------------------------------------------------------------------------
+# DuckDB oracles for the stub-codec ops. The fake codec is hash-seeded
+# (sha256 of the blob text), and DuckDB's sha256(VARCHAR) hashes the
+# same utf-8 bytes hashlib sees — so even the "Python kernel" ops are
+# fully SQL-checkable: the oracle recomputes byte k of the digest as
+# ('0x' || substr(hex, 2k+1, 2))::INT / 255.0, bit-identical doubles.
+# --------------------------------------------------------------------------
+_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def _feat_cols_sql(h: str) -> str:
+    return ", ".join(
+        f"('0x' || substr({h}, {2 * i + 1}, 2))::INT / 255.0 AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+
+
+MM_BINARY_SQL = f"""
+SELECT doc_id AS media_id,
+       {_KIND_SQL} AS kind,
+       'application/x-fake-' || {_KIND_SQL} AS mime,
+       CAST(n_chars % 640 AS INTEGER) AS width,
+       CAST(n_chars * 10 AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY media_id
+"""
+
+
+@register("mm_binary_schema", MM_BINARY_SQL)
 def mm_binary_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed media table: blob + metadata struct (rows-only check)."""
+    """Typed media table: blob + metadata struct."""
     m = synthetic_media(spark, sf_dir)
     # metadata-only projection must not deserialize the blob column
     return m.select(
@@ -135,10 +166,21 @@ def mm_binary_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_stub", None)
+MM_DECODE_SQL = f"""
+SELECT media_id, kind, 'application/x-fake-' || kind AS mime,
+       {_feat_cols_sql('h')}
+FROM (
+  SELECT doc_id AS media_id, {_KIND_SQL} AS kind, sha256(text) AS h
+  FROM documents
+)
+ORDER BY media_id
+"""
+
+
+@register("mm_decode_stub", MM_DECODE_SQL)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode/feature-extract over the media table (rows-only
-    check; kernel determinism asserted in pytest)."""
+    """Stubbed decode/feature-extract over the media table (kernel
+    determinism asserted in pytest; features hash-checked vs DuckDB)."""
     return decode_features(synthetic_media(spark, sf_dir))
 
 
@@ -154,10 +196,12 @@ FRAME_STRIDE_MS = 1000
 
 def _fake_frame(content: bytes, ts_ms: int) -> list[float]:
     """Deterministic stand-in for decode-at-timestamp: hash-seeded by
-    (content, timestamp). Replace with pyav frame seek on a cluster."""
+    (content, timestamp). Replace with pyav frame seek on a cluster.
+    The seed is `content|ts` as text (not packed bytes) so the DuckDB
+    oracle can state the identical hash with sha256(VARCHAR)."""
     import hashlib
 
-    h = hashlib.sha256(content + ts_ms.to_bytes(8, "big")).digest()
+    h = hashlib.sha256(content + b"|" + str(ts_ms).encode()).digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
@@ -196,10 +240,28 @@ def sample_frames(
     return media.mapInPandas(_sample, schema=out_schema)
 
 
-@register("mm_frame_sample", None)
+MM_FRAME_SQL = f"""
+SELECT media_id, frame_ts_ms, {_feat_cols_sql('h')}
+FROM (
+  SELECT media_id, frame_ts_ms,
+         sha256(text || '|' || CAST(frame_ts_ms AS VARCHAR)) AS h
+  FROM (
+    SELECT doc_id AS media_id, text,
+           unnest(generate_series(
+             0, GREATEST(CAST(n_chars * 10 AS BIGINT), 1) - 1,
+             {FRAME_STRIDE_MS})) AS frame_ts_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+  )
+)
+ORDER BY media_id, frame_ts_ms
+"""
+
+
+@register("mm_frame_sample", MM_FRAME_SQL)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample every video blob (rows-only check; determinism and
-    fan-out arithmetic asserted in pytest)."""
+    """Frame-sample every video blob (fan-out arithmetic also asserted
+    in pytest; per-frame features hash-checked vs DuckDB)."""
     videos = synthetic_media(spark, sf_dir).filter(F.col("kind") == "video")
     return sample_frames(media_repartition_by_bytes(videos))
 
@@ -211,14 +273,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query). The search stage is the same broadcast-queries + per-query
 # window shape as ann_bruteforce_topk; at scale the candidate side
 # switches to the LSH/IVF index ops — the feature-vector column is
-# what they consume. Rows-only: the stub codec is a Python kernel, so
-# no SQL oracle (determinism + shape pinned in pytest).
+# what they consume. Fully oracled: the stub codec is sha256-seeded,
+# and DuckDB restates the identical hash bytes and IEEE fold order
+# (MM_ANN_SQL below) — a Python kernel does not preclude a SQL twin.
 # --------------------------------------------------------------------------
 MM_N_QUERIES = 3
 MM_TOP_K = 5
 
 
-@register("mm_ann_search", None)
+_DOT_SQL = "0.0 + " + " + ".join(
+    f"q.f{i} * c.f{i}" for i in range(FEATURE_DIM)
+)  # left-assoc chain == the Spark aggregate() fold order
+_NRM_SQL = "sqrt(0.0 + " + " + ".join(
+    f"f{i} * f{i}" for i in range(FEATURE_DIM)
+) + ")"
+
+MM_ANN_SQL = f"""
+WITH emb AS (
+  SELECT media_id, kind, {_feat_cols_sql('h')}
+  FROM (
+    SELECT doc_id AS media_id, {_KIND_SQL} AS kind, sha256(text) AS h
+    FROM documents
+  )
+), normed AS (
+  SELECT *, {_NRM_SQL} AS nrm FROM emb
+), scored AS (
+  SELECT q.media_id AS query_id, c.media_id AS candidate_id,
+         c.kind AS candidate_kind,
+         ROUND(({_DOT_SQL}) / (q.nrm * c.nrm), 6) AS cosine
+  FROM normed q, normed c
+  WHERE q.media_id < {{nq}} AND c.media_id >= {{nq}}
+)
+SELECT query_id, candidate_id, candidate_kind, cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+       ) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {{k}}
+ORDER BY query_id, rk
+"""
+
+MM_ANN_SQL = MM_ANN_SQL.format(nq=MM_N_QUERIES, k=MM_TOP_K)
+
+
+@register("mm_ann_search", MM_ANN_SQL)
 def mm_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
