@@ -897,9 +897,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     band_keys = F.pandas_udf(_band_keys, "array<string>")
-    bands = e.select(
-        "vec_id", F.posexplode(band_keys("embedding")).alias("band_idx0", "band_key")
-    ).withColumn("band_idx", F.col("band_idx0") + 1)
+    bands = (
+        e.select(
+            "vec_id",
+            F.posexplode(band_keys("embedding")).alias("band_idx0", "band_key"),
+        )
+        .withColumn("band_idx", F.col("band_idx0") + 1)
+        # the self-join otherwise evaluates the Arrow projection kernel
+        # twice (no ReusedExchange across the join sides); the band
+        # table is (vec_id, band_idx, key) — tiny next to the vectors
+        .localCheckpoint(eager=True)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
