@@ -692,3 +692,61 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# curate_to_splits — the training-ready endpoint of the curation
+# chain: curated corpus (quality ∧ lang-agreement ∧ exact-dup
+# survivor) → deterministic 90/5/5 split → per-(split, lang) manifest
+# with document and token budgets. One plan end-to-end: Catalyst
+# shares the curation subplans, the split is a narrow md5 map, and the
+# manifest is a tiny two-key aggregate — the numbers a training run
+# needs to size its data loader, computed without materializing any
+# intermediate corpus.
+# --------------------------------------------------------------------------
+def _curate_body_sql() -> str:
+    from kinesis_to_firehose_spark.operators.textops import CURATE_SQL
+
+    return CURATE_SQL.replace("ORDER BY q.doc_id", "")
+
+
+def _splits_sql() -> str:
+    return f"""
+SELECT CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM (
+  SELECT lang, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS b
+  FROM ({_curate_body_sql()})
+)
+GROUP BY 1, lang
+ORDER BY 1, lang
+"""
+
+
+@register("curate_to_splits", _splits_sql())
+def curate_to_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.operators.textops import curate_corpus
+
+    kept = curate_corpus(spark, sf_dir)
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+        "AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
