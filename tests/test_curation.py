@@ -99,3 +99,21 @@ def test_tokenize_ids_match_vocab_ranking(spark):
         .collect()
     )
     assert [r["tok"] for r in joined] == [top_term]
+
+
+def test_curate_to_splits_reconciles_with_curate_corpus(spark):
+    """The split manifest must partition exactly the curated corpus:
+    doc counts and token sums reconcile, no split gains or loses a
+    document."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    ops = all_ops()
+    kept = ops["curate_corpus"].fn(spark, SF)
+    manifest = ops["curate_to_splits"].fn(spark, SF).collect()
+    total_docs = sum(r.n_docs for r in manifest)
+    total_tokens = sum(r.total_tokens for r in manifest)
+    agg = kept.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert total_docs == agg.n
+    assert total_tokens == agg.t
