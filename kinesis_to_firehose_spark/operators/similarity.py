@@ -223,15 +223,111 @@ def _ivf_probe_topk(n: DataFrame, ranked: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ann_ivf_trained_topk — IVF with Lloyd-trained centroids. Rows-only:
-# centroid means are floating-point sums whose accumulation order is
-# partition-dependent, so bit-exact cross-engine parity is not
-# guaranteed (the seed-centroid `ann_ivf_topk` remains the SQL-checked
-# path); training quality is asserted in pytest as recall vs brute
-# force beating the seed centroids.
+# ann_ivf_trained_topk — IVF with Lloyd-trained centroids, fully
+# oracle-able: centroid means use QUANTIZED INTEGER ACCUMULATION —
+# each member contributes round(e_d * 1e9) as a BIGINT, summed per
+# (cell, dim). Integer addition is associative/commutative, so the
+# distributed sum is independent of partition order (the reason the
+# old float-avg variant was rows-only), yet the aggregation stays a
+# single map-side-combined groupBy per iteration — no collect_list,
+# no driver round-trip, scale-identical to the avg plan. Mean =
+# sum::double / (count * 1e9): a 1e-9 centroid quantization no probe
+# can observe through the 6-dp score rounding. Exact .5 rounding ties
+# cannot occur (e*1e9 with float-mantissa e never lands on a binary
+# .5), so Spark HALF_UP and DuckDB round() agree on every input. The
+# DuckDB oracle unrolls the LLOYD_ITERS iterations as chained CTEs
+# with the same fold orders → bit-exact parity.
 # --------------------------------------------------------------------------
 EMB_DIM = 64
 LLOYD_ITERS = 3
+_Q = 1_000_000_000  # centroid accumulation quantum (1e-9)
+
+
+def _trained_ivf_sql(iters: int = LLOYD_ITERS) -> str:
+    """DuckDB restatement of train_ivf_centroids + the probe tail."""
+
+    def cos(emb: str, nrm: str) -> str:
+        return f"ROUND(({dot_expr('v.embedding', emb, 'duck')} / (v.nrm * {nrm})), 6)"
+
+    mean_terms = ", ".join(
+        f"CAST(SUM(CAST(ROUND(v.embedding[{d + 1}]::DOUBLE * {_Q}.0) AS BIGINT)) AS DOUBLE)"
+        f" / (COUNT(*) * {_Q}.0)"
+        for d in range(EMB_DIM)
+    )
+    parts = [
+        f"""{NORMED_CTE},
+cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm
+  FROM normed WHERE vec_id < {N_CENTROIDS}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cents{it - 1}"
+        parts.append(
+            f"""assign{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos('c.c_emb', 'c.c_nrm')} DESC, c.centroid_id
+           ) AS rk
+    FROM normed v, {prev} c
+  ) WHERE rk = 1
+),
+sums{it} AS (
+  SELECT a.cell AS centroid_id, list_value({mean_terms}) AS m_emb
+  FROM normed v JOIN assign{it} a ON v.vec_id = a.vec_id
+  GROUP BY a.cell
+),
+cents{it} AS (
+  SELECT p.centroid_id,
+         COALESCE(s.m_emb, p.c_emb) AS c_emb,
+         {norm_expr('COALESCE(s.m_emb, p.c_emb)', 'duck')} AS c_nrm
+  FROM {prev} p LEFT JOIN sums{it} s USING (centroid_id)
+)"""
+        )
+    tail = f"""ranked_cells AS (
+  SELECT v.vec_id, c.centroid_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cos('c.c_emb', 'c.c_nrm')} DESC, c.centroid_id
+         ) AS rk
+  FROM normed v, cents{iters} c
+),
+assignment AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id, cell FROM ranked_cells
+  WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+probe AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS candidate_id, qa.cell
+  FROM probes qa
+  JOIN assignment ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.candidate_id, p.cell,
+         ROUND({_COS_SQL}, 6) AS cosine
+  FROM probe p
+  JOIN normed q ON q.vec_id = p.query_id
+  JOIN normed c ON c.vec_id = p.candidate_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, candidate_id, cell, cosine, rk
+FROM ranked
+WHERE rk <= {IVF_TOP_K}
+ORDER BY query_id, rk"""
+    parts.append(tail)
+    return ",\n".join(parts)
+
+
+TRAINED_IVF_SQL = _trained_ivf_sql()
 
 
 def train_ivf_centroids(
@@ -246,9 +342,10 @@ def train_ivf_centroids(
     Init = the first n_centroids vectors by vec_id (same as the seed
     variant). Each iteration: assign every vector to its nearest
     centroid (narrow map over the broadcast centroid list) and
-    recompute each centroid as the per-dimension mean of its members —
-    ONE shuffle per iteration (the cell groupBy, map-side combined),
-    64 avg aggregates instead of an explode. Cells that lose all
+    recompute each centroid as the per-dimension QUANTIZED mean of its
+    members (sum of round(e*1e9) BIGINTs / (count*1e9) — order-free,
+    hence oracle-able) — ONE shuffle per iteration (the cell groupBy,
+    map-side combined), 64 sums instead of an explode. Cells that lose all
     members keep their previous centroid. The centroid set stays tiny,
     so each iteration's result is localCheckpointed to cut the lineage
     (otherwise iteration k replays all k-1 predecessors).
@@ -261,7 +358,11 @@ def train_ivf_centroids(
     )
     mean_dims = F.array(
         *[
-            F.avg(F.element_at("embedding", d + 1).cast("double"))
+            F.sum(
+                F.round(F.element_at("embedding", d + 1).cast("double") * _Q)
+                .cast("bigint")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * _Q)
             for d in range(EMB_DIM)
         ]
     )
@@ -286,7 +387,7 @@ def train_ivf_centroids(
     return cents
 
 
-@register("ann_ivf_trained_topk", None)
+@register("ann_ivf_trained_topk", TRAINED_IVF_SQL)
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The interpreted-HOF norm column is reused twice per Lloyd
     # iteration plus by the final probe; materialize it ONCE (eager
