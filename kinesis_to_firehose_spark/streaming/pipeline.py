@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kinesis_to_firehose_spark.functions.decode import decode_enhance, jsonl_line
 from kinesis_to_firehose_spark.streaming.firehose import firehose_foreach_batch
@@ -291,6 +292,81 @@ def dedup_stream(
     src = file_stream_source(spark, source_dir)
     return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+LATEST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def latest_per_key_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch `latest_per_key` compaction: maintain
+    each user's most recent event as custom state over a simulated CDC
+    feed, emitting a key only in micro-batches where its snapshot row
+    CHANGED — an upsert/changelog feed shaped for a key-value sink.
+
+    Upstream dropDuplicatesWithinWatermark absorbs at-least-once
+    redelivery (a replayed record compares equal, not newer, so it can
+    never flap the snapshot — but dropping it first keeps the state op
+    from re-emitting no-op updates). State is one fixed-width row per
+    live key — the minimal snapshot footprint; recency ties broken by
+    event_id, same total order as the batch op, so the final state
+    after draining the feed equals `latest_per_key` exactly."""
+    src = file_stream_source(spark, source_dir)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+    def _upsert(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = state.get if state.exists else None  # (ts_us, id, type, value)
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                ts_us = row.ts.value // 1_000
+                cand = (ts_us, int(row.event_id), row.event_type,
+                        float(row.value))
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        changed = best is not None and (
+            not state.exists or tuple(state.get) != best
+        )
+        if changed:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_id": [best[1]],
+                    "ts": [pd.Timestamp(best[0], unit="us")],
+                    "event_type": [best[2]],
+                    "value": [best[3]],
+                }
+            )
+
+    return deduped.groupBy(F.col("user_id")).applyInPandasWithState(
+        _upsert,
+        LATEST_OUTPUT_SCHEMA,
+        LATEST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -49,3 +49,23 @@ def test_approx_percentile_error_bounded(spark):
     for k in ex:
         assert abs(ap[k][0] - ex[k][0]) < 2.0, k
         assert abs(ap[k][1] - ex[k][1]) < 2.0, k
+
+
+def test_approx_distinct_error_bounded(spark):
+    """Sketch vs exact: per-group HLL++ distinct estimates must land
+    within 5x the configured rsd (0.01) of the exact counts."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    ops = all_ops()
+    sf = "/root/testdata/sf0.01"
+    ap = {
+        r["event_type"]: r["n_users_approx"]
+        for r in ops["approx_distinct"].fn(spark, sf).collect()
+    }
+    ex = {
+        r["event_type"]: r["n_users"]
+        for r in ops["distinct_count"].fn(spark, sf).collect()
+    }
+    assert set(ap) == set(ex)
+    for k in ex:
+        assert abs(ap[k] - ex[k]) <= max(5, 0.05 * ex[k]), (k, ap[k], ex[k])
