@@ -44,14 +44,23 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-        # (nanosAsLong). Truncate to micros — same as DuckDB's
-        # nanos→micros conversion — so oracle timestamps match.
         from pyspark.sql import functions as F
 
-        # Integer DIV, not float division: DuckDB truncates nanos and a
-        # double round-trip would round ...999ns up a whole microsecond.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # Older testdata stores ts as TIMESTAMP(NANOS); Spark reads
+            # it as long (nanosAsLong). Truncate to micros — same as
+            # DuckDB's nanos→micros conversion — so oracle timestamps
+            # match. Integer DIV, not float division: DuckDB truncates
+            # nanos and a double round-trip would round ...999ns up a
+            # whole microsecond.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer testdata is timestamp[us] without timezone; all
+            # downstream ops (and the session tz, pinned UTC) were
+            # written against TIMESTAMP_LTZ, so cast — a value no-op
+            # under UTC, and DuckDB's naive TIMESTAMP matches.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
