@@ -45,6 +45,35 @@ def read_table(
     return r.format(fmt).load(path)
 
 
+def read_table_evolved(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a table whose files were written under EVOLVING schemas
+    (columns added over time — the normal life of a 100 TB ingest
+    root). mergeSchema unions the per-file parquet/orc footers so old
+    files surface the new columns as NULL; per-file column pruning
+    still applies, so a projection that skips the new column never
+    reads any footer-missing file twice.
+
+    CSV/JSON have no footer schema to merge — callers pass an explicit
+    target schema through read_table for those."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(
+            f"schema merge needs a self-describing format, not {fmt!r}"
+        )
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename columns per `mapping` (old → new). A pure projection —
+    no shuffle, codegen-transparent — used for round-tripping data
+    between producers that disagree on column naming."""
+    missing = [c for c in mapping if c not in df.columns]
+    if missing:
+        raise ValueError(f"cannot rename absent columns: {missing}")
+    return df.withColumnsRenamed(mapping)
+
+
 def compact_table(
     spark: SparkSession,
     src_path: str,

@@ -316,7 +316,10 @@ LATEST_OUTPUT_SCHEMA = T.StructType(
 
 
 def latest_per_key_stream(
-    spark: SparkSession, source_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """Streaming twin of the batch `latest_per_key` compaction: maintain
     each user's most recent event as custom state over a simulated CDC
@@ -330,7 +333,7 @@ def latest_per_key_stream(
     live key — the minimal snapshot footprint; recency ties broken by
     event_id, same total order as the batch op, so the final state
     after draining the feed equals `latest_per_key` exactly."""
-    src = file_stream_source(spark, source_dir)
+    src = file_stream_source(spark, source_dir, max_files_per_trigger)
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

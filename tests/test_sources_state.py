@@ -45,6 +45,53 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan or "event_type" not in plan
 
 
+def test_schema_evolution_merge(spark, tmp_path):
+    """Files written under an older schema must read back alongside
+    newer files: added columns surface as NULL on old rows, and a
+    projection of only old columns is unaffected."""
+    from kinesis_to_firehose_spark.sources.io import read_table_evolved
+
+    path = str(tmp_path / "evolving")
+    v1 = load(spark, "events", SF).select("event_id", "user_id")
+    v1.write.mode("append").parquet(path)
+    v2 = load(spark, "events", SF).select(
+        "event_id", "user_id", F.col("value").alias("score")
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = read_table_evolved(spark, path)
+    assert set(merged.columns) == {"event_id", "user_id", "score"}
+    n = v1.count()
+    assert merged.count() == 2 * n
+    # old files surface the new column as NULL
+    assert merged.filter(F.col("score").isNull()).count() == n
+    # old-column projection reads both generations
+    assert merged.select("event_id").count() == 2 * n
+    with pytest.raises(ValueError):
+        read_table_evolved(spark, path, fmt="csv")
+
+
+def test_rename_round_trip(spark, tmp_path):
+    """Column-rename → write → read → rename-back round trip is
+    lossless, and renaming an absent column raises."""
+    from kinesis_to_firehose_spark.sources.io import rename_columns
+
+    src = load(spark, "events", SF).select("event_id", "user_id", "value")
+    renamed = rename_columns(src, {"event_id": "id", "value": "v"})
+    assert renamed.columns == ["id", "user_id", "v"]
+    path = str(tmp_path / "renamed")
+    write_table(renamed, path, "parquet")
+    back = rename_columns(
+        read_table(spark, path, "parquet"), {"id": "event_id", "v": "value"}
+    )
+    assert set(back.columns) == {"event_id", "user_id", "value"}
+    a = sorted(r["event_id"] for r in src.collect())
+    b = sorted(r["event_id"] for r in back.collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        rename_columns(src, {"nope": "x"})
+
+
 def test_rate_limited_counts_state_accumulates(spark, tmp_path):
     src_dir = str(tmp_path / "src")
     write_source_slice(spark, SF, src_dir, n_files=2)
