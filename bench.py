@@ -27,6 +27,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EXCLUDE: set[str] = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
 
 
+def host_speed_sentinel() -> float:
+    """Fixed, data-independent CPU workload (md5 over 48 MiB,
+    single-threaded) timed in seconds. Containers hosting these runs
+    differ in per-core speed round-to-round (observed: a uniform
+    ~1.8x drift across ALL 93 ops between two idle-machine runs);
+    dividing per-op ratios by the sentinel ratio separates real plan
+    regressions from host drift. Best of three, same rationale as the
+    per-op timing."""
+    import hashlib
+
+    buf = bytes(range(256)) * (48 * 1024 * 1024 // 256)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.md5(buf).hexdigest()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> None:
     spark = get_spark("kinesis-to-firehose-spark-bench")
     ops = {k: v for k, v in all_ops().items() if k not in EXCLUDE}
@@ -67,6 +87,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_sentinel_sec": host_speed_sentinel(),
             }
         )
     )

@@ -3,6 +3,14 @@
 BASELINE.md and prints one line per op with the ratio, flagging
 regressions above THRESHOLD.
 
+Containers hosting successive rounds differ in per-core speed
+(observed: a uniform ~1.8x drift across all 93 ops between two
+idle-machine runs). When both the bench JSON and BASELINE.md carry a
+`host_sentinel_sec` (bench.py's fixed md5 CPU workload), ratios are
+also reported normalized by the sentinel ratio, and regressions are
+flagged on the NORMALIZED ratio — separating real plan regressions
+from host drift.
+
 Usage:
     python regress.py BENCH_r02.json            # diff a driver bench
     python bench.py | python regress.py -       # diff a fresh run
@@ -19,27 +27,35 @@ import sys
 from pathlib import Path
 
 BASELINE = Path(__file__).resolve().parent / "BASELINE.md"
-THRESHOLD = 1.3  # flag ops slower than 1.3x baseline
+THRESHOLD = 1.3  # flag ops slower than 1.3x baseline (host-normalized)
 ROW_RE = re.compile(r"^\| (\w+) \| ([\d.]+|-) \| ([\d.]+|-) \|$")
+SENTINEL_RE = re.compile(r"^Host sentinel: ([\d.]+) s$")
 
 
-def load_baseline() -> dict[str, float]:
+def load_baseline() -> tuple[dict[str, float], float | None]:
     out: dict[str, float] = {}
+    sentinel = None
     for line in BASELINE.read_text().splitlines():
         m = ROW_RE.match(line.strip())
         if m and m.group(2) != "-":
             out[m.group(1)] = float(m.group(2))
-    return out
+        s = SENTINEL_RE.match(line.strip())
+        if s:
+            sentinel = float(s.group(1))
+    return out, sentinel
 
 
-def load_bench(arg: str) -> dict[str, float]:
+def load_bench(arg: str) -> tuple[dict[str, float], float | None]:
     text = sys.stdin.read() if arg == "-" else Path(arg).read_text()
     # a bench emits exactly one JSON object line; driver files are pure JSON
     for line in text.splitlines():
         line = line.strip()
         if line.startswith("{"):
             d = json.loads(line)
-            return d.get("queries", d)
+            # driver BENCH_r{N}.json wraps the bench line under "parsed"
+            if "queries" not in d and isinstance(d.get("parsed"), dict):
+                d = d["parsed"]
+            return d.get("queries", d), d.get("host_sentinel_sec")
     raise SystemExit("no JSON line found in input")
 
 
@@ -48,8 +64,16 @@ def main() -> None:
     update = "--update" in sys.argv
     if not args:
         raise SystemExit(__doc__)
-    bench = load_bench(args[0])
-    base = load_baseline()
+    bench, sent_now = load_bench(args[0])
+    base, sent_base = load_baseline()
+    drift = (
+        sent_now / sent_base if sent_now and sent_base else None
+    )  # >1 → this host is slower than the baseline host
+    if drift:
+        print(
+            f"host sentinel {sent_now:.4f}s vs baseline {sent_base:.4f}s "
+            f"→ drift {drift:.2f}x (ratios below are raw | normalized)"
+        )
     regressions = []
     print(f"{'op':34} {'now':>8} {'base':>8} {'ratio':>7}")
     for name in sorted(bench):
@@ -59,17 +83,25 @@ def main() -> None:
             print(f"{name:34} {now:8.3f} {'-':>8} {'new':>7}")
             continue
         ratio = now / b if b else float("inf")
-        flag = "  <-- REGRESSION" if ratio > THRESHOLD else ""
-        print(f"{name:34} {now:8.3f} {b:8.3f} {ratio:6.2f}x{flag}")
-        if ratio > THRESHOLD:
-            regressions.append((name, now, b, ratio))
+        eff = ratio / drift if drift else ratio
+        flag = "  <-- REGRESSION" if eff > THRESHOLD else ""
+        norm = f" | {eff:5.2f}x" if drift else ""
+        print(f"{name:34} {now:8.3f} {b:8.3f} {ratio:6.2f}x{norm}{flag}")
+        if eff > THRESHOLD:
+            regressions.append((name, now, b, eff))
     shared = [k for k in bench if k in base]
     total_now = sum(bench[k] for k in shared)
     total_base = sum(base[k] for k in shared)
-    print(
+    summary = (
         f"\ntotal {sum(bench.values()):.2f}s over {len(bench)} ops; "
         f"shared {len(shared)} ops {total_now:.2f}s vs baseline {total_base:.2f}s"
     )
+    if drift and total_base:
+        summary += (
+            f" (raw {total_now / total_base:.2f}x, "
+            f"normalized {total_now / total_base / drift:.2f}x)"
+        )
+    print(summary)
     if update:
         lines = BASELINE.read_text().splitlines(keepends=True)
         seen = set()
@@ -87,6 +119,8 @@ def main() -> None:
                     f"| {m.group(1)} | {round(bench[m.group(1)], 3)} "
                     f"| {m.group(3)} |\n"
                 )
+            if SENTINEL_RE.match(ln.strip()) and sent_now:
+                lines[i] = f"Host sentinel: {sent_now} s\n"
         new_rows = [
             f"| {name} | {round(bench[name], 3)} | - |\n"
             for name in sorted(bench)
