@@ -280,6 +280,55 @@ def attribution_stream_join(
     )
 
 
+def attribution_stream_outer(
+    spark: SparkSession,
+    source_dir: str,
+    horizon: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase is attributed to
+    prior clicks in `horizon`, and purchases with NO qualifying click
+    still surface — with NULL click columns — once the watermark
+    passes their join window (Spark can only then prove no match will
+    ever arrive; the unmatched row is necessarily late by design).
+    This is the "unattributed conversions" feed an ads pipeline
+    reconciles against billing. Same bounded state as the inner
+    variant: both sides watermarked + time-range-constrained."""
+    src = file_stream_source(spark, source_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id", "p_user", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 def dedup_stream(
     spark: SparkSession, source_dir: str, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -489,6 +489,84 @@ def test_attribution_stream_join_matches_batch(spark, tmp_path):
     assert got["np"] == want_p
 
 
+def test_attribution_stream_outer_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join parity: purchases with no
+    qualifying click must surface with NULL click columns — but only
+    after the watermark proves no match can arrive. A far-future
+    advancer event on each side pushes the watermark past every real
+    purchase's join window so the drained stream equals the batch
+    left join exactly."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        attribution_stream_outer,
+    )
+
+    src = str(tmp_path / "src")
+    write_source_slice(spark, SF, src, n_files=2)
+
+    q = (
+        attribution_stream_outer(spark, src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("attr_outer_out")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # watermark advancer: one click + one purchase far past the data's
+    # range under a sentinel user no real event can join with
+    import datetime
+
+    far = datetime.datetime(2030, 1, 1)
+    spark.createDataFrame(
+        [
+            (10**9, far, -1, "click", 0.0, "{}"),
+            (10**9 + 1, far, -1, "purchase", 0.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT count(*) AS n, "
+        "count(*) FILTER (WHERE click_id IS NULL) AS unmatched "
+        "FROM attr_outer_out WHERE p_user >= 0"
+    ).collect()[0]
+
+    e = load(spark, "events", SF)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 2 hours")
+        ),
+        "left_outer",
+    )
+    assert got["n"] == batch.count()
+    assert (
+        got["unmatched"]
+        == batch.filter(F.col("click_id").isNull()).count()
+    )
+    assert got["unmatched"] > 0  # the corpus does contain orphans
+
+
 def test_latest_per_key_stream_matches_batch(spark, tmp_path):
     """CDC snapshot parity: drain the simulated change feed one file
     per micro-batch through the stateful upsert op; replaying every
