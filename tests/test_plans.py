@@ -167,6 +167,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "value_outliers",        # per-type moments (≤5 rows)
         "embedding_quantize",    # per-vector scale cross
         "mm_ann_search",         # 3 media query vectors × candidates
+        "domain_mix_rebalance",  # 1-row total/source-count aggregate
+        "unigram_logprob_score", # 1-row corpus token count
     }
     STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
     bad = []
