@@ -634,7 +634,12 @@ ORDER BY s.doc_id
 def quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_fused(spark, sf_dir).select("doc_id", "fused_score")
     d = load(spark, "documents", sf_dir).select("doc_id", "lang")
-    scored = d.join(scored, "doc_id")
+    # Materialize the scored table once: thresholds AND the gate both
+    # consume it, and without a cut Catalyst replays the entire
+    # 4-subplan fused pipeline (windows + joins, 17 exchanges) on each
+    # side. 3 narrow columns per doc — at warehouse scale this is the
+    # quality table you'd persist anyway before deriving gates.
+    scored = d.join(scored, "doc_id").localCheckpoint(eager=True)
     thresholds = scored.groupBy("lang").agg(
         F.round(
             F.expr(f"percentile(fused_score, {GATE_QUANTILE})"), 4
