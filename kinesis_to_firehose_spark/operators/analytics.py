@@ -1754,22 +1754,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
+    # Part filter FIRST: p_size/p_type select a tiny part set, and the
+    # per-partkey minimum is invariant under a partkey-level filter —
+    # so the lineitem agg shrinks before any supplier join. Then the
+    # min-cost match is a window over the (now small) partkey groups,
+    # not a groupBy + self-join that would replay the whole subplan
+    # twice (was: 9 scans, 12 exchanges).
     eur = (
-        cost.join(s, F.col("s_suppkey") == F.col("suppkey"))
+        cost.join(p, F.col("p_partkey") == F.col("partkey"))
+        .join(s, F.col("s_suppkey") == F.col("suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("partkey", "suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
-    )
-    best = eur.groupBy(F.col("partkey").alias("b_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
-    return (
-        eur.join(
-            best,
-            (F.col("partkey") == F.col("b_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
+        .select(
+            "partkey", "suppkey", "unit_cost", "s_acctbal", "s_name",
+            "n_name", "p_partkey", "p_brand",
         )
-        .join(p, F.col("p_partkey") == F.col("partkey"))
+    )
+    w = W.partitionBy("partkey")
+    return (
+        eur.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
