@@ -188,9 +188,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
         .drop("df_cnt")
     )
+    # Materialize the capped shingle index once: both sides of the
+    # self-join consume it, and without a cut the explode + two window
+    # shuffles replay per side. Same materialize-the-index shape as
+    # the MinHash signature table below.
     exploded = capped.withColumn(
         "n_sh", F.count("*").over(W.partitionBy("doc_id"))
-    )
+    ).localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     matches = (
