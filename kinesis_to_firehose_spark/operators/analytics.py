@@ -2073,3 +2073,150 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# table_fingerprint — order-independent content checksum per table:
+# row count + the SUM of a 56-bit prefix of each row's md5,
+# accumulated in DECIMAL(38,0) (128-bit, exact on both engines —
+# 2⁵⁶-size terms would overflow a 63-bit long after just 2⁷ rows,
+# and a modular wraparound differs between ANSI engines). The sum is
+# emitted as VARCHAR: pandas/arrow bridges downcast wide decimals to
+# float64, which would destroy the exactness the checksum exists for.
+# This is how you verify a 100 TB migration/backfill produced
+# identical content WITHOUT a global sort or a row-by-row diff: one
+# narrow map + one commutative aggregate, partial-aggregated
+# map-side, any partitioning.
+# --------------------------------------------------------------------------
+FINGERPRINT_SQL = """
+SELECT 'lineitem' AS tbl,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(
+           CAST(l_orderkey AS VARCHAR) || '|' ||
+           CAST(l_linenumber AS VARCHAR) || '|' ||
+           CAST(l_quantity AS VARCHAR) || '|' ||
+           l_returnflag), 1, 14))::BIGINT) AS VARCHAR) AS content_sum
+FROM lineitem
+UNION ALL
+SELECT 'orders' AS tbl,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           o_orderstatus || '|' ||
+           CAST(o_totalprice AS VARCHAR)), 1, 14))::BIGINT) AS VARCHAR)
+         AS content_sum
+FROM orders
+ORDER BY tbl
+"""
+
+
+@register("table_fingerprint", FINGERPRINT_SQL)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference intent: the forwarder's delivered-vs-consumed record
+    accounting (stats.go) generalized to content equality between any
+    two table copies. DOUBLE columns are excluded from the hashed key
+    set (l_quantity/o_totalprice here are exact decimals in the
+    testdata so their string forms agree; arbitrary floats would
+    need a canonical decimal cast first)."""
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+
+    def fp(df: DataFrame, tbl: str, key) -> DataFrame:
+        h = F.conv(F.substring(F.md5(key), 1, 14), 16, 10)
+        return df.select(h.cast("decimal(38,0)").alias("h")).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
+        )
+
+    li_key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag"),
+    )
+    o_key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    return (
+        fp(li, "lineitem", li_key)
+        .unionByName(fp(o, "orders", o_key))
+        .orderBy("tbl")
+    )
+
+
+# --------------------------------------------------------------------------
+# merge_upsert — MERGE INTO semantics: apply a compacted changeset to
+# a stored snapshot (full-outer key join + newest-wins coalesce),
+# tagging each output row insert/update/carry. THE incremental
+# pattern at 100 TB: the snapshot and the delta are each one
+# window-compaction, and the merge touches only their join — history
+# is never rescanned. Output equals latest_per_key over the full
+# history (asserted in pytest), but the plan is snapshot+delta.
+# --------------------------------------------------------------------------
+MERGE_CUTOFF = "2024-01-25"
+
+MERGE_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+  ) WHERE rk = 1
+),
+chg AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+  ) WHERE rk = 1
+)
+SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.event_id, b.event_id) AS event_id,
+       COALESCE(c.ts, b.ts) AS ts,
+       COALESCE(c.event_type, b.event_type) AS event_type,
+       ROUND(COALESCE(c.value, b.value), 2) AS value,
+       CASE WHEN b.user_id IS NULL THEN 'insert'
+            WHEN c.user_id IS NULL THEN 'carry'
+            ELSE 'update' END AS action
+FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+ORDER BY user_id
+"""
+
+
+@register("merge_upsert", MERGE_SQL)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    base = snapshot(e.filter(F.col("ts") < cutoff)).alias("b")
+    chg = snapshot(e.filter(F.col("ts") >= cutoff)).alias("c")
+    action = (
+        F.when(F.col("b.user_id").isNull(), "insert")
+        .when(F.col("c.user_id").isNull(), "carry")
+        .otherwise("update")
+    )
+    return (
+        base.join(chg, F.col("b.user_id") == F.col("c.user_id"), "full_outer")
+        .select(
+            F.coalesce("c.user_id", "b.user_id").alias("user_id"),
+            F.coalesce("c.event_id", "b.event_id").alias("event_id"),
+            F.coalesce("c.ts", "b.ts").alias("ts"),
+            F.coalesce("c.event_type", "b.event_type").alias("event_type"),
+            F.round(F.coalesce("c.value", "b.value"), 2).alias("value"),
+            action.alias("action"),
+        )
+        .orderBy("user_id")
+    )

@@ -69,3 +69,37 @@ def test_approx_distinct_error_bounded(spark):
     assert set(ap) == set(ex)
     for k in ex:
         assert abs(ap[k] - ex[k]) <= max(5, 0.05 * ex[k]), (k, ap[k], ex[k])
+
+
+def test_merge_upsert_equals_full_history_compaction(spark):
+    """MERGE of (pre-cutoff snapshot, post-cutoff changeset) must land
+    on exactly latest_per_key over the full history — the incremental
+    plan and the rescan plan agree row for row."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    ops = all_ops()
+    sf = "/root/testdata/sf0.01"
+    merged = {
+        r["user_id"]: (r["event_id"], r["ts"], r["event_type"], r["value"])
+        for r in ops["merge_upsert"].fn(spark, sf).collect()
+    }
+    full = {
+        r["user_id"]: (r["event_id"], r["ts"], r["event_type"], r["value"])
+        for r in ops["latest_per_key"].fn(spark, sf).collect()
+    }
+    assert merged == full
+
+
+def test_table_fingerprint_order_independent(spark):
+    """The content checksum must be invariant under repartitioning /
+    row order — that is the property that lets it verify a migrated
+    copy without sorting either side."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    sf = "/root/testdata/sf0.001"
+    op = all_ops()["table_fingerprint"]
+    a = {r["tbl"]: (r["n_rows"], r["content_sum"]) for r in op.fn(spark, sf).collect()}
+    b = {r["tbl"]: (r["n_rows"], r["content_sum"]) for r in op.fn(spark, sf).collect()}
+    assert a == b
+    assert set(a) == {"lineitem", "orders"}
+    assert all(int(v[1]) > 0 for v in a.values())
