@@ -362,3 +362,84 @@ def mm_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= MM_TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# mm_audio_chunk — audio segmentation plumbing: each audio blob is cut
+# into fixed-size byte windows (the waveform-chunking contract real
+# ASR/feature pipelines use), one output row per chunk with features
+# computed FROM THE SLICE — unlike mm_frame_sample, which seeks by
+# timestamp into the whole blob. The kernel slices inside mapInPandas
+# so the wide blob column never leaves the stage; output is narrow
+# per-chunk rows. Oracle: the blobs are ASCII text, so DuckDB's
+# substr() addresses the same bytes Python slices, and sha256 of the
+# slice restates the features bit-exactly.
+# --------------------------------------------------------------------------
+CHUNK_BYTES = 256
+
+
+def chunk_audio(media: DataFrame, chunk_bytes: int = CHUNK_BYTES) -> DataFrame:
+    """One-to-many chunk fan-out as an Arrow-batched kernel. The
+    fan-out factor is blob_size/chunk_bytes — byte-partitioned input
+    (media_repartition_by_bytes) keeps it uniform per task."""
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, chunk_idx long, start_byte long, chunk_len long, "
+        + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
+    )
+
+    def _chunk(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "chunk_idx": [], "start_byte": [],
+                "chunk_len": [],
+            }
+            feats: list[list[float]] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                for idx, start in enumerate(range(0, len(blob), chunk_bytes)):
+                    piece = blob[start : start + chunk_bytes]
+                    rows["media_id"].append(mid)
+                    rows["chunk_idx"].append(idx)
+                    rows["start_byte"].append(start)
+                    rows["chunk_len"].append(len(piece))
+                    h = hashlib.sha256(piece).digest()
+                    feats.append([b / 255.0 for b in h[:FEATURE_DIM]])
+            out = pd.DataFrame(rows)
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = [f[i] for f in feats]
+            yield out
+
+    return media.mapInPandas(_chunk, schema=out_schema)
+
+
+MM_AUDIO_SQL = f"""
+SELECT media_id, chunk_idx, start_byte,
+       CAST(length(piece) AS BIGINT) AS chunk_len,
+       {_feat_cols_sql('sha256(piece)')}
+FROM (
+  SELECT doc_id AS media_id,
+         CAST(g AS BIGINT) AS chunk_idx,
+         CAST(g * {CHUNK_BYTES} AS BIGINT) AS start_byte,
+         substr(text, g * {CHUNK_BYTES} + 1, {CHUNK_BYTES}) AS piece
+  FROM documents,
+       unnest(generate_series(
+         0, CAST(CEIL(n_chars * 1.0 / {CHUNK_BYTES}) AS BIGINT) - 1)) t(g)
+  WHERE doc_id % 3 = 1
+)
+ORDER BY media_id, chunk_idx
+"""
+
+
+@register("mm_audio_chunk", MM_AUDIO_SQL)
+def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every audio blob (per-chunk slice features hash-checked
+    vs DuckDB; fan-out arithmetic in pytest)."""
+    audio = synthetic_media(spark, sf_dir).filter(F.col("kind") == "audio")
+    return (
+        chunk_audio(media_repartition_by_bytes(audio))
+        .orderBy("media_id", "chunk_idx")
+    )

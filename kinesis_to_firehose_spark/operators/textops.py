@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kinesis_to_firehose_spark.registry import register
 from kinesis_to_firehose_spark.sources.tables import load
@@ -327,4 +328,57 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("term_freq"), "term")
         .limit(VOCAB_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# lang_top_terms — grouped heavy hitters: top-LANG_TOP_K terms per
+# language by term frequency (per-domain/per-language vocabulary
+# drift is a standard curation dashboard). Same map-side-combined
+# explode→groupBy as vocab_top_terms; the rank window then runs over
+# the AGGREGATED (lang, term) table — one row per distinct term per
+# lang, never per occurrence — so the window shuffle is
+# vocabulary-sized at any corpus scale.
+# --------------------------------------------------------------------------
+LANG_TOP_K = 5
+
+LANG_TOP_SQL = rf"""
+WITH tok AS (
+  SELECT lang, unnest({_sql_tokens()}) AS term FROM documents
+),
+counts AS (
+  SELECT lang, term, COUNT(*) AS term_freq
+  FROM tok WHERE term != '' GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, term, term_freq,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY term_freq DESC, term) AS rk
+  FROM counts
+)
+SELECT lang, term, CAST(term_freq AS BIGINT) AS term_freq,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {LANG_TOP_K}
+ORDER BY lang, rk
+"""
+
+
+@register("lang_top_terms", LANG_TOP_SQL)
+def lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    tok = d.select("lang", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = tok.groupBy("lang", "term").agg(F.count("*").alias("term_freq"))
+    w = W.partitionBy("lang").orderBy(F.desc("term_freq"), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LANG_TOP_K)
+        .select(
+            "lang",
+            "term",
+            F.col("term_freq").cast("bigint").alias("term_freq"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("lang", "rk")
     )

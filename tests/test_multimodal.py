@@ -105,3 +105,44 @@ def test_mm_ann_search_shape_and_determinism(spark):
         assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
             range(1, MM_TOP_K + 1)
         )
+
+
+def test_audio_chunk_fanout_and_coverage(spark):
+    """Each audio blob yields ceil(bytes/CHUNK_BYTES) chunks; chunk
+    lengths sum back to the blob size (no byte lost or duplicated)
+    and every chunk but the last is full-size."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        mm_audio_chunk,
+        synthetic_media,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    chunks = mm_audio_chunk(spark, sf)
+    agg = {
+        r["media_id"]: (r["n"], r["total"], r["max_len"])
+        for r in chunks.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("chunk_len").alias("total"),
+            F.max("chunk_len").alias("max_len"),
+        )
+        .collect()
+    }
+    sizes = {
+        r["media_id"]: r["sz"]
+        for r in synthetic_media(spark, sf)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", F.length("content").alias("sz"))
+        .collect()
+    }
+    assert set(agg) == set(sizes)
+    for mid, sz in sizes.items():
+        n, total, max_len = agg[mid]
+        assert n == math.ceil(sz / CHUNK_BYTES)
+        assert total == sz
+        assert max_len <= CHUNK_BYTES
