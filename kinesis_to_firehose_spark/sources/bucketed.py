@@ -63,3 +63,38 @@ def cobucketed_join(
     l = spark.table(left)
     r = spark.table(right)
     return l.join(r, l[key_l] == r[key_r])
+
+
+def write_snapshot(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    path: str,
+    key: str = "user_id",
+    n_key_files: int = 8,
+) -> None:
+    """Persist a current-state snapshot (latest_per_key/merge_upsert
+    output) laid out for point lookups: repartitioned BY THE KEY into
+    a fixed file count and sorted within files, so every key lives in
+    exactly one file and a key-equality scan prunes to it via the
+    parquet min/max row-group stats. This is the serve-side half of
+    the CDC pattern: the stream maintains the snapshot, the batch
+    writer lays it out for reads.
+
+    At 100 TB: n_key_files scales with snapshot size (one file ≈ one
+    128-256 MiB working set); the repartition is the single shuffle
+    the write pays, and readers pay none."""
+    (
+        snapshot.repartition(n_key_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def snapshot_lookup(spark: SparkSession, path: str, key: str, values) -> DataFrame:
+    """Point lookup against a written snapshot: an IN filter on the
+    layout key. Catalyst pushes it to the parquet scan, and the
+    sorted-by-key file layout means row-group stats skip everything
+    but the files holding those keys (assert PushedFilters in tests)."""
+    df = spark.read.parquet(path)
+    return df.filter(df[key].isin(list(values)))

@@ -239,3 +239,44 @@ def test_jsonl_read_captures_corrupt_records(spark, tmp_path):
         assert "not json" in bad.collect()[0]["_corrupt_record"]
     finally:
         df.unpersist()
+
+
+def test_snapshot_write_and_point_lookup(spark, tmp_path):
+    """The persisted snapshot serves point lookups correctly, the key
+    filter reaches the parquet scan (PushedFilters), and each key
+    lives in exactly one file (the pruning property of the layout)."""
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.sources.bucketed import (
+        snapshot_lookup,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    snap = all_ops()["latest_per_key"].fn(spark, SF)
+    write_snapshot(spark, snap, path, n_key_files=4)
+
+    want = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in snap.collect()
+        if r["user_id"] in {1, 5, 9}
+    }
+    looked = snapshot_lookup(spark, path, "user_id", [1, 5, 9])
+    got = {
+        r["user_id"]: (r["event_id"], r["value"]) for r in looked.collect()
+    }
+    assert got == want
+
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "user_id" in plan
+
+    # layout property: a key's rows are never split across files
+    back = spark.read.parquet(path).select(
+        "user_id", F.input_file_name().alias("f")
+    )
+    multi = (
+        back.groupBy("user_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert multi == 0
