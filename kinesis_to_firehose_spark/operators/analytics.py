@@ -2220,3 +2220,135 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_merge_incremental — incremental maintenance of an aggregate
+# table: partial aggregates from the delta (ts >= cutoff) merge into
+# the stored base aggregates (ts < cutoff) by re-aggregating the
+# algebraic pieces (count→sum, sum→sum, min→min, max→max). The merge
+# touches one row per (event_type, day) group from each side — never
+# the raw history. AVG is derived from merged sum/count, NOT merged
+# from per-side averages (non-algebraic directly). Output equals the
+# full recompute bit-for-bit (oracle + the same claim the merge plan
+# makes at 100 TB: delta-sized work per refresh).
+# --------------------------------------------------------------------------
+AGG_MERGE_SQL = f"""
+WITH sliced AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+         CASE WHEN ts < TIMESTAMP '{MERGE_CUTOFF}' THEN 'base'
+              ELSE 'delta' END AS side
+  FROM events
+),
+partials AS (
+  SELECT side, event_type, day,
+         COUNT(*) AS n, SUM(value) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM sliced GROUP BY side, event_type, day
+)
+SELECT event_type, day,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(SUM(s), 2) AS sum_value,
+       ROUND(MIN(mn), 2) AS min_value,
+       ROUND(MAX(mx), 2) AS max_value,
+       ROUND(SUM(s) / SUM(n), 4) AS avg_value
+FROM partials
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+@register("agg_merge_incremental", AGG_MERGE_SQL)
+def agg_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    side = F.when(F.col("ts") < cutoff, "base").otherwise("delta")
+    partials = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            "value",
+            side.alias("side"),
+        )
+        .groupBy("side", "event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return (
+        partials.groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("sum_value"),
+            F.round(F.min("mn"), 2).alias("min_value"),
+            F.round(F.max("mx"), 2).alias("max_value"),
+            F.round(F.sum("s") / F.sum("n"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# zorder_value — the Morton (Z-order) interleave that multi-dimension
+# data clustering is built on: bits of the two dimension buckets
+# alternate in the sort key, so sorting by zval co-locates rows close
+# in BOTH dimensions, and a 2-D box predicate prunes row groups on
+# both min/max ranges at once (a single-column sort can only prune
+# one). Here: 8 bucket bits of user_id × 5 bits of day-of-month over
+# events. Pure integer arithmetic, identical on both engines; the
+# write-side utility that uses it is sources/layout.py (pruning win
+# asserted in pytest).
+# --------------------------------------------------------------------------
+_Z_SPARK = (
+    "(shiftright(ub, 0) & 1) * 1 + (shiftright(ub, 1) & 1) * 4 + "
+    "(shiftright(ub, 2) & 1) * 16 + (shiftright(ub, 3) & 1) * 64 + "
+    "(shiftright(ub, 4) & 1) * 256 + (shiftright(ub, 5) & 1) * 1024 + "
+    "(shiftright(ub, 6) & 1) * 4096 + (shiftright(ub, 7) & 1) * 16384 + "
+    "(shiftright(db, 0) & 1) * 2 + (shiftright(db, 1) & 1) * 8 + "
+    "(shiftright(db, 2) & 1) * 32 + (shiftright(db, 3) & 1) * 128 + "
+    "(shiftright(db, 4) & 1) * 512"
+)
+_Z_DUCK = (
+    "((ub >> 0) & 1) * 1 + ((ub >> 1) & 1) * 4 + "
+    "((ub >> 2) & 1) * 16 + ((ub >> 3) & 1) * 64 + "
+    "((ub >> 4) & 1) * 256 + ((ub >> 5) & 1) * 1024 + "
+    "((ub >> 6) & 1) * 4096 + ((ub >> 7) & 1) * 16384 + "
+    "((db >> 0) & 1) * 2 + ((db >> 1) & 1) * 8 + "
+    "((db >> 2) & 1) * 32 + ((db >> 3) & 1) * 128 + "
+    "((db >> 4) & 1) * 512"
+)
+
+ZORDER_SQL = f"""
+SELECT event_id, CAST(ub AS BIGINT) AS user_bucket,
+       CAST(db AS BIGINT) AS day_bucket,
+       CAST({_Z_DUCK} AS BIGINT) AS zval
+FROM (
+  SELECT event_id,
+         user_id % 256 AS ub,
+         CAST(EXTRACT(day FROM ts) AS BIGINT) - 1 AS db
+  FROM events
+)
+ORDER BY event_id
+"""
+
+
+@register("zorder_value", ZORDER_SQL)
+def zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.select(
+            "event_id",
+            (F.col("user_id") % 256).alias("ub"),
+            (F.dayofmonth("ts") - 1).cast("bigint").alias("db"),
+        )
+        .select(
+            "event_id",
+            F.col("ub").cast("bigint").alias("user_bucket"),
+            F.col("db").cast("bigint").alias("day_bucket"),
+            F.expr(_Z_SPARK).cast("bigint").alias("zval"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,86 @@
+"""Multi-dimensional file layout (Z-order clustering).
+
+A 100 TB table queried by 2-D box predicates (user × time, key ×
+value band) cannot serve both dimensions from a single-column sort:
+files sorted by time have every user in every file, so a user filter
+prunes nothing. Interleaving the bit patterns of both dimension
+buckets into one Morton key (operators/analytics.py:zorder_value) and
+range-partitioning the write on that key gives every file a small
+min/max box in BOTH dimensions — parquet row-group stats then prune
+box queries on either or both. This is the OPTIMIZE ZORDER pattern
+from lakehouse table formats, expressed as plain Spark writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# 8 bits per dimension: 256 buckets each, 16-bit Morton key
+_ZBITS = 8
+
+
+def _bucketize(df: DataFrame, col: str, alias: str) -> DataFrame:
+    """Linear min/max scaling of `col` into 0..255. Rank-based edges
+    (approx percentiles) would equalize bucket population under skew —
+    same downstream interleave; linear keeps the test deterministic."""
+    stats = df.agg(
+        F.min(col).alias("mn"), F.max(col).alias("mx")
+    ).collect()[0]
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    span = (mx - mn) or 1.0
+    b = F.least(
+        F.lit((1 << _ZBITS) - 1),
+        F.floor((F.col(col) - mn) / span * (1 << _ZBITS)).cast("long"),
+    )
+    return df.withColumn(alias, b)
+
+
+def _interleave(xb: str, yb: str):
+    terms = None
+    for i in range(_ZBITS):
+        for c, off in ((xb, 0), (yb, 1)):
+            t = (F.shiftright(F.col(c), i).bitwiseAND(1)) * (1 << (2 * i + off))
+            terms = t if terms is None else terms + t
+    return terms
+
+
+def write_zorder(
+    df: DataFrame, x: str, y: str, path: str, n_files: int = 16
+) -> None:
+    """Write `df` clustered by the Morton interleave of (x, y): one
+    range-partition shuffle on zval + a within-file sort, then the
+    helper columns are dropped. Reads need no special API — the
+    pruning lives in the parquet stats."""
+    (
+        _bucketize(_bucketize(df, x, "_xb"), y, "_yb")
+        .withColumn("_z", _interleave("_xb", "_yb"))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_xb", "_yb", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def candidate_files_for_box(
+    spark: SparkSession, path: str, x: str, y: str, box
+) -> tuple[int, int]:
+    """(files overlapping the box, total files) by per-file min/max —
+    exactly the stats a parquet reader consults before opening a row
+    group. The pruning-ratio assertion in tests uses this."""
+    x_lo, x_hi, y_lo, y_hi = box
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
+            F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
+        )
+    )
+    total = per_file.count()
+    hit = per_file.filter(
+        (F.col("x_mx") >= x_lo) & (F.col("x_mn") <= x_hi)
+        & (F.col("y_mx") >= y_lo) & (F.col("y_mn") <= y_hi)
+    ).count()
+    return hit, total

@@ -280,3 +280,64 @@ def test_snapshot_write_and_point_lookup(spark, tmp_path):
         .count()
     )
     assert multi == 0
+
+
+def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
+    """Z-order clustering must let a 2-D box query skip files that a
+    single-column (time-sorted) layout cannot: per-file min/max boxes
+    are small in BOTH dimensions, and results are identical."""
+    from kinesis_to_firehose_spark.sources.layout import (
+        candidate_files_for_box,
+        write_zorder,
+    )
+
+    e = load(spark, "events", "/root/testdata/sf0.01").select(
+        "event_id", "user_id", "ts", "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    n_files = 16
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    write_zorder(e, "user_id", "ts_s", z_path, n_files=n_files)
+    # linear comparison layout: sorted by time only
+    (
+        e.repartitionByRange(n_files, "ts_s")
+        .sortWithinPartitions("ts_s")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+
+    users = e.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    times = e.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    u_mid = (users[0] + users[1]) // 2
+    t_mid = (times[0] + times[1]) // 2
+    # the z-order win case: narrow in the dimension the time-sorted
+    # layout cannot serve (1/16 of users), wide in time (1/2) — a
+    # "this user's recent history" query
+    box = (
+        u_mid, u_mid + max(1, (users[1] - users[0]) // 16),
+        t_mid, times[1],
+    )
+    z_hit, z_total = candidate_files_for_box(
+        spark, z_path, "user_id", "ts_s", box
+    )
+    l_hit, l_total = candidate_files_for_box(
+        spark, lin_path, "user_id", "ts_s", box
+    )
+    assert z_total == l_total == n_files
+    # time-sorted layout cannot prune on user_id: the box hits every
+    # time-overlapping file; z-order must strictly beat it
+    assert z_hit < l_hit, (z_hit, l_hit)
+
+    # correctness: the same box filter returns identical rows
+    def box_rows(path):
+        df = spark.read.parquet(path)
+        return sorted(
+            r["event_id"]
+            for r in df.filter(
+                (F.col("user_id") >= box[0]) & (F.col("user_id") <= box[1])
+                & (F.col("ts_s") >= box[2]) & (F.col("ts_s") <= box[3])
+            ).collect()
+        )
+
+    assert box_rows(z_path) == box_rows(lin_path)
