@@ -436,3 +436,66 @@ def write_source_slice(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def snapshot_sink(
+    spark: SparkSession,
+    source_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 4,
+    n_key_files: int = 4,
+):
+    """The CDC loop closed end-to-end: change feed → stateful upsert
+    (latest_per_key_stream emits only keys whose snapshot row changed)
+    → per-epoch MERGE into the persisted point-lookup snapshot
+    (sources/bucketed.write_snapshot layout). Each micro-batch rewrites
+    the store as (existing rows for unchanged keys) ∪ (epoch updates)
+    — an anti-join + union over the SNAPSHOT (keys-sized, not
+    history-sized), the same newest-wins semantics as the batch
+    merge_upsert operator. Returns the StreamingQuery.
+
+    At scale the rewrite becomes partition-targeted (only key files
+    containing changed keys are rewritten — the layout guarantees each
+    key lives in exactly one file); the local store is small enough to
+    rewrite whole.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.bucketed import write_snapshot
+
+    updates = latest_per_key_stream(
+        spark, source_dir, watermark, max_files_per_trigger
+    )
+
+    def _merge(batch_df, batch_id):
+        changed = batch_df.localCheckpoint(eager=True)
+        if changed.isEmpty():
+            return
+        if os.path.isdir(snapshot_dir) and any(
+            f.startswith("part-") for f in os.listdir(snapshot_dir)
+        ):
+            current = spark.read.parquet(snapshot_dir)
+            merged = current.join(
+                changed.select("user_id"), "user_id", "left_anti"
+            ).unionByName(changed)
+        else:
+            merged = changed
+        # localCheckpoint: the write must not re-read snapshot_dir
+        # lazily while overwriting it
+        write_snapshot(
+            spark,
+            merged.localCheckpoint(eager=True),
+            snapshot_dir,
+            n_key_files=n_key_files,
+        )
+
+    return (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+        .start()
+    )

@@ -690,3 +690,41 @@ def test_send_batch_eventual_delivery_or_dead_letter(fail_counts):
             if t.fail_times.get(r, 0) == 0:
                 delivered.add(r)
     assert delivered >= set(batch) - expected_dead
+
+
+def test_snapshot_sink_maintains_point_lookup_store(spark, tmp_path):
+    """Drain the change feed through snapshot_sink: the persisted
+    store must equal the batch latest_per_key compaction and serve
+    point lookups from the written layout."""
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.sources.bucketed import snapshot_lookup
+    from kinesis_to_firehose_spark.streaming.pipeline import snapshot_sink
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    write_source_slice(spark, SF, src, n_files=3)
+
+    q = snapshot_sink(
+        spark,
+        src,
+        snap,
+        str(tmp_path / "ckpt"),
+        watermark="40 days",
+        max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stored = {
+        r["user_id"]: (r["event_id"], round(r["value"], 2))
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in all_ops()["latest_per_key"].fn(spark, SF).collect()
+    }
+    assert stored == want
+
+    some = sorted(want)[:3]
+    looked = snapshot_lookup(spark, snap, "user_id", some)
+    assert sorted(r["user_id"] for r in looked.collect()) == some
