@@ -450,22 +450,17 @@ def snapshot_sink(
     """The CDC loop closed end-to-end: change feed → stateful upsert
     (latest_per_key_stream emits only keys whose snapshot row changed)
     → per-epoch MERGE into the persisted point-lookup snapshot
-    (sources/bucketed.write_snapshot layout). Each micro-batch rewrites
-    the store as (existing rows for unchanged keys) ∪ (epoch updates)
-    — an anti-join + union over the SNAPSHOT (keys-sized, not
-    history-sized), the same newest-wins semantics as the batch
-    merge_upsert operator. Returns the StreamingQuery.
-
-    At scale the rewrite becomes partition-targeted (only key files
-    containing changed keys are rewritten — the layout guarantees each
-    key lives in exactly one file); the local store is small enough to
-    rewrite whole.
-    """
-    import os
-
-    from pyspark.sql import functions as F
-
-    from kinesis_to_firehose_spark.sources.bucketed import write_snapshot
+    (sources/bucketed.write_snapshot layout). Each micro-batch merges
+    (existing rows for unchanged keys) ∪ (epoch updates) — the same
+    newest-wins semantics as the batch merge_upsert operator — and
+    the merge is PARTITION-TARGETED: the hash layout names exactly
+    which files contain changed keys, so only those are read and
+    atomically replaced (snapshot_merge_targeted). Epoch cost is
+    O(changed partitions), not O(snapshot). Returns the
+    StreamingQuery."""
+    from kinesis_to_firehose_spark.sources.bucketed import (
+        snapshot_merge_targeted,
+    )
 
     updates = latest_per_key_stream(
         spark, source_dir, watermark, max_files_per_trigger
@@ -475,22 +470,10 @@ def snapshot_sink(
         changed = batch_df.localCheckpoint(eager=True)
         if changed.isEmpty():
             return
-        if os.path.isdir(snapshot_dir) and any(
-            f.startswith("part-") for f in os.listdir(snapshot_dir)
-        ):
-            current = spark.read.parquet(snapshot_dir)
-            merged = current.join(
-                changed.select("user_id"), "user_id", "left_anti"
-            ).unionByName(changed)
-        else:
-            merged = changed
-        # localCheckpoint: the write must not re-read snapshot_dir
-        # lazily while overwriting it
-        write_snapshot(
-            spark,
-            merged.localCheckpoint(eager=True),
-            snapshot_dir,
-            n_key_files=n_key_files,
+        # targeted: only partition files containing changed keys are
+        # read or rewritten, each swapped in atomically
+        snapshot_merge_targeted(
+            spark, snapshot_dir, changed, n_key_files=n_key_files
         )
 
     return (

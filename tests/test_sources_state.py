@@ -260,7 +260,7 @@ def test_snapshot_write_and_point_lookup(spark, tmp_path):
         for r in snap.collect()
         if r["user_id"] in {1, 5, 9}
     }
-    looked = snapshot_lookup(spark, path, "user_id", [1, 5, 9])
+    looked = snapshot_lookup(spark, path, "user_id", [1, 5, 9], n_key_files=4)
     got = {
         r["user_id"]: (r["event_id"], r["value"]) for r in looked.collect()
     }
@@ -268,6 +268,8 @@ def test_snapshot_write_and_point_lookup(spark, tmp_path):
 
     plan = looked._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "user_id" in plan
+    # the _pid partition filter prunes whole dirs at planning time
+    assert "PartitionFilters" in plan and "_pid" in plan
 
     # layout property: a key's rows are never split across files
     back = spark.read.parquet(path).select(
@@ -341,3 +343,64 @@ def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
         )
 
     assert box_rows(z_path) == box_rows(lin_path)
+
+
+def test_snapshot_merge_targeted_touches_only_changed_dirs(spark, tmp_path):
+    """A targeted merge must rewrite exactly the _pid partition dirs
+    whose keys changed — byte-identical (file names + mtime + size)
+    elsewhere — and land on the same content a full rewrite would."""
+    import os
+
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.sources.bucketed import (
+        snapshot_merge_targeted,
+        write_snapshot,
+    )
+
+    n = 8
+    path = str(tmp_path / "snap")
+    snap = all_ops()["latest_per_key"].fn(spark, SF)
+    write_snapshot(spark, snap, path, n_key_files=n)
+
+    def dir_state():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("_pid="):
+                continue
+            full = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)),
+                 os.path.getsize(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.startswith("part-")
+            )
+        return out
+
+    before = dir_state()
+    assert len(before) > 1  # the merge has unaffected dirs to preserve
+
+    # change two keys: bump their value via a fake newer event
+    changed_keys = sorted(r["user_id"] for r in snap.collect())[:2]
+    changes = (
+        snap.filter(F.col("user_id").isin(changed_keys))
+        .withColumn("value", F.col("value") + 1000.0)
+        .localCheckpoint(eager=True)
+    )
+    pids = snapshot_merge_targeted(spark, path, changes, n_key_files=n)
+    assert 0 < len(pids) <= 2
+
+    after = dir_state()
+    assert set(after) == set(before)
+    changed_dirs = {d for d in before if before[d] != after[d]}
+    assert changed_dirs == {f"_pid={p}" for p in pids}
+
+    # content equals (old snapshot with those keys replaced)
+    got = {
+        r["user_id"]: r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+    for r in snap.collect():
+        if r["user_id"] in changed_keys:
+            assert got[r["user_id"]] == r["value"] + 1000.0
+        else:
+            assert got[r["user_id"]] == r["value"]
