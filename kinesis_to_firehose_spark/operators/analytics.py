@@ -2352,3 +2352,54 @@ def zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# bloom_prefilter_join — revenue of orders placed by customers in one
+# nation, with the fact scan PREFILTERED by a Bloom filter built from
+# the filtered customer keys (functions/bloom.py). The bloom rides
+# into the orders scan as a literal-words boolean expression — no
+# shuffle to apply it — and the exact semi-join after it removes the
+# false positives, so the result equals the plain join bit-for-bit
+# (which is exactly what the oracle states). The pytest asserts the
+# prefilter's selectivity actually bites.
+# --------------------------------------------------------------------------
+BLOOM_NATION = 7
+
+BLOOM_JOIN_SQL = f"""
+SELECT o.o_orderstatus AS orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey = {BLOOM_NATION}
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
+@register("bloom_prefilter_join", BLOOM_JOIN_SQL)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    c = load(spark, "customer", sf_dir).filter(
+        F.col("c_nationkey") == BLOOM_NATION
+    )
+    keys = c.select("c_custkey")
+    words = bloom_build(keys, "c_custkey")
+    o = load(spark, "orders", sf_dir)
+    prefiltered = o.filter(bloom_probe("o_custkey", words))
+    return (
+        prefiltered.join(
+            keys, prefiltered["o_custkey"] == keys["c_custkey"], "left_semi"
+        )
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("orderstatus")
+    )

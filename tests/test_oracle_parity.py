@@ -103,3 +103,43 @@ def test_table_fingerprint_order_independent(spark):
     assert a == b
     assert set(a) == {"lineitem", "orders"}
     assert all(int(v[1]) > 0 for v in a.values())
+
+
+def test_bloom_prefilter_selectivity_and_no_false_negatives(spark):
+    """The Bloom prefilter must pass EVERY true match (no false
+    negatives — the correctness contract) while rejecting most
+    non-matching rows (the reason it exists)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from kinesis_to_firehose_spark.operators.analytics import BLOOM_NATION
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    keys = (
+        load(spark, "customer", sf)
+        .filter(F.col("c_nationkey") == BLOOM_NATION)
+        .select("c_custkey")
+    )
+    words = bloom_build(keys, "c_custkey")
+    o = load(spark, "orders", sf)
+    total = o.count()
+    passed = o.filter(bloom_probe("o_custkey", words))
+    true_matches = o.join(
+        keys, o["o_custkey"] == keys["c_custkey"], "left_semi"
+    )
+    n_true = true_matches.count()
+    n_passed = passed.count()
+    # no false negatives: every true match passes the filter
+    assert (
+        true_matches.join(
+            passed.select("o_orderkey"), "o_orderkey", "left_anti"
+        ).count()
+        == 0
+    )
+    # selectivity: the prefilter rejects the bulk of non-matches
+    # (1/25 nations ⇒ ~4% true rate; bloom fp adds a small epsilon)
+    assert n_true <= n_passed < 0.25 * total, (n_true, n_passed, total)
