@@ -69,18 +69,20 @@ def bloom_probe(
 ) -> Column:
     """Boolean membership test as a pure SQL expression over the
     literal filter words — evaluated inside the scan stage, no join,
-    no shuffle, codegen-friendly integer ops. `key_sql` is the key's
-    SQL text (e.g. "o_custkey"); SQL form throughout because the
+    no shuffle. Structured as forall(transform(seeds, j -> pos_j),
+    p -> bit_set(p)) so each md5 position is computed ONCE (naive
+    textual duplication would evaluate it twice per check and repeat
+    the word-array literal k times). SQL form throughout because the
     bit-shift amount is itself an expression, which the python
     shiftleft/shiftright wrappers don't accept."""
     arr = "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
-    checks = []
-    for j in range(k):
-        pos = (
-            f"pmod(CAST(conv(substring(md5(concat_ws('|', "
-            f"CAST({key_sql} AS STRING), '{j}')), 1, 15), 16, 10) AS BIGINT), "
-            f"{m_bits})"
-        )
-        word = f"element_at({arr}, CAST({pos} / 64 AS INT) + 1)"
-        checks.append(f"(shiftright({word}, CAST({pos} % 64 AS INT)) & 1) = 1")
-    return F.expr("(" + ") AND (".join(checks) + ")")
+    pos = (
+        f"pmod(CAST(conv(substring(md5(concat_ws('|', "
+        f"CAST({key_sql} AS STRING), CAST(j AS STRING))), 1, 15), 16, 10) "
+        f"AS BIGINT), {m_bits})"
+    )
+    return F.expr(
+        f"forall(transform(sequence(0, {k - 1}), j -> {pos}), "
+        f"p -> (shiftright(element_at({arr}, CAST(p / 64 AS INT) + 1), "
+        f"CAST(p % 64 AS INT)) & 1) = 1)"
+    )

@@ -2088,22 +2088,31 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # narrow map + one commutative aggregate, partial-aggregated
 # map-side, any partitioning.
 # --------------------------------------------------------------------------
-FINGERPRINT_SQL = """
+# NULL-safety: every component is COALESCEd to a sentinel BEFORE the
+# join of the key string — concat_ws would silently DROP null parts
+# (shifting neighbors into their position: (1,NULL,'A') == (1,'A',NULL))
+# and DuckDB's bare || would null the whole key, making SUM skip the
+# row. The sentinel is a plain token no data column produces.
+_FP_NULL = "<NUL>"
+
+FINGERPRINT_SQL = f"""
 SELECT 'lineitem' AS tbl,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(('0x' || substr(md5(
-           CAST(l_orderkey AS VARCHAR) || '|' ||
-           CAST(l_linenumber AS VARCHAR) || '|' ||
-           CAST(l_quantity AS VARCHAR) || '|' ||
-           l_returnflag), 1, 14))::BIGINT) AS VARCHAR) AS content_sum
+           COALESCE(CAST(l_orderkey AS VARCHAR), '{_FP_NULL}') || '|' ||
+           COALESCE(CAST(l_linenumber AS VARCHAR), '{_FP_NULL}') || '|' ||
+           COALESCE(CAST(l_quantity AS VARCHAR), '{_FP_NULL}') || '|' ||
+           COALESCE(l_returnflag, '{_FP_NULL}')), 1, 14))::BIGINT)
+         AS VARCHAR) AS content_sum
 FROM lineitem
 UNION ALL
 SELECT 'orders' AS tbl,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(('0x' || substr(md5(
-           CAST(o_orderkey AS VARCHAR) || '|' ||
-           o_orderstatus || '|' ||
-           CAST(o_totalprice AS VARCHAR)), 1, 14))::BIGINT) AS VARCHAR)
+           COALESCE(CAST(o_orderkey AS VARCHAR), '{_FP_NULL}') || '|' ||
+           COALESCE(o_orderstatus, '{_FP_NULL}') || '|' ||
+           COALESCE(CAST(o_totalprice AS VARCHAR), '{_FP_NULL}')), 1, 14))::BIGINT)
+         AS VARCHAR)
          AS content_sum
 FROM orders
 ORDER BY tbl
@@ -2129,18 +2138,21 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
         )
 
+    def nz(c) -> object:
+        return F.coalesce(c.cast("string"), F.lit(_FP_NULL))
+
     li_key = F.concat_ws(
         "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        F.col("l_quantity").cast("string"),
-        F.col("l_returnflag"),
+        nz(F.col("l_orderkey")),
+        nz(F.col("l_linenumber")),
+        nz(F.col("l_quantity")),
+        nz(F.col("l_returnflag")),
     )
     o_key = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("string"),
+        nz(F.col("o_orderkey")),
+        nz(F.col("o_orderstatus")),
+        nz(F.col("o_totalprice")),
     )
     return (
         fp(li, "lineitem", li_key)
@@ -2176,10 +2188,13 @@ chg AS (
   ) WHERE rk = 1
 )
 SELECT COALESCE(c.user_id, b.user_id) AS user_id,
-       COALESCE(c.event_id, b.event_id) AS event_id,
-       COALESCE(c.ts, b.ts) AS ts,
-       COALESCE(c.event_type, b.event_type) AS event_type,
-       ROUND(COALESCE(c.value, b.value), 2) AS value,
+       CASE WHEN c.user_id IS NOT NULL THEN c.event_id ELSE b.event_id END
+         AS event_id,
+       CASE WHEN c.user_id IS NOT NULL THEN c.ts ELSE b.ts END AS ts,
+       CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+            ELSE b.event_type END AS event_type,
+       ROUND(CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE b.value END,
+             2) AS value,
        CASE WHEN b.user_id IS NULL THEN 'insert'
             WHEN c.user_id IS NULL THEN 'carry'
             ELSE 'update' END AS action
@@ -2208,14 +2223,23 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c.user_id").isNull(), "carry")
         .otherwise("update")
     )
+    # whole-row selection keyed on ONE indicator (the change side's
+    # join key): per-column COALESCE would resurrect stale base fields
+    # whenever the newest row legitimately carries a NULL, producing a
+    # chimera row that never existed
+    take_c = F.col("c.user_id").isNotNull()
+
+    def pick(col: str):
+        return F.when(take_c, F.col(f"c.{col}")).otherwise(F.col(f"b.{col}"))
+
     return (
         base.join(chg, F.col("b.user_id") == F.col("c.user_id"), "full_outer")
         .select(
             F.coalesce("c.user_id", "b.user_id").alias("user_id"),
-            F.coalesce("c.event_id", "b.event_id").alias("event_id"),
-            F.coalesce("c.ts", "b.ts").alias("ts"),
-            F.coalesce("c.event_type", "b.event_type").alias("event_type"),
-            F.round(F.coalesce("c.value", "b.value"), 2).alias("value"),
+            pick("event_id").alias("event_id"),
+            pick("ts").alias("ts"),
+            pick("event_type").alias("event_type"),
+            F.round(pick("value"), 2).alias("value"),
             action.alias("action"),
         )
         .orderBy("user_id")

@@ -136,8 +136,18 @@ def snapshot_lookup(
 
     meta = _read_meta(path)
     if n_key_files is None:
-        n_key_files = meta["n_key_files"] if meta else 8
+        if meta is None:
+            # guessing a modulus silently prunes the WRONG dirs and
+            # returns empty results for keys that exist — refuse
+            raise ValueError(
+                f"snapshot at {path!r} has no _snapshot_meta.json; pass "
+                "n_key_files explicitly (it must match the written layout)"
+            )
+        n_key_files = meta["n_key_files"]
     values = list(values)
+    df = spark.read.parquet(path)
+    if not values:
+        return df.filter(F.lit(False))
     pids = sorted(
         r["p"]
         for r in spark.createDataFrame([(v,) for v in values], [key])
@@ -145,7 +155,6 @@ def snapshot_lookup(
         .distinct()
         .collect()
     )
-    df = spark.read.parquet(path)
     return df.filter(df[key].isin(values) & F.col("_pid").isin(pids))
 
 

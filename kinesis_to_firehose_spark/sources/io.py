@@ -71,6 +71,15 @@ def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     missing = [c for c in mapping if c not in df.columns]
     if missing:
         raise ValueError(f"cannot rename absent columns: {missing}")
+    surviving = [c for c in df.columns if c not in mapping]
+    targets = list(mapping.values())
+    collisions = sorted(
+        {t for t in targets if t in surviving or targets.count(t) > 1}
+    )
+    if collisions:
+        # a silent duplicate column surfaces much later as an
+        # AMBIGUOUS_REFERENCE (or wrong parquet data) — fail here
+        raise ValueError(f"rename would duplicate columns: {collisions}")
     return df.withColumnsRenamed(mapping)
 
 

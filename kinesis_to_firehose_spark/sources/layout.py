@@ -20,20 +20,15 @@ from pyspark.sql import functions as F
 _ZBITS = 8
 
 
-def _bucketize(df: DataFrame, col: str, alias: str) -> DataFrame:
+def _bucket_expr(col: str, mn: float, mx: float):
     """Linear min/max scaling of `col` into 0..255. Rank-based edges
     (approx percentiles) would equalize bucket population under skew —
     same downstream interleave; linear keeps the test deterministic."""
-    stats = df.agg(
-        F.min(col).alias("mn"), F.max(col).alias("mx")
-    ).collect()[0]
-    mn, mx = float(stats["mn"]), float(stats["mx"])
     span = (mx - mn) or 1.0
-    b = F.least(
+    return F.least(
         F.lit((1 << _ZBITS) - 1),
         F.floor((F.col(col) - mn) / span * (1 << _ZBITS)).cast("long"),
     )
-    return df.withColumn(alias, b)
 
 
 def _interleave(xb: str, yb: str):
@@ -52,8 +47,15 @@ def write_zorder(
     range-partition shuffle on zval + a within-file sort, then the
     helper columns are dropped. Reads need no special API — the
     pruning lives in the parquet stats."""
+    # ONE stats pass for both dimensions (two separate min/max jobs
+    # would scan the full input twice before the write's third pass)
+    st = df.agg(
+        F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
+        F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
+    ).collect()[0]
     (
-        _bucketize(_bucketize(df, x, "_xb"), y, "_yb")
+        df.withColumn("_xb", _bucket_expr(x, float(st["x_mn"]), float(st["x_mx"])))
+        .withColumn("_yb", _bucket_expr(y, float(st["y_mn"]), float(st["y_mx"])))
         .withColumn("_z", _interleave("_xb", "_yb"))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

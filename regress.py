@@ -119,8 +119,16 @@ def main() -> None:
                     f"| {m.group(1)} | {round(bench[m.group(1)], 3)} "
                     f"| {m.group(3)} |\n"
                 )
-            if SENTINEL_RE.match(ln.strip()) and sent_now:
-                lines[i] = f"Host sentinel: {sent_now} s\n"
+            if SENTINEL_RE.match(ln.strip()):
+                # a bench without a sentinel must blank the line, not
+                # keep the previous host's value — a stale sentinel
+                # poisons every future normalized ratio
+                lines[i] = (
+                    f"Host sentinel: {sent_now} s\n"
+                    if sent_now
+                    else "Host sentinel: unknown (updated from a "
+                    "sentinel-less bench)\n"
+                )
         new_rows = [
             f"| {name} | {round(bench[name], 3)} | - |\n"
             for name in sorted(bench)

@@ -143,3 +143,78 @@ def test_bloom_prefilter_selectivity_and_no_false_negatives(spark):
     # selectivity: the prefilter rejects the bulk of non-matches
     # (1/25 nations ⇒ ~4% true rate; bloom fp adds a small epsilon)
     assert n_true <= n_passed < 0.25 * total, (n_true, n_passed, total)
+
+
+def _mini_sf(spark, tmp_path, tables):
+    """Write a minimal sf-dir with custom tables for NULL-path tests."""
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def test_merge_upsert_null_fields_do_not_resurrect_base(spark, tmp_path):
+    """A newer change row carrying NULL fields must win WHOLE-ROW: a
+    per-column coalesce would resurrect the stale base value into a
+    chimera row that never existed."""
+    from datetime import datetime
+
+    from kinesis_to_firehose_spark.operators.analytics import merge_upsert
+
+    rows = [
+        # base (pre-cutoff): user 1 click value 5.0
+        (1, datetime(2024, 1, 10), 1, "click", 5.0, "{}"),
+        # change (post-cutoff): NULL event_type and NULL value
+        (2, datetime(2024, 2, 10), 1, None, None, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = _mini_sf(spark, tmp_path, {"events": events})
+    out = {r["user_id"]: r for r in merge_upsert(spark, sf).collect()}
+    r = out[1]
+    assert r["action"] == "update"
+    assert r["event_id"] == 2
+    assert r["event_type"] is None  # NOT the resurrected 'click'
+    assert r["value"] is None  # NOT the resurrected 5.0
+
+
+def test_table_fingerprint_distinguishes_null_patterns(spark, tmp_path):
+    """Rows differing only in WHICH column is NULL must hash apart
+    (concat_ws silently drops NULL parts and shifts neighbors), and
+    NULL-bearing rows must be counted, not skipped."""
+    from kinesis_to_firehose_spark.operators.analytics import table_fingerprint
+
+    li_schema = (
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_returnflag string"
+    )
+    o = spark.createDataFrame(
+        [(1, "O", 10.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    a = _mini_sf(
+        spark,
+        tmp_path / "a",
+        {
+            "lineitem": spark.createDataFrame([(1, 2, None, "5.0")], li_schema),
+            "orders": o,
+        },
+    )
+    b = _mini_sf(
+        spark,
+        tmp_path / "b",
+        {
+            "lineitem": spark.createDataFrame([(1, 2, 5.0, None)], li_schema),
+            "orders": o,
+        },
+    )
+    fa = {r["tbl"]: r for r in table_fingerprint(spark, a).collect()}
+    fb = {r["tbl"]: r for r in table_fingerprint(spark, b).collect()}
+    assert fa["lineitem"]["n_rows"] == fb["lineitem"]["n_rows"] == 1
+    assert fa["lineitem"]["content_sum"] != fb["lineitem"]["content_sum"]
+    assert fa["orders"] == fb["orders"]
