@@ -40,22 +40,49 @@ def _interleave(xb: str, yb: str):
     return terms
 
 
+def _rank_bucket_expr(df: DataFrame, col: str):
+    """Equi-depth bucketization: 255 approx-percentile edges (a
+    sketch, one pass, driver gets only the edge list) and the bucket
+    is how many edges lie at or below the value — under skew, linear
+    min/max scaling collapses most rows into a few buckets and the
+    interleave loses its pruning power in that dimension."""
+    edges = df.approxQuantile(
+        col, [i / (1 << _ZBITS) for i in range(1, 1 << _ZBITS)], 0.001
+    )
+    arr = "array(" + ", ".join(f"CAST({e} AS DOUBLE)" for e in edges) + ")"
+    return F.expr(
+        f"CAST(size(filter({arr}, e -> e <= CAST({col} AS DOUBLE))) AS BIGINT)"
+    )
+
+
 def write_zorder(
-    df: DataFrame, x: str, y: str, path: str, n_files: int = 16
+    df: DataFrame,
+    x: str,
+    y: str,
+    path: str,
+    n_files: int = 16,
+    rank_based: bool = False,
 ) -> None:
     """Write `df` clustered by the Morton interleave of (x, y): one
     range-partition shuffle on zval + a within-file sort, then the
     helper columns are dropped. Reads need no special API — the
-    pruning lives in the parquet stats."""
-    # ONE stats pass for both dimensions (two separate min/max jobs
-    # would scan the full input twice before the write's third pass)
-    st = df.agg(
-        F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
-        F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
-    ).collect()[0]
+    pruning lives in the parquet stats. rank_based=True buckets each
+    dimension by equi-depth percentile edges instead of linear
+    min/max scaling (use for skewed dimensions)."""
+    if rank_based:
+        xb, yb = _rank_bucket_expr(df, x), _rank_bucket_expr(df, y)
+    else:
+        # ONE stats pass for both dimensions (two separate min/max
+        # jobs would scan the full input twice before the write pass)
+        st = df.agg(
+            F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
+            F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
+        ).collect()[0]
+        xb = _bucket_expr(x, float(st["x_mn"]), float(st["x_mx"]))
+        yb = _bucket_expr(y, float(st["y_mn"]), float(st["y_mx"]))
     (
-        df.withColumn("_xb", _bucket_expr(x, float(st["x_mn"]), float(st["x_mx"])))
-        .withColumn("_yb", _bucket_expr(y, float(st["y_mn"]), float(st["y_mx"])))
+        df.withColumn("_xb", xb)
+        .withColumn("_yb", yb)
         .withColumn("_z", _interleave("_xb", "_yb"))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

@@ -404,3 +404,31 @@ def test_snapshot_merge_targeted_touches_only_changed_dirs(spark, tmp_path):
             assert got[r["user_id"]] == r["value"] + 1000.0
         else:
             assert got[r["user_id"]] == r["value"]
+
+
+def test_zorder_rank_buckets_spread_skewed_dimension(spark, tmp_path):
+    """On a heavily skewed dimension, equi-depth bucketization must
+    use far more distinct buckets than linear min/max scaling (whose
+    range is dominated by outliers), and the layout must still serve
+    box queries correctly."""
+    from kinesis_to_firehose_spark.sources.layout import (
+        _bucket_expr,
+        _rank_bucket_expr,
+    )
+
+    # skew: value**4 spreads 0..~1e12 with most mass near 0
+    e = (
+        load(spark, "events", "/root/testdata/sf0.01")
+        .select("event_id", "user_id", (F.col("value") ** 4).alias("v"))
+    )
+    st = e.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    linear = e.select(
+        _bucket_expr("v", float(st["mn"]), float(st["mx"])).alias("b")
+    )
+    ranked = e.select(_rank_bucket_expr(e, "v").alias("b"))
+    n_linear = linear.distinct().count()
+    n_ranked = ranked.distinct().count()
+    assert n_ranked > 2 * n_linear, (n_linear, n_ranked)
+    # buckets stay in range
+    mm = ranked.agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= mm[0] and mm[1] <= 255
