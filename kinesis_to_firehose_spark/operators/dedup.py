@@ -1278,3 +1278,107 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_cc_star — the same pairs→clusters contract as
+# dedup_connected_components, via the alternating large-star /
+# small-star algorithm (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC'14). Min-label propagation needs
+# O(diameter) rounds — fine for near-dup clusters (short chains), but
+# adversarial chain-shaped graphs (templated doc series where doc_i ~
+# doc_{i+1} only) make diameter O(n). Large-star hangs every
+# above-u neighbor directly off u's neighborhood minimum; small-star
+# re-hangs the below-u neighbors; alternating the two collapses any
+# component into a star in O(log² n) rounds regardless of diameter.
+# Both phases are a groupBy-min plus an equi-join on the EDGE list
+# (the tiny LSH-candidate output, never the corpus), so each round is
+# one bounded shuffle. Edges stay canonically oriented src > dst
+# throughout, which makes the convergence check a set compare of two
+# small distinct edge lists. Oracle: identical fixpoint, same
+# recursive CTE as dedup_connected_components.
+# --------------------------------------------------------------------------
+_STAR_MAX_ROUNDS = 20
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u}); src > dst out."""
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v ≤ u plus (u, m); input/output src > dst."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionAll(mins.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def star_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Collapse an undirected edge list (any orientation) into per-node
+    labels ``(v, l)`` where l is the component minimum. Returns the
+    labels DataFrame and the number of (large, small) rounds taken —
+    O(log² n) even on path graphs where label propagation needs O(n).
+    """
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(_STAR_MAX_ROUNDS):
+        n = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        changed = (
+            n.subtract(e).limit(1).count() + e.subtract(n).limit(1).count()
+        )
+        e = n
+        if changed == 0:
+            break
+    roots = e.select(F.col("dst").alias("v")).subtract(
+        e.select(F.col("src").alias("v"))
+    )
+    labels = e.select(F.col("src").alias("v"), F.col("dst").alias("l")).unionAll(
+        roots.select("v", F.col("v").alias("l"))
+    )
+    return labels, rounds
+
+
+@register("dedup_cc_star", CONNECTED_COMPONENTS_SQL)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
+        .select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    )
+    labels, _ = star_components(pairs)
+    w = W.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .orderBy("doc_id")
+    )

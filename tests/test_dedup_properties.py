@@ -423,3 +423,38 @@ def test_connected_components_collapse_planted_chain(spark, tmp_path):
     assert out[10] == (10, 3)
     assert out[11] == (10, 3)
     assert out[12] == (10, 3)
+
+
+def test_star_components_log_rounds_on_adversarial_path(spark):
+    """large-star/small-star must label a 256-node PATH graph (the
+    adversarial diameter case where min-label propagation needs ~n
+    rounds) correctly in O(log² n) rounds — the property that makes it
+    the 100 TB fallback for chain-shaped dup graphs."""
+    from kinesis_to_firehose_spark.operators.dedup import star_components
+
+    n = 256
+    # path 0-1-2-...-255 plus a disjoint triangle {1000,1001,1002}
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges += [(1000, 1001), (1001, 1002), (1000, 1002)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels, rounds = star_components(e)
+    got = {r["v"]: r["l"] for r in labels.collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+    assert len(got) == n + 3
+    # diameter 255, but star rounds stay logarithmic
+    assert rounds <= 12, rounds
+
+
+def test_cc_star_matches_label_propagation(spark):
+    """Both CC algorithms must produce identical clusters on the real
+    LSH candidate pairs."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dedup_cc_star,
+        dedup_connected_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in dedup_connected_components(spark, sf).collect()}
+    b = {tuple(r) for r in dedup_cc_star(spark, sf).collect()}
+    assert a == b
