@@ -247,6 +247,7 @@ def test_snapshot_write_and_point_lookup(spark, tmp_path):
     lives in exactly one file (the pruning property of the layout)."""
     from kinesis_to_firehose_spark.registry import all_ops
     from kinesis_to_firehose_spark.sources.bucketed import (
+        snapshot_data_root,
         snapshot_lookup,
         write_snapshot,
     )
@@ -272,7 +273,7 @@ def test_snapshot_write_and_point_lookup(spark, tmp_path):
     assert "PartitionFilters" in plan and "_pid" in plan
 
     # layout property: a key's rows are never split across files
-    back = spark.read.parquet(path).select(
+    back = spark.read.parquet(snapshot_data_root(path)).select(
         "user_id", F.input_file_name().alias("f")
     )
     multi = (
@@ -353,6 +354,7 @@ def test_snapshot_merge_targeted_touches_only_changed_dirs(spark, tmp_path):
 
     from kinesis_to_firehose_spark.registry import all_ops
     from kinesis_to_firehose_spark.sources.bucketed import (
+        snapshot_data_root,
         snapshot_merge_targeted,
         write_snapshot,
     )
@@ -363,11 +365,12 @@ def test_snapshot_merge_targeted_touches_only_changed_dirs(spark, tmp_path):
     write_snapshot(spark, snap, path, n_key_files=n)
 
     def dir_state():
+        root = snapshot_data_root(path)
         out = {}
-        for d in os.listdir(path):
+        for d in os.listdir(root):
             if not d.startswith("_pid="):
                 continue
-            full = os.path.join(path, d)
+            full = os.path.join(root, d)
             out[d] = sorted(
                 (f, os.path.getmtime(os.path.join(full, f)),
                  os.path.getsize(os.path.join(full, f)))
@@ -397,13 +400,80 @@ def test_snapshot_merge_targeted_touches_only_changed_dirs(spark, tmp_path):
     # content equals (old snapshot with those keys replaced)
     got = {
         r["user_id"]: r["value"]
-        for r in spark.read.parquet(path).collect()
+        for r in spark.read.parquet(snapshot_data_root(path)).collect()
     }
     for r in snap.collect():
         if r["user_id"] in changed_keys:
             assert got[r["user_id"]] == r["value"] + 1000.0
         else:
             assert got[r["user_id"]] == r["value"]
+
+
+def test_snapshot_merge_crash_atomicity(spark, tmp_path, monkeypatch):
+    """Chaos: kill the merge at EVERY stage boundary and assert a
+    reader never observes a half-written store — it sees exactly the
+    pre-merge content before the meta flip and exactly the post-merge
+    content after it — and that a retried merge always converges."""
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, value double"
+        )
+
+    base_rows = [(i, 100 + i, float(i)) for i in range(12)]
+    change_rows = [(2, 900, 2222.0), (7, 901, 7777.0)]
+    pre = {r[0]: (r[1], r[2]) for r in base_rows}
+    post = dict(pre)
+    for k, e, v in change_rows:
+        post[k] = (e, v)
+
+    class Boom(RuntimeError):
+        pass
+
+    def read_store(path):
+        return {
+            r["user_id"]: (r["event_id"], r["value"])
+            for r in spark.read.parquet(B.snapshot_data_root(path)).collect()
+        }
+
+    for crash_at in ["pre-build", "post-build", "pre-commit", "post-commit"]:
+        path = str(tmp_path / f"snap-{crash_at}")
+        B.write_snapshot(spark, mk_df(base_rows), path, n_key_files=4)
+        assert read_store(path) == pre
+
+        def boom(stage, _crash=crash_at):
+            if stage == _crash:
+                raise Boom(stage)
+
+        monkeypatch.setattr(B, "_chaos_hook", boom)
+        try:
+            B.snapshot_merge_targeted(spark, path, mk_df(change_rows))
+            raise AssertionError("chaos hook did not fire")
+        except Boom:
+            pass
+        # the store is never half-written: before the meta flip the
+        # reader sees the old version intact, after it the new one
+        observed = read_store(path)
+        assert observed in (pre, post), (crash_at, observed)
+        if crash_at == "post-commit":
+            assert observed == post
+
+        # recovery: a retried merge (no faults) always converges
+        monkeypatch.setattr(B, "_chaos_hook", lambda stage: None)
+        B.snapshot_merge_targeted(spark, path, mk_df(change_rows))
+        assert read_store(path) == post
+        # and leaves exactly one committed version behind (dead builds
+        # and stale versions garbage-collected)
+        import os
+
+        leftovers = [
+            d
+            for d in os.listdir(path)
+            if d.startswith("v=") or d.startswith(".build-")
+        ]
+        meta = B._read_meta(path)
+        assert leftovers == [f"v={meta['version']}"], leftovers
 
 
 def test_zorder_rank_buckets_spread_skewed_dimension(spark, tmp_path):

@@ -697,7 +697,10 @@ def test_snapshot_sink_maintains_point_lookup_store(spark, tmp_path):
     store must equal the batch latest_per_key compaction and serve
     point lookups from the written layout."""
     from kinesis_to_firehose_spark.registry import all_ops
-    from kinesis_to_firehose_spark.sources.bucketed import snapshot_lookup
+    from kinesis_to_firehose_spark.sources.bucketed import (
+        snapshot_data_root,
+        snapshot_lookup,
+    )
     from kinesis_to_firehose_spark.streaming.pipeline import snapshot_sink
 
     src = str(tmp_path / "src")
@@ -717,7 +720,7 @@ def test_snapshot_sink_maintains_point_lookup_store(spark, tmp_path):
 
     stored = {
         r["user_id"]: (r["event_id"], round(r["value"], 2))
-        for r in spark.read.parquet(snap).collect()
+        for r in spark.read.parquet(snapshot_data_root(snap)).collect()
     }
     want = {
         r["user_id"]: (r["event_id"], r["value"])
