@@ -84,19 +84,48 @@ def _fake_decode(content: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, codec: str = "stub") -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out;
-    blob column is dropped on output so downstream stages are narrow."""
+    blob column is dropped on output so downstream stages are narrow.
+
+    codec selects the kernel (functions/codecs.py holds the real
+    decoders, each behind import-try):
+    - "stub": deterministic hash-seeded features — what the oracle ops
+      use (DuckDB restates them bit-exactly).
+    - "real": PIL / soundfile / pyav per kind, stdlib PPM/WAV parsers
+      when those aren't importable; raises CodecUnavailable rather
+      than silently shipping stub features.
+    - "auto": real when a codec on the EXECUTOR can parse the bytes,
+      stub fallback otherwise — the deploy-anywhere default.
+    """
     import pandas as pd
+
+    if codec not in ("stub", "real", "auto"):
+        raise ValueError(f"codec must be stub|real|auto, got {codec!r}")
 
     out_schema = (
         "media_id long, kind string, mime string, "
         + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
     )
 
+    def _decode_one(kind: str, blob: bytes) -> list[float]:
+        if codec == "stub":
+            return _fake_decode(blob)
+        from kinesis_to_firehose_spark.functions.codecs import real_features
+
+        if codec == "real":
+            return real_features(kind, blob)
+        try:
+            return real_features(kind, blob)
+        except Exception:
+            return _fake_decode(blob)
+
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(c)) for c in pdf["content"]]
+            feats = [
+                _decode_one(k, bytes(c))
+                for k, c in zip(pdf["kind"], pdf["content"])
+            ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
