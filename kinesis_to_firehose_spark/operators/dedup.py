@@ -1351,8 +1351,15 @@ def star_components(edges: DataFrame) -> tuple[DataFrame, int]:
     for _ in range(_STAR_MAX_ROUNDS):
         n = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
+        # single-job set compare: both sides are distinct, so a row in
+        # exactly one of them groups to count 1
         changed = (
-            n.subtract(e).limit(1).count() + e.subtract(n).limit(1).count()
+            n.unionAll(e)
+            .groupBy("src", "dst")
+            .count()
+            .filter(F.col("count") == 1)
+            .limit(1)
+            .count()
         )
         e = n
         if changed == 0:

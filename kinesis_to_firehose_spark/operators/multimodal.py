@@ -2,11 +2,13 @@
 `binary` columns with typed metadata, processed by Arrow-batched
 mapInPandas kernels.
 
-The container has no image/audio codecs, so the decode step is a
-deterministic fake (seeded by content hash) behind the same function
-signature a real decoder would have — the Spark surface (schema,
-partitioning, UDF batch shape) is real and tested. Swap `_fake_decode`
-for a PIL/libsndfile call on a real cluster.
+The registered oracle ops use a deterministic fake decode (seeded by
+content hash) behind the same function signature a real decoder would
+have — that determinism is what lets DuckDB restate the features
+bit-exactly. Real decoding is wired in functions/codecs.py behind
+import-try (PIL / soundfile / pyav, stdlib PPM/WAV fallbacks):
+`decode_features(media, codec="auto")` uses it when the executor can
+parse the bytes and falls back to the stub otherwise.
 
 Scale: media blobs are the widest column by far — the plumbing keeps
 them in `binary` (no base64 inflation), prunes them out of any plan
