@@ -936,3 +936,133 @@ def curate_to_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# bm25_search — ranked full-text retrieval over `documents`: classic
+# BM25 (k1/b, Robertson-Sparck Jones idf) for a fixed query set,
+# top-10 docs per query. The 100 TB shape: the query-term list is
+# tiny and BROADCAST, so the token explode is filtered to query terms
+# BEFORE its groupBy shuffle (tf table ≈ matching docs × query terms,
+# not the corpus); doc lengths are one map-side-combined groupBy over
+# the corpus; df and the (N, avgdl) scalars are broadcast back.
+# Cross-engine determinism: each per-term score is rounded to 8dp and
+# cast to DECIMAL(18,8) before the per-(query, doc) SUM — decimal
+# addition is exact and order-independent, so ranking never depends
+# on float fold order in either engine.
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: dict[int, list[str]] = {
+    0: ["fast", "hash", "join"],
+    1: ["stream", "window", "agg"],
+    2: ["slow", "table", "scan"],
+}
+
+_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES.items() for t in terms
+)
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+qt(query_id, term) AS (VALUES {_QT_VALUES}),
+dl AS (SELECT doc_id, len({TOK_SQL}) AS dl FROM documents),
+scal AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl * 1.0) AS avgdl FROM dl
+),
+dft AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS dft FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ROUND(
+           ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1)
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+           8) AS DECIMAL(18, 8)) AS tscore
+  FROM tf
+  JOIN qt q USING (term)
+  JOIN dft d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN scal s
+),
+agg AS (
+  SELECT query_id, doc_id, SUM(tscore) AS dscore
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       ROUND(CAST(dscore AS DOUBLE), 6) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY dscore DESC, doc_id
+       ) AS BIGINT) AS rk
+FROM agg
+QUALIFY rk <= {BM25_TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("bm25_search", BM25_SQL)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exploded_tokens(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES.items() for t in terms],
+        "query_id long, term string",
+    )
+    # doc length as a NARROW map (size of the token array) — never a
+    # second explode+shuffle of the full corpus
+    dl = load(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.expr(TOK_EXPR)).alias("dl")
+    )
+    scal = dl.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl") * 1.0).alias("avgdl")
+    )
+    matched = toks.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    dft = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("dft"))
+    tf = matched.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1
+    )
+    tscore = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("query_id", "doc_id", tscore.alias("tscore"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("tscore").alias("dscore")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dscore"), "doc_id")
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("dscore").cast("double"), 6).alias("score"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -169,6 +169,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "mm_ann_search",         # 3 media query vectors × candidates
         "domain_mix_rebalance",  # 1-row total/source-count aggregate
         "unigram_logprob_score", # 1-row corpus token count
+        "bm25_search",           # 1-row (N, avgdl) scalar aggregate
     }
     STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
     bad = []
@@ -239,3 +240,17 @@ def test_resample_windows_are_partitioned(spark):
     assert windows, "expected a Window node in the resample plan"
     for partition_spec in windows:
         assert partition_spec.strip(), "unpartitioned Window in plan"
+
+
+def test_bm25_filters_tokens_before_shuffle(spark):
+    """BM25's tf table must be built from tokens FILTERED to query
+    terms by a broadcast semi-join BEFORE the groupBy shuffle — the
+    tf aggregation then shuffles query-term matches only, never the
+    full token explode. (Doc-length is the one deliberate corpus-wide
+    aggregate.)"""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    plan = physical_plan(OPS["bm25_search"].fn(spark, SF))
+    assert "LeftSemi" in plan  # query-term prefilter present
+    # every non-scalar join is broadcast, not shuffle
+    assert "SortMergeJoin" not in plan, plan[:3000]
