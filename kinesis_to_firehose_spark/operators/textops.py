@@ -382,3 +382,164 @@ def lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# html_extract_text / markdown_to_text — text-EXTRACTION parity ops, the
+# front door of a web-scale training pipeline (trafilatura/jusText
+# analogue, regex-tier). The corpus has no raw HTML/markdown, so each
+# op first synthesizes a deterministic wrapped form of `text` (the
+# same derive-then-process pattern as synthetic_media), then extracts:
+# strip boilerplate containers (script/style/nav/footer/aside), strip
+# tags, decode entities, collapse whitespace. Pure narrow maps —
+# chained regexp_replace in one codegen stage, zero shuffles, and the
+# regexes stay in the RE2-safe subset ((?s), non-greedy, classes) so
+# DuckDB restates them byte-identically.
+# --------------------------------------------------------------------------
+_BOILER_RE = (
+    "(?s)<(script|style|nav|footer|aside)[^>]*>.*?</(script|style|nav|footer|aside)>"
+)
+_TAG_RE = "<[^>]*>"
+
+_HTML_SYNTH_SQL = (
+    "'<html><head><title>doc ' || doc_id || '</title>"
+    "<style>.x{color:red}</style>"
+    "<script>var t=1;</script></head>"
+    "<body><nav>home | about | ' || source || '</nav>"
+    "<h1>' || lang || '</h1><p>' || text || '</p>"
+    "<aside>related links</aside>"
+    "<footer>(c) ' || source || '</footer></body></html>'"
+)
+
+
+def _html_synth_spark():
+    return F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>.x{color:red}</style>"
+              "<script>var t=1;</script></head><body><nav>home | about | "),
+        F.col("source"),
+        F.lit("</nav><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><aside>related links</aside><footer>(c) "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+
+
+HTML_EXTRACT_SQL = rf"""
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS n_chars_html,
+       CAST(length(extracted) AS BIGINT) AS n_chars_text,
+       md5(extracted) AS extract_md5
+FROM (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(html, '{_BOILER_RE}', ' ', 'g'),
+             '{_TAG_RE}', ' ', 'g'),
+           '\s+', ' ', 'g')) AS extracted
+  FROM (
+    SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+  )
+)
+ORDER BY doc_id
+"""
+
+
+@register("html_extract_text", HTML_EXTRACT_SQL)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    html = _html_synth_spark()
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, _BOILER_RE, " "), _TAG_RE, " "
+            ),
+            WS_RE,
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(html).cast("bigint").alias("n_chars_html"),
+        F.length(extracted).cast("bigint").alias("n_chars_text"),
+        F.md5(extracted).alias("extract_md5"),
+    ).orderBy("doc_id")
+
+
+_MD_SYNTH_SQL = (
+    "'# doc ' || doc_id || '\n\n## ' || lang || '\n\n' || "
+    "'**' || source || '** ' || text || ' [ref](https://example.com/' "
+    "|| doc_id || ') `code`'"
+)
+
+# markdown strip order matters: links first (keep label, drop url),
+# then emphasis/code markers, then heading markers at line starts
+_MD_LINK_RE = "\\[([^\\]]*)\\]\\([^)]*\\)"
+_MD_MARK_RE = "[*_`]+"
+_MD_HEAD_RE = "(^|\n)#+ *"
+
+MARKDOWN_SQL = rf"""
+SELECT doc_id,
+       CAST(length(md) AS BIGINT) AS n_chars_md,
+       CAST(length(plain) AS BIGINT) AS n_chars_text,
+       md5(plain) AS plain_md5
+FROM (
+  SELECT doc_id, md,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(md, '{_MD_LINK_RE}', '\1', 'g'),
+               '{_MD_MARK_RE}', '', 'g'),
+             '{_MD_HEAD_RE}', '\1', 'g'),
+           '\s+', ' ', 'g')) AS plain
+  FROM (SELECT doc_id, {_MD_SYNTH_SQL} AS md FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+def _md_synth_spark():
+    return F.concat(
+        F.lit("# doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n\n## "),
+        F.col("lang"),
+        F.lit("\n\n**"),
+        F.col("source"),
+        F.lit("** "),
+        F.col("text"),
+        F.lit(" [ref](https://example.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(") `code`"),
+    )
+
+
+@register("markdown_to_text", MARKDOWN_SQL)
+def markdown_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    md = _md_synth_spark()
+    plain = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(md, _MD_LINK_RE, "$1"),
+                    _MD_MARK_RE,
+                    "",
+                ),
+                _MD_HEAD_RE,
+                "$1",
+            ),
+            WS_RE,
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(md).cast("bigint").alias("n_chars_md"),
+        F.length(plain).cast("bigint").alias("n_chars_text"),
+        F.md5(plain).alias("plain_md5"),
+    ).orderBy("doc_id")
