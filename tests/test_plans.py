@@ -254,3 +254,28 @@ def test_bm25_filters_tokens_before_shuffle(spark):
     assert "LeftSemi" in plan  # query-term prefilter present
     # every non-scalar join is broadcast, not shuffle
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_plan_digest_counts(spark):
+    """The digest must reduce plans to the right counters: the narrow
+    decode op is zero-shuffle single-scan; q5 is broadcast-dims with
+    at most two shuffles; the committed PLAN_DIGEST.json carries the
+    same keys for round-over-round diffing."""
+    import json
+    from pathlib import Path
+
+    from kinesis_to_firehose_spark.plans.digest import plan_digest
+
+    d = plan_digest(OPS["decode_parse_enhance"].fn(spark, SF))
+    assert d["exchanges"] == 0 and d["file_scans"] == 1
+    assert d["cartesian_products"] == 0 and d["nested_loop_joins"] == 0
+
+    q5 = plan_digest(OPS["q5_local_supplier"].fn(spark, SF))
+    assert q5["broadcast_hash_joins"] == 5
+    assert q5["exchanges"] <= 2
+    assert q5["sort_merge_joins"] == 0
+
+    committed = json.loads(
+        (Path(__file__).resolve().parents[1] / "PLAN_DIGEST.json").read_text()
+    )
+    assert set(committed["decode_parse_enhance"]) == set(d)
