@@ -31,11 +31,16 @@ def _bucket_expr(col: str, mn: float, mx: float):
     )
 
 
-def _interleave(xb: str, yb: str):
+def _interleave(*cols: str):
+    """Morton bit-interleave of 2 or 3 bucket columns: bit i of
+    column j lands at position len(cols)*i + j, so the high bits of
+    every dimension dominate the sort key equally — that equal say is
+    what gives each output file a small min/max box in ALL dims."""
+    n = len(cols)
     terms = None
     for i in range(_ZBITS):
-        for c, off in ((xb, 0), (yb, 1)):
-            t = (F.shiftright(F.col(c), i).bitwiseAND(1)) * (1 << (2 * i + off))
+        for off, c in enumerate(cols):
+            t = (F.shiftright(F.col(c), i).bitwiseAND(1)) * (1 << (n * i + off))
             terms = t if terms is None else terms + t
     return terms
 
@@ -62,54 +67,73 @@ def write_zorder(
     path: str,
     n_files: int = 16,
     rank_based: bool = False,
+    z: str | None = None,
 ) -> None:
-    """Write `df` clustered by the Morton interleave of (x, y): one
-    range-partition shuffle on zval + a within-file sort, then the
+    """Write `df` clustered by the Morton interleave of (x, y[, z]):
+    one range-partition shuffle on zval + a within-file sort, then the
     helper columns are dropped. Reads need no special API — the
     pruning lives in the parquet stats. rank_based=True buckets each
     dimension by equi-depth percentile edges instead of linear
-    min/max scaling (use for skewed dimensions)."""
+    min/max scaling (use for skewed dimensions). A third dimension
+    trades per-dim pruning power (the n_files key prefix splits
+    across 3 dims instead of 2) for nonzero pruning on all three —
+    the right call when queries band-filter (key, time, value)
+    together."""
+    dims = [x, y] + ([z] if z is not None else [])
     if rank_based:
-        xb, yb = _rank_bucket_expr(df, x), _rank_bucket_expr(df, y)
+        buckets = [_rank_bucket_expr(df, c) for c in dims]
     else:
-        # ONE stats pass for both dimensions (two separate min/max
-        # jobs would scan the full input twice before the write pass)
-        st = df.agg(
-            F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
-            F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
-        ).collect()[0]
-        xb = _bucket_expr(x, float(st["x_mn"]), float(st["x_mx"]))
-        yb = _bucket_expr(y, float(st["y_mn"]), float(st["y_mx"]))
+        # ONE stats pass for all dimensions (separate min/max jobs
+        # would scan the full input once per dim before the write)
+        aggs = []
+        for c in dims:
+            aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx")]
+        st = df.agg(*aggs).collect()[0]
+        buckets = [
+            _bucket_expr(c, float(st[f"{c}__mn"]), float(st[f"{c}__mx"]))
+            for c in dims
+        ]
+    helper = [f"_b{i}" for i in range(len(dims))]
+    out = df
+    for h, b in zip(helper, buckets):
+        out = out.withColumn(h, b)
     (
-        df.withColumn("_xb", xb)
-        .withColumn("_yb", yb)
-        .withColumn("_z", _interleave("_xb", "_yb"))
+        out.withColumn("_z", _interleave(*helper))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_xb", "_yb", "_z")
+        .drop(*helper, "_z")
         .write.mode("overwrite")
         .parquet(path)
     )
 
 
-def candidate_files_for_box(
-    spark: SparkSession, path: str, x: str, y: str, box
+def candidate_files_for_preds(
+    spark: SparkSession, path: str, preds: dict[str, tuple]
 ) -> tuple[int, int]:
-    """(files overlapping the box, total files) by per-file min/max —
-    exactly the stats a parquet reader consults before opening a row
-    group. The pruning-ratio assertion in tests uses this."""
-    x_lo, x_hi, y_lo, y_hi = box
+    """(files overlapping every [lo, hi] band, total files) by
+    per-file min/max — exactly the stats a parquet reader consults
+    before opening a row group. The pruning-ratio assertions in tests
+    use this. `preds` maps column -> (lo, hi); any number of dims."""
+    aggs = []
+    for c in preds:
+        aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx")]
     per_file = (
         spark.read.parquet(path)
         .groupBy(F.input_file_name().alias("f"))
-        .agg(
-            F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
-            F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
-        )
+        .agg(*aggs)
     )
     total = per_file.count()
-    hit = per_file.filter(
-        (F.col("x_mx") >= x_lo) & (F.col("x_mn") <= x_hi)
-        & (F.col("y_mx") >= y_lo) & (F.col("y_mn") <= y_hi)
-    ).count()
-    return hit, total
+    cond = F.lit(True)
+    for c, (lo, hi) in preds.items():
+        cond = cond & (F.col(f"{c}__mx") >= lo) & (F.col(f"{c}__mn") <= hi)
+    return per_file.filter(cond).count(), total
+
+
+def candidate_files_for_box(
+    spark: SparkSession, path: str, x: str, y: str, box
+) -> tuple[int, int]:
+    """2-D convenience wrapper over candidate_files_for_preds."""
+    x_lo, x_hi, y_lo, y_hi = box
+    return candidate_files_for_preds(
+        spark, path, {x: (x_lo, x_hi), y: (y_lo, y_hi)}
+    )

@@ -502,3 +502,52 @@ def test_zorder_rank_buckets_spread_skewed_dimension(spark, tmp_path):
     # buckets stay in range
     mm = ranked.agg(F.min("b"), F.max("b")).collect()[0]
     assert 0 <= mm[0] and mm[1] <= 255
+
+
+def test_zorder_3dim_prunes_third_dimension(spark, tmp_path):
+    """A (user, time, value) 3-dim Morton layout must prune a
+    value-band query that the 2-dim (user, time) layout cannot prune
+    at all, while returning identical rows."""
+    from kinesis_to_firehose_spark.sources.layout import (
+        candidate_files_for_preds,
+        write_zorder,
+    )
+
+    e = load(spark, "events", "/root/testdata/sf0.01").select(
+        "event_id", "user_id", "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    n_files = 16
+    p2 = str(tmp_path / "z2")
+    p3 = str(tmp_path / "z3")
+    write_zorder(e, "user_id", "ts_s", p2, n_files=n_files)
+    write_zorder(e, "user_id", "ts_s", p3, n_files=n_files, z="value")
+
+    v = e.agg(F.min("value"), F.max("value")).collect()[0]
+    # value is right-skewed: probe a HIGH band (top 30% of the range,
+    # ~1% of rows) — rare rows the 3-dim layout isolates into few
+    # files while the 2-dim layout scatters them across all of them
+    band = (v[0] + (v[1] - v[0]) * 0.7, v[1])
+    wide_u = e.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    wide_t = e.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    preds = {
+        "user_id": (wide_u[0], wide_u[1]),
+        "ts_s": (wide_t[0], wide_t[1]),
+        "value": band,
+    }
+    hit2, total2 = candidate_files_for_preds(spark, p2, preds)
+    hit3, total3 = candidate_files_for_preds(spark, p3, preds)
+    assert total2 == total3 == n_files
+    # the 2-dim layout gets no say over value (any pruning it shows is
+    # incidental correlation); the 3-dim layout must strictly beat it
+    assert hit3 < hit2, (hit3, hit2)
+
+    def band_rows(path):
+        return sorted(
+            r["event_id"]
+            for r in spark.read.parquet(path)
+            .filter((F.col("value") >= band[0]) & (F.col("value") <= band[1]))
+            .collect()
+        )
+
+    assert band_rows(p3) == band_rows(p2)
