@@ -128,7 +128,8 @@ def _gc_versions(path: str, keep_version: int) -> None:
 def snapshot_data_root(path: str) -> str:
     """Resolve the directory readers should scan: the committed
     version dir when the store is versioned, the path itself for
-    legacy flat layouts."""
+    legacy flat layouts. (dirs layout only — manifest-layout readers
+    go through snapshot_read / snapshot_lookup, which resolve FILES.)"""
     import os
 
     meta = _read_meta(path)
@@ -137,12 +138,134 @@ def snapshot_data_root(path: str) -> str:
     return path
 
 
+# ---------------------------------------------------------------------
+# manifest layout: immutable data files under path/data/_pid=p/, a
+# per-version manifest json listing the current file set per
+# partition, and the same atomic meta flip. Carrying unchanged
+# partitions across an epoch is a MANIFEST ENTRY COPY (O(changed)
+# work + one small json write) instead of the dirs layout's
+# per-partition hard-link pass (O(all partitions) metadata ops) —
+# the Iceberg/Delta commit design. At millions of partitions the
+# manifest itself would shard; the pointer-flip protocol is unchanged.
+# ---------------------------------------------------------------------
+
+
+def _manifest_file(path: str, version: int) -> str:
+    import os
+
+    return os.path.join(path, f"manifest-v{version}.json")
+
+
+def _read_manifest(path: str, version: int) -> dict[str, list[str]]:
+    import json
+
+    with open(_manifest_file(path, version)) as f:
+        return json.load(f)
+
+
+def _write_manifest(path: str, version: int, manifest: dict) -> None:
+    import json
+    import os
+
+    tmp = _manifest_file(path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_file(path, version))
+
+
+def _adopt_build_files(
+    path: str, build: str, version: int
+) -> dict[str, list[str]]:
+    """Move the spark build output's part files into the immutable
+    data/ tree with version-prefixed names; return the manifest
+    entries {pid: [relpath]}. Files are invisible to readers until a
+    manifest+meta commit references them, so a crash mid-move only
+    leaves unreferenced files for GC."""
+    import os
+
+    entries: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(build)):
+        if not d.startswith("_pid="):
+            continue
+        pid = d.split("=", 1)[1]
+        dst_dir = os.path.join(path, "data", d)
+        os.makedirs(dst_dir, exist_ok=True)
+        rels = []
+        for f in sorted(os.listdir(os.path.join(build, d))):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.join(d, f"v{version}-{f}")
+            os.rename(
+                os.path.join(build, d, f), os.path.join(path, "data", rel)
+            )
+            rels.append(rel)
+        entries[pid] = rels
+    return entries
+
+
+def _gc_manifest_store(path: str, keep_version: int) -> None:
+    """Drop data files not referenced by the committed manifest, stale
+    manifests, and dead build dirs. Safe any time: readers only
+    resolve files through the committed manifest."""
+    import os
+    import shutil
+
+    referenced = {
+        rel
+        for rels in _read_manifest(path, keep_version).values()
+        for rel in rels
+    }
+    data = os.path.join(path, "data")
+    if os.path.isdir(data):
+        for d in os.listdir(data):
+            full = os.path.join(data, d)
+            if not os.path.isdir(full):
+                continue
+            for f in os.listdir(full):
+                if os.path.join(d, f) not in referenced:
+                    os.remove(os.path.join(full, f))
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if f.startswith("manifest-v") and f != f"manifest-v{keep_version}.json":
+            os.remove(full)
+        elif f.startswith(".build-"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _gc_store(path: str, meta: dict) -> None:
+    if meta.get("layout") == "manifest":
+        _gc_manifest_store(path, meta["version"])
+    else:
+        _gc_versions(path, meta["version"])
+
+
+def snapshot_read(spark: SparkSession, path: str) -> DataFrame:
+    """Full-store read for either layout (with the `_pid` partition
+    column present, as a raw dirs-layout read would surface it)."""
+    import os
+
+    meta = _read_meta(path)
+    if meta and meta.get("layout") == "manifest":
+        manifest = _read_manifest(path, meta["version"])
+        files = [
+            os.path.join(path, "data", rel)
+            for rels in manifest.values()
+            for rel in rels
+        ]
+        base = os.path.join(path, "data")
+        return spark.read.option("basePath", base).parquet(*files)
+    return spark.read.parquet(snapshot_data_root(path))
+
+
 def write_snapshot(
     spark: SparkSession,
     snapshot: DataFrame,
     path: str,
     key: str = "user_id",
     n_key_files: int = 8,
+    layout: str = "dirs",
 ) -> None:
     """Persist a current-state snapshot (latest_per_key/merge_upsert
     output) laid out for point lookups: an epoch-versioned store
@@ -165,23 +288,47 @@ def write_snapshot(
 
     At 100 TB: n_key_files scales with snapshot size (one dir ≈ one
     128-256 MiB working set); the repartition is the single shuffle
-    the write pays, and readers pay none."""
-    import os
+    the write pays, and readers pay none.
 
+    layout="manifest" stores immutable files under path/data/ with a
+    per-version manifest json instead of version DIRECTORIES — same
+    commit protocol, but epoch merges carry unchanged partitions by
+    copying manifest entries rather than hard-linking dirs."""
+    import os
+    import shutil
+
+    if layout not in ("dirs", "manifest"):
+        raise ValueError(f"layout must be dirs|manifest, got {layout!r}")
     meta = _read_meta(path)
-    version = (meta["version"] + 1) if meta and "version" in meta else 1
+    if meta and "version" in meta:
+        version = meta["version"] + 1
+        layout = meta.get("layout", "dirs")  # the store's layout wins
+    else:
+        version = 1
+    new_meta = {
+        "key": key,
+        "n_key_files": n_key_files,
+        "version": version,
+        "layout": layout,
+    }
     _chaos_hook("pre-build")
-    _write_version_data(
-        snapshot, os.path.join(path, f"v={version}"), key, n_key_files
-    )
+    if layout == "manifest":
+        build = os.path.join(path, f".build-v={version}")
+        shutil.rmtree(build, ignore_errors=True)
+        _write_version_data(snapshot, build, key, n_key_files)
+        entries = _adopt_build_files(path, build, version)
+        shutil.rmtree(build, ignore_errors=True)
+        _write_manifest(path, version, entries)
+    else:
+        _write_version_data(
+            snapshot, os.path.join(path, f"v={version}"), key, n_key_files
+        )
     _chaos_hook("pre-commit")
     # layout params travel with the store: readers and mergers must
     # use the SAME (key, n) or they prune/target the wrong dirs
-    _commit_meta(
-        path, {"key": key, "n_key_files": n_key_files, "version": version}
-    )
+    _commit_meta(path, new_meta)
     _chaos_hook("post-commit")
-    _gc_versions(path, version)
+    _gc_store(path, new_meta)
 
 
 def _read_meta(path: str) -> dict | None:
@@ -220,9 +367,8 @@ def snapshot_lookup(
             )
         n_key_files = meta["n_key_files"]
     values = list(values)
-    df = spark.read.parquet(snapshot_data_root(path))
     if not values:
-        return df.filter(F.lit(False))
+        return snapshot_read(spark, path).filter(F.lit(False))
     pids = sorted(
         r["p"]
         for r in spark.createDataFrame([(v,) for v in values], [key])
@@ -230,6 +376,24 @@ def snapshot_lookup(
         .distinct()
         .collect()
     )
+    if meta and meta.get("layout") == "manifest":
+        # manifest layout prunes at the DRIVER: only the named
+        # partitions' files enter the read at all
+        import os
+
+        manifest = _read_manifest(path, meta["version"])
+        files = [
+            os.path.join(path, "data", rel)
+            for p in pids
+            for rel in manifest.get(str(p), [])
+        ]
+        if not files:
+            return snapshot_read(spark, path).filter(F.lit(False))
+        df = spark.read.option(
+            "basePath", os.path.join(path, "data")
+        ).parquet(*files)
+        return df.filter(df[key].isin(values))
+    df = spark.read.parquet(snapshot_data_root(path))
     return df.filter(df[key].isin(values) & F.col("_pid").isin(pids))
 
 
@@ -239,6 +403,7 @@ def snapshot_merge_targeted(
     changes: DataFrame,
     key: str = "user_id",
     n_key_files: int = 8,
+    layout: str = "dirs",
 ) -> list[int]:
     """MERGE an epoch's changed rows into the snapshot store touching
     ONLY the partition dirs that contain changed keys: the changed
@@ -269,7 +434,14 @@ def snapshot_merge_targeted(
 
     if meta is None or "version" not in meta:
         # no committed store yet (or a legacy flat layout): full write
-        write_snapshot(spark, changes, snapshot_dir, key, n_key_files)
+        write_snapshot(
+            spark, changes, snapshot_dir, key, n_key_files, layout=layout
+        )
+        meta = _read_meta(snapshot_dir)
+        if meta.get("layout") == "manifest":
+            return sorted(
+                int(p) for p in _read_manifest(snapshot_dir, meta["version"])
+            )
         root = snapshot_data_root(snapshot_dir)
         return sorted(
             int(f.split("=", 1)[1])
@@ -278,9 +450,10 @@ def snapshot_merge_targeted(
         )
 
     old_version = meta["version"]
+    store_layout = meta.get("layout", "dirs")
     old_root = os.path.join(snapshot_dir, f"v={old_version}")
     # clean any dead build from a previous crash before starting ours
-    _gc_versions(snapshot_dir, old_version)
+    _gc_store(snapshot_dir, meta)
 
     changed_pids = sorted(
         r["p"]
@@ -288,11 +461,19 @@ def snapshot_merge_targeted(
         .distinct()
         .collect()
     )
-    affected = [
-        os.path.join(old_root, f"_pid={p}")
-        for p in changed_pids
-        if os.path.isdir(os.path.join(old_root, f"_pid={p}"))
-    ]
+    if store_layout == "manifest":
+        old_manifest = _read_manifest(snapshot_dir, old_version)
+        affected = [
+            os.path.join(snapshot_dir, "data", rel)
+            for p in changed_pids
+            for rel in old_manifest.get(str(p), [])
+        ]
+    else:
+        affected = [
+            os.path.join(old_root, f"_pid={p}")
+            for p in changed_pids
+            if os.path.isdir(os.path.join(old_root, f"_pid={p}"))
+        ]
     if affected:
         current = spark.read.parquet(*affected)  # no _pid col: recomputed
         merged = current.join(
@@ -308,25 +489,40 @@ def snapshot_merge_targeted(
     # the changed partition dirs
     _write_version_data(merged, build, key, n_key_files)
     _chaos_hook("post-build")
-    changed_set = {f"_pid={p}" for p in changed_pids}
-    for d in os.listdir(old_root):
-        if not d.startswith("_pid=") or d in changed_set:
-            continue
-        src_dir, dst_dir = os.path.join(old_root, d), os.path.join(build, d)
-        os.makedirs(dst_dir, exist_ok=True)
-        for f in os.listdir(src_dir):
-            src, dst = os.path.join(src_dir, f), os.path.join(dst_dir, f)
-            try:
-                os.link(src, dst)  # immutable files: sharing is safe
-            except OSError:
-                shutil.copy2(src, dst)
-    new_root = os.path.join(snapshot_dir, f"v={old_version + 1}")
-    os.rename(build, new_root)
+    new_meta = {
+        "key": key,
+        "n_key_files": n_key_files,
+        "version": old_version + 1,
+        "layout": store_layout,
+    }
+    if store_layout == "manifest":
+        # unchanged partitions carry over as manifest-entry copies —
+        # O(changed) file moves + one small json, no per-dir link pass
+        entries = _adopt_build_files(snapshot_dir, build, old_version + 1)
+        shutil.rmtree(build, ignore_errors=True)
+        new_manifest = dict(old_manifest)
+        for p in changed_pids:
+            new_manifest.pop(str(p), None)
+        new_manifest.update(entries)
+        _write_manifest(snapshot_dir, old_version + 1, new_manifest)
+    else:
+        changed_set = {f"_pid={p}" for p in changed_pids}
+        for d in os.listdir(old_root):
+            if not d.startswith("_pid=") or d in changed_set:
+                continue
+            src_dir = os.path.join(old_root, d)
+            dst_dir = os.path.join(build, d)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.listdir(src_dir):
+                src, dst = os.path.join(src_dir, f), os.path.join(dst_dir, f)
+                try:
+                    os.link(src, dst)  # immutable files: sharing is safe
+                except OSError:
+                    shutil.copy2(src, dst)
+        new_root = os.path.join(snapshot_dir, f"v={old_version + 1}")
+        os.rename(build, new_root)
     _chaos_hook("pre-commit")
-    _commit_meta(
-        snapshot_dir,
-        {"key": key, "n_key_files": n_key_files, "version": old_version + 1},
-    )
+    _commit_meta(snapshot_dir, new_meta)
     _chaos_hook("post-commit")
-    _gc_versions(snapshot_dir, old_version + 1)
+    _gc_store(snapshot_dir, new_meta)
     return changed_pids

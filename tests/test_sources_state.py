@@ -409,11 +409,15 @@ def test_snapshot_merge_targeted_touches_only_changed_dirs(spark, tmp_path):
             assert got[r["user_id"]] == r["value"]
 
 
-def test_snapshot_merge_crash_atomicity(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("layout", ["dirs", "manifest"])
+def test_snapshot_merge_crash_atomicity(spark, tmp_path, monkeypatch, layout):
     """Chaos: kill the merge at EVERY stage boundary and assert a
     reader never observes a half-written store — it sees exactly the
     pre-merge content before the meta flip and exactly the post-merge
-    content after it — and that a retried merge always converges."""
+    content after it — and that a retried merge always converges.
+    Runs for both store layouts (versioned dirs and manifest)."""
+    import os
+
     import kinesis_to_firehose_spark.sources.bucketed as B
 
     def mk_df(rows):
@@ -434,12 +438,14 @@ def test_snapshot_merge_crash_atomicity(spark, tmp_path, monkeypatch):
     def read_store(path):
         return {
             r["user_id"]: (r["event_id"], r["value"])
-            for r in spark.read.parquet(B.snapshot_data_root(path)).collect()
+            for r in B.snapshot_read(spark, path).collect()
         }
 
     for crash_at in ["pre-build", "post-build", "pre-commit", "post-commit"]:
         path = str(tmp_path / f"snap-{crash_at}")
-        B.write_snapshot(spark, mk_df(base_rows), path, n_key_files=4)
+        B.write_snapshot(
+            spark, mk_df(base_rows), path, n_key_files=4, layout=layout
+        )
         assert read_store(path) == pre
 
         def boom(stage, _crash=crash_at):
@@ -464,16 +470,99 @@ def test_snapshot_merge_crash_atomicity(spark, tmp_path, monkeypatch):
         B.snapshot_merge_targeted(spark, path, mk_df(change_rows))
         assert read_store(path) == post
         # and leaves exactly one committed version behind (dead builds
-        # and stale versions garbage-collected)
-        import os
-
+        # and stale versions / unreferenced files garbage-collected)
+        meta = B._read_meta(path)
         leftovers = [
             d
             for d in os.listdir(path)
-            if d.startswith("v=") or d.startswith(".build-")
+            if d.startswith("v=")
+            or d.startswith(".build-")
+            or d.startswith("manifest-v")
         ]
-        meta = B._read_meta(path)
-        assert leftovers == [f"v={meta['version']}"], leftovers
+        if layout == "dirs":
+            assert leftovers == [f"v={meta['version']}"], leftovers
+        else:
+            assert leftovers == [f"manifest-v{meta['version']}.json"], leftovers
+            manifest = B._read_manifest(path, meta["version"])
+            on_disk = {
+                os.path.join(d, f)
+                for d in os.listdir(os.path.join(path, "data"))
+                for f in os.listdir(os.path.join(path, "data", d))
+            }
+            referenced = {rel for rels in manifest.values() for rel in rels}
+            assert on_disk == referenced
+
+
+def test_manifest_merge_carries_unchanged_files_untouched(spark, tmp_path):
+    """Manifest layout: an epoch merge must leave unchanged
+    partitions' FILES byte-identical (same names, same mtimes — no
+    rewrite, no re-link) and only replace the changed partitions'
+    manifest entries; point lookups read only the named partitions'
+    files."""
+    import os
+
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, value double"
+        )
+
+    n = 8
+    path = str(tmp_path / "snap")
+    base_rows = [(i, 100 + i, float(i)) for i in range(32)]
+    B.write_snapshot(
+        spark, mk_df(base_rows), path, n_key_files=n, layout="manifest"
+    )
+    meta = B._read_meta(path)
+    m1 = B._read_manifest(path, meta["version"])
+
+    def file_state():
+        out = {}
+        for rels in B._read_manifest(
+            path, B._read_meta(path)["version"]
+        ).values():
+            for rel in rels:
+                full = os.path.join(path, "data", rel)
+                out[rel] = (os.path.getmtime(full), os.path.getsize(full))
+        return out
+
+    before = file_state()
+    changes = mk_df([(3, 900, 3333.0)])
+    pids = B.snapshot_merge_targeted(spark, path, changes)
+    assert len(pids) == 1
+    after = file_state()
+    m2 = B._read_manifest(path, B._read_meta(path)["version"])
+    # unchanged pids: identical entries AND identical files on disk
+    for p in m1:
+        if int(p) not in pids:
+            assert m2[p] == m1[p]
+            for rel in m1[p]:
+                assert after[rel] == before[rel]
+    # changed pid: new file names (immutable store, no in-place write)
+    for p in map(str, pids):
+        assert set(m2[p]).isdisjoint(set(m1.get(p, [])))
+
+    # content: equals base with the changed key replaced
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in B.snapshot_read(spark, path).collect()
+    }
+    want = {r[0]: (r[1], r[2]) for r in base_rows}
+    want[3] = (900, 3333.0)
+    assert got == want
+
+    # lookup prunes at the driver: only the named pids' files are read
+    looked = B.snapshot_lookup(spark, path, "user_id", [3])
+    files_read = {
+        os.path.relpath(r["f"].replace("file://", ""), os.path.join(path, "data"))
+        for r in looked.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    allowed = set(m2[str(pids[0])])
+    assert files_read <= allowed, (files_read, allowed)
+    assert {r["user_id"] for r in looked.collect()} == {3}
 
 
 def test_zorder_rank_buckets_spread_skewed_dimension(spark, tmp_path):
