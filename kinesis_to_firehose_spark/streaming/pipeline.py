@@ -446,6 +446,7 @@ def snapshot_sink(
     watermark: str = "10 minutes",
     max_files_per_trigger: int = 4,
     n_key_files: int = 4,
+    layout: str = "dirs",
 ):
     """The CDC loop closed end-to-end: change feed → stateful upsert
     (latest_per_key_stream emits only keys whose snapshot row changed)
@@ -471,9 +472,10 @@ def snapshot_sink(
         if changed.isEmpty():
             return
         # targeted: only partition files containing changed keys are
-        # read or rewritten, each swapped in atomically
+        # read or rewritten, published with an atomic meta flip
         snapshot_merge_targeted(
-            spark, snapshot_dir, changed, n_key_files=n_key_files
+            spark, snapshot_dir, changed, n_key_files=n_key_files,
+            layout=layout,
         )
 
     return (

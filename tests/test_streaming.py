@@ -692,14 +692,15 @@ def test_send_batch_eventual_delivery_or_dead_letter(fail_counts):
     assert delivered >= set(batch) - expected_dead
 
 
-def test_snapshot_sink_maintains_point_lookup_store(spark, tmp_path):
+@pytest.mark.parametrize("layout", ["dirs", "manifest"])
+def test_snapshot_sink_maintains_point_lookup_store(spark, tmp_path, layout):
     """Drain the change feed through snapshot_sink: the persisted
     store must equal the batch latest_per_key compaction and serve
-    point lookups from the written layout."""
+    point lookups from the written layout — for both store layouts."""
     from kinesis_to_firehose_spark.registry import all_ops
     from kinesis_to_firehose_spark.sources.bucketed import (
-        snapshot_data_root,
         snapshot_lookup,
+        snapshot_read,
     )
     from kinesis_to_firehose_spark.streaming.pipeline import snapshot_sink
 
@@ -714,13 +715,14 @@ def test_snapshot_sink_maintains_point_lookup_store(spark, tmp_path):
         str(tmp_path / "ckpt"),
         watermark="40 days",
         max_files_per_trigger=1,
+        layout=layout,
     )
     q.processAllAvailable()
     q.stop()
 
     stored = {
         r["user_id"]: (r["event_id"], round(r["value"], 2))
-        for r in spark.read.parquet(snapshot_data_root(snap)).collect()
+        for r in snapshot_read(spark, snap).collect()
     }
     want = {
         r["user_id"]: (r["event_id"], r["value"])
