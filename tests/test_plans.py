@@ -279,3 +279,57 @@ def test_plan_digest_counts(spark):
         (Path(__file__).resolve().parents[1] / "PLAN_DIGEST.json").read_text()
     )
     assert set(committed["decode_parse_enhance"]) == set(d)
+
+
+def test_bucketed_documents_per_doc_pipeline_no_exchange(spark):
+    """documents bucketed by doc_id: the per-doc metric family
+    (narrow metrics ∪ explode+groupBy(doc_id) aggregates, joined back
+    on doc_id — the quality_fused shape) must plan with ZERO
+    exchanges: the bucketed scan reports hash partitioning on doc_id,
+    which survives narrow maps AND the token explode, so the groupBy,
+    the window, and the join all reuse it. This is the write-once
+    shuffle-never option for every per-doc curation op at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import TOK_EXPR
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+    from kinesis_to_firehose_spark.sources.bucketed import write_bucketed
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    t = write_bucketed(spark, SF, "documents", "doc_id", 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must rely on co-partitioning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        d = spark.table(t)
+        narrow = d.select(
+            "doc_id", F.size(F.expr(TOK_EXPR)).alias("n_tokens")
+        )
+        toks = d.select(
+            "doc_id", F.explode(F.expr(TOK_EXPR)).alias("tok")
+        )
+        agg = toks.groupBy("doc_id").agg(
+            F.countDistinct("tok").alias("n_distinct")
+        )
+        joined = narrow.join(agg, "doc_id")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan[:3000]
+        assert "SortMergeJoin" in plan
+        # correctness: same result as the unbucketed path
+        raw = load(spark, "documents", SF)
+        want = (
+            raw.select("doc_id", F.size(F.expr(TOK_EXPR)).alias("n_tokens"))
+            .join(
+                raw.select(
+                    "doc_id", F.explode(F.expr(TOK_EXPR)).alias("tok")
+                )
+                .groupBy("doc_id")
+                .agg(F.countDistinct("tok").alias("n_distinct")),
+                "doc_id",
+            )
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
