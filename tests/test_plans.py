@@ -333,3 +333,24 @@ def test_bucketed_documents_per_doc_pipeline_no_exchange(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_materialized_scan_sharing(spark):
+    """Inside sources.tables.materialized(): queries read the cached
+    table (InMemoryTableScan in the plan) and return identical
+    results; outside, load() goes back to parquet and the cache is
+    released."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+    from kinesis_to_firehose_spark.sources.tables import materialized
+
+    want = sorted(map(tuple, OPS["q1_pricing_summary"].fn(spark, SF).collect()))
+    with materialized(spark, SF, ("lineitem",)):
+        df = OPS["q1_pricing_summary"].fn(spark, SF)
+        assert "InMemoryTableScan" in physical_plan(df)
+        got = sorted(map(tuple, df.collect()))
+    assert got == want
+    after = physical_plan(OPS["q1_pricing_summary"].fn(spark, SF))
+    assert "InMemoryTableScan" not in after
+    # cache fully released (no lingering persisted RDDs from the ctx)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().isEmpty()
