@@ -156,11 +156,47 @@ def _manifest_file(path: str, version: int) -> str:
     return os.path.join(path, f"manifest-v{version}.json")
 
 
-def _read_manifest(path: str, version: int) -> dict[str, list[str]]:
+def _read_manifest(path: str, version: int) -> dict:
+    """Load a manifest doc, normalized to
+    ``{"entries": {pid: [relpath]}, "stats": {relpath: {col: [mn, mx]}}}``
+    (early manifests were the bare entries dict)."""
     import json
 
     with open(_manifest_file(path, version)) as f:
-        return json.load(f)
+        doc = json.load(f)
+    if "entries" not in doc:
+        doc = {"entries": doc, "stats": {}}
+    doc.setdefault("stats", {})
+    return doc
+
+
+def _file_stats(full_path: str, cols: tuple[str, ...]) -> dict:
+    """Per-file [min, max] for `cols` straight from the parquet footer
+    (row-group statistics; no data read, no Spark job). Columns whose
+    stats are absent are omitted — readers must treat a missing entry
+    as 'cannot skip'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    name_to_idx = {
+        md.schema.column(i).name: i for i in range(md.num_columns)
+    }
+    out = {}
+    for c in cols:
+        if c not in name_to_idx:
+            continue
+        mins, maxs = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(name_to_idx[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if ok and mins:
+            out[c] = [min(mins), max(maxs)]
+    return out
 
 
 def _write_manifest(path: str, version: int, manifest: dict) -> None:
@@ -176,16 +212,18 @@ def _write_manifest(path: str, version: int, manifest: dict) -> None:
 
 
 def _adopt_build_files(
-    path: str, build: str, version: int
-) -> dict[str, list[str]]:
+    path: str, build: str, version: int, stats_cols: tuple[str, ...] = ()
+) -> tuple[dict[str, list[str]], dict[str, dict]]:
     """Move the spark build output's part files into the immutable
-    data/ tree with version-prefixed names; return the manifest
-    entries {pid: [relpath]}. Files are invisible to readers until a
-    manifest+meta commit references them, so a crash mid-move only
-    leaves unreferenced files for GC."""
+    data/ tree with version-prefixed names; return manifest entries
+    {pid: [relpath]} plus per-file footer stats for `stats_cols`.
+    Files are invisible to readers until a manifest+meta commit
+    references them, so a crash mid-move only leaves unreferenced
+    files for GC."""
     import os
 
     entries: dict[str, list[str]] = {}
+    stats: dict[str, dict] = {}
     for d in sorted(os.listdir(build)):
         if not d.startswith("_pid="):
             continue
@@ -197,12 +235,15 @@ def _adopt_build_files(
             if not f.endswith(".parquet"):
                 continue
             rel = os.path.join(d, f"v{version}-{f}")
-            os.rename(
-                os.path.join(build, d, f), os.path.join(path, "data", rel)
-            )
+            full = os.path.join(path, "data", rel)
+            os.rename(os.path.join(build, d, f), full)
             rels.append(rel)
+            if stats_cols:
+                s = _file_stats(full, stats_cols)
+                if s:
+                    stats[rel] = s
         entries[pid] = rels
-    return entries
+    return entries, stats
 
 
 def _gc_manifest_store(path: str, keep_version: int) -> None:
@@ -214,7 +255,7 @@ def _gc_manifest_store(path: str, keep_version: int) -> None:
 
     referenced = {
         rel
-        for rels in _read_manifest(path, keep_version).values()
+        for rels in _read_manifest(path, keep_version)["entries"].values()
         for rel in rels
     }
     data = os.path.join(path, "data")
@@ -251,12 +292,46 @@ def snapshot_read(spark: SparkSession, path: str) -> DataFrame:
         manifest = _read_manifest(path, meta["version"])
         files = [
             os.path.join(path, "data", rel)
-            for rels in manifest.values()
+            for rels in manifest["entries"].values()
             for rel in rels
         ]
         base = os.path.join(path, "data")
         return spark.read.option("basePath", base).parquet(*files)
     return spark.read.parquet(snapshot_data_root(path))
+
+
+def snapshot_scan(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Band scan `lo <= col <= hi` over the store. On a manifest
+    layout with footer stats for `col`, files whose [min, max] range
+    misses the band are skipped at the DRIVER — never opened, never
+    planned (the Iceberg file-skipping pattern; `col` need not be the
+    partition key). Files without recorded stats are always read.
+    Falls back to a plain filtered read elsewhere."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+    meta = _read_meta(path)
+    if not meta or meta.get("layout") != "manifest":
+        return snapshot_read(spark, path).filter(pred)
+    manifest = _read_manifest(path, meta["version"])
+    stats = manifest["stats"]
+    files = []
+    for rels in manifest["entries"].values():
+        for rel in rels:
+            rng = stats.get(rel, {}).get(col)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                continue  # provably disjoint: skip without opening
+            files.append(os.path.join(path, "data", rel))
+    if not files:
+        return snapshot_read(spark, path).filter(F.lit(False))
+    df = spark.read.option("basePath", os.path.join(path, "data")).parquet(
+        *files
+    )
+    return df.filter(pred)
 
 
 def write_snapshot(
@@ -266,6 +341,7 @@ def write_snapshot(
     key: str = "user_id",
     n_key_files: int = 8,
     layout: str = "dirs",
+    stats_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist a current-state snapshot (latest_per_key/merge_upsert
     output) laid out for point lookups: an epoch-versioned store
@@ -303,6 +379,7 @@ def write_snapshot(
     if meta and "version" in meta:
         version = meta["version"] + 1
         layout = meta.get("layout", "dirs")  # the store's layout wins
+        stats_cols = tuple(meta.get("stats_cols", stats_cols))
     else:
         version = 1
     new_meta = {
@@ -310,15 +387,16 @@ def write_snapshot(
         "n_key_files": n_key_files,
         "version": version,
         "layout": layout,
+        "stats_cols": list(stats_cols),
     }
     _chaos_hook("pre-build")
     if layout == "manifest":
         build = os.path.join(path, f".build-v={version}")
         shutil.rmtree(build, ignore_errors=True)
         _write_version_data(snapshot, build, key, n_key_files)
-        entries = _adopt_build_files(path, build, version)
+        entries, stats = _adopt_build_files(path, build, version, stats_cols)
         shutil.rmtree(build, ignore_errors=True)
-        _write_manifest(path, version, entries)
+        _write_manifest(path, version, {"entries": entries, "stats": stats})
     else:
         _write_version_data(
             snapshot, os.path.join(path, f"v={version}"), key, n_key_files
@@ -385,7 +463,7 @@ def snapshot_lookup(
         files = [
             os.path.join(path, "data", rel)
             for p in pids
-            for rel in manifest.get(str(p), [])
+            for rel in manifest["entries"].get(str(p), [])
         ]
         if not files:
             return snapshot_read(spark, path).filter(F.lit(False))
@@ -440,7 +518,10 @@ def snapshot_merge_targeted(
         meta = _read_meta(snapshot_dir)
         if meta.get("layout") == "manifest":
             return sorted(
-                int(p) for p in _read_manifest(snapshot_dir, meta["version"])
+                int(p)
+                for p in _read_manifest(snapshot_dir, meta["version"])[
+                    "entries"
+                ]
             )
         root = snapshot_data_root(snapshot_dir)
         return sorted(
@@ -466,7 +547,7 @@ def snapshot_merge_targeted(
         affected = [
             os.path.join(snapshot_dir, "data", rel)
             for p in changed_pids
-            for rel in old_manifest.get(str(p), [])
+            for rel in old_manifest["entries"].get(str(p), [])
         ]
     else:
         affected = [
@@ -494,17 +575,32 @@ def snapshot_merge_targeted(
         "n_key_files": n_key_files,
         "version": old_version + 1,
         "layout": store_layout,
+        "stats_cols": meta.get("stats_cols", []),
     }
     if store_layout == "manifest":
         # unchanged partitions carry over as manifest-entry copies —
         # O(changed) file moves + one small json, no per-dir link pass
-        entries = _adopt_build_files(snapshot_dir, build, old_version + 1)
+        entries, stats = _adopt_build_files(
+            snapshot_dir, build, old_version + 1,
+            tuple(meta.get("stats_cols", [])),
+        )
         shutil.rmtree(build, ignore_errors=True)
-        new_manifest = dict(old_manifest)
+        new_entries = dict(old_manifest["entries"])
+        dropped = set()
         for p in changed_pids:
-            new_manifest.pop(str(p), None)
-        new_manifest.update(entries)
-        _write_manifest(snapshot_dir, old_version + 1, new_manifest)
+            dropped.update(new_entries.pop(str(p), []))
+        new_entries.update(entries)
+        new_stats = {
+            rel: s
+            for rel, s in old_manifest["stats"].items()
+            if rel not in dropped
+        }
+        new_stats.update(stats)
+        _write_manifest(
+            snapshot_dir,
+            old_version + 1,
+            {"entries": new_entries, "stats": new_stats},
+        )
     else:
         changed_set = {f"_pid={p}" for p in changed_pids}
         for d in os.listdir(old_root):

@@ -489,7 +489,9 @@ def test_snapshot_merge_crash_atomicity(spark, tmp_path, monkeypatch, layout):
                 for d in os.listdir(os.path.join(path, "data"))
                 for f in os.listdir(os.path.join(path, "data", d))
             }
-            referenced = {rel for rels in manifest.values() for rel in rels}
+            referenced = {
+                rel for rels in manifest["entries"].values() for rel in rels
+            }
             assert on_disk == referenced
 
 
@@ -515,13 +517,13 @@ def test_manifest_merge_carries_unchanged_files_untouched(spark, tmp_path):
         spark, mk_df(base_rows), path, n_key_files=n, layout="manifest"
     )
     meta = B._read_meta(path)
-    m1 = B._read_manifest(path, meta["version"])
+    m1 = B._read_manifest(path, meta["version"])["entries"]
 
     def file_state():
         out = {}
-        for rels in B._read_manifest(
-            path, B._read_meta(path)["version"]
-        ).values():
+        for rels in B._read_manifest(path, B._read_meta(path)["version"])[
+            "entries"
+        ].values():
             for rel in rels:
                 full = os.path.join(path, "data", rel)
                 out[rel] = (os.path.getmtime(full), os.path.getsize(full))
@@ -532,7 +534,7 @@ def test_manifest_merge_carries_unchanged_files_untouched(spark, tmp_path):
     pids = B.snapshot_merge_targeted(spark, path, changes)
     assert len(pids) == 1
     after = file_state()
-    m2 = B._read_manifest(path, B._read_meta(path)["version"])
+    m2 = B._read_manifest(path, B._read_meta(path)["version"])["entries"]
     # unchanged pids: identical entries AND identical files on disk
     for p in m1:
         if int(p) not in pids:
@@ -640,3 +642,80 @@ def test_zorder_3dim_prunes_third_dimension(spark, tmp_path):
         )
 
     assert band_rows(p3) == band_rows(p2)
+
+
+def test_manifest_stats_sidecar_skips_files(spark, tmp_path):
+    """Footer-stats sidecar: a band scan on a NON-key column must skip
+    every file whose [min,max] range misses the band — at the driver,
+    before any file is opened — and still return exactly the rows a
+    full filtered read returns. Stats survive targeted merges."""
+    import os
+
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    n = 4
+    path = str(tmp_path / "snap")
+    # craft values so each partition file has a tight, distinct value
+    # range: value = pid * 100 + jitter
+    users = list(range(64))
+    pid_of = {
+        r["user_id"]: r["p"]
+        for r in spark.createDataFrame([(u,) for u in users], "user_id long")
+        .select("user_id", B._pid_expr("user_id", n).alias("p"))
+        .collect()
+    }
+    rows = [
+        (u, 100 + u, float(pid_of[u] * 100 + (u % 7))) for u in users
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    B.write_snapshot(
+        spark, df, path, n_key_files=n, layout="manifest",
+        stats_cols=("value",),
+    )
+    meta = B._read_meta(path)
+    man = B._read_manifest(path, meta["version"])
+    assert man["stats"], "no stats recorded"
+    for s in man["stats"].values():
+        assert "value" in s
+
+    # band covering only pid 2's values
+    lo, hi = 195.0, 290.0
+    scan = B.snapshot_scan(spark, path, "value", lo, hi)
+    files_read = {
+        os.path.relpath(
+            r["f"].replace("file://", ""), os.path.join(path, "data")
+        )
+        for r in scan.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    overlapping = {
+        rel
+        for rel, s in man["stats"].items()
+        if not (s["value"][1] < lo or s["value"][0] > hi)
+    }
+    assert files_read <= overlapping
+    assert len(overlapping) < sum(len(v) for v in man["entries"].values())
+
+    want = sorted(
+        (r[0], r[1], r[2]) for r in rows if lo <= r[2] <= hi
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"], r["value"]) for r in scan.collect()
+    )
+    assert got == want
+
+    # merge a change into one partition: stats refresh for its new
+    # file, survive untouched elsewhere, and the scan stays correct
+    B.snapshot_merge_targeted(
+        spark, path, spark.createDataFrame(
+            [(users[0], 999, 205.0)], "user_id long, event_id long, value double"
+        )
+    )
+    man2 = B._read_manifest(path, B._read_meta(path)["version"])
+    assert man2["stats"]
+    got2 = {
+        (r["user_id"], r["event_id"])
+        for r in B.snapshot_scan(spark, path, "value", lo, hi).collect()
+    }
+    assert (users[0], 999) in got2
