@@ -354,3 +354,47 @@ def test_materialized_scan_sharing(spark):
     # cache fully released (no lingering persisted RDDs from the ctx)
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().isEmpty()
+
+
+def test_shuffle_advisor_arithmetic_and_aqe_coalesce(spark):
+    """The advisor rounds shuffled-bytes/target UP within clamps, and
+    the over-provisioned direction it relies on is safe because AQE
+    demonstrably coalesces: a tiny aggregate run at 32 shuffle
+    partitions executes with far fewer after coalescing."""
+    from kinesis_to_firehose_spark.plans.shuffle import (
+        TARGET_SHUFFLE_PARTITION_BYTES as T,
+    )
+    from kinesis_to_firehose_spark.plans.shuffle import (
+        advise_for_tables,
+        advise_shuffle_partitions,
+        table_bytes,
+    )
+
+    # arithmetic: joins move all input; aggs ~1%; narrow none
+    assert advise_shuffle_partitions(100 * T, "join") == 100
+    assert advise_shuffle_partitions(100 * T, "agg") == 1
+    assert advise_shuffle_partitions(0, "narrow") == 1
+    assert advise_shuffle_partitions(10**18, "join", max_partitions=500) == 500
+    # 100 TB sanity: full-shuffle join ⇒ ~500k partitions (SURVEY §6)
+    assert advise_shuffle_partitions(100 * 10**12, "join") == 476838
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        advise_shuffle_partitions(1, "bogus")
+
+    # table-bytes path: tiny testdata advises the minimum
+    assert table_bytes(SF, ("lineitem", "orders")) > 0
+    assert advise_for_tables(SF, ("lineitem", "orders"), "join") == 1
+
+    # AQE coalesce in action: executed plan shows a coalesced
+    # AQEShuffleRead with fewer partitions than the configured 32
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    df = (
+        load(spark, "orders", SF)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in final, final[:2000]
