@@ -343,6 +343,10 @@ def test_materialized_scan_sharing(spark):
     from kinesis_to_firehose_spark.plans.explain import physical_plan
     from kinesis_to_firehose_spark.sources.tables import materialized
 
+    # other tests' localCheckpoints may already hold persisted RDDs in
+    # this shared session — assert on the DELTA, not emptiness
+    jsc = spark.sparkContext._jsc.sc()
+    persisted_before = jsc.getPersistentRDDs().size()
     want = sorted(map(tuple, OPS["q1_pricing_summary"].fn(spark, SF).collect()))
     with materialized(spark, SF, ("lineitem",)):
         df = OPS["q1_pricing_summary"].fn(spark, SF)
@@ -351,9 +355,8 @@ def test_materialized_scan_sharing(spark):
     assert got == want
     after = physical_plan(OPS["q1_pricing_summary"].fn(spark, SF))
     assert "InMemoryTableScan" not in after
-    # cache fully released (no lingering persisted RDDs from the ctx)
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().isEmpty()
+    # the context's cache is released (no NEW persisted RDDs remain)
+    assert jsc.getPersistentRDDs().size() <= persisted_before
 
 
 def test_shuffle_advisor_arithmetic_and_aqe_coalesce(spark):
