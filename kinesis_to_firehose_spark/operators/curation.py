@@ -1066,3 +1066,119 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# decontaminate_embedding — semantic decontamination: drop training
+# vectors too close (cosine ≥ τ) to ANY held-out eval vector. The
+# n-gram pass (decontaminate_ngram) catches verbatim leakage; this
+# catches paraphrased leakage the way modern LLM data pipelines do —
+# eval-set neighbors in embedding space. Candidates come from the
+# shared hyperplane-LSH band table (dedup.emb_band_table), so the
+# plan is two narrow band projections + a (band_idx, band_key)
+# equi-join of TRAIN bands against the tiny EVAL band side + the
+# exact Arrow rescore on candidates only — never train×eval
+# all-pairs. At 100 TB the eval band table broadcasts.
+# Output: every train vector with its eval-candidate count, max eval
+# cosine (NULL when no candidate), and the keep bit.
+# --------------------------------------------------------------------------
+def _emb_decon_sql() -> str:
+    from kinesis_to_firehose_spark.operators.dedup import (
+        COSINE_TAU,
+        NORMED_CTE,
+        _emb_band_keys,
+        _PAIR_COS_SQL,
+    )
+
+    band_list = ", ".join(_emb_band_keys("duck"))
+    return f"""
+WITH bands AS (
+  SELECT vec_id,
+         unnest([{band_list}]) AS band_key,
+         generate_subscripts([{band_list}], 1) AS band_idx
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT t.vec_id AS vec_id_1, e.vec_id AS vec_id_2
+  FROM bands t
+  JOIN bands e
+    ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+  WHERE t.vec_id % {EVAL_MOD} != 0 AND e.vec_id % {EVAL_MOD} = 0
+),
+scored AS (
+  SELECT cand.vec_id_1, ROUND({_PAIR_COS_SQL}, 6) AS cosine
+  FROM cand
+  JOIN ({NORMED_CTE} SELECT * FROM normed) a ON a.vec_id = cand.vec_id_1
+  JOIN ({NORMED_CTE} SELECT * FROM normed) b ON b.vec_id = cand.vec_id_2
+),
+per_train AS (
+  SELECT vec_id_1 AS vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_eval_cands,
+         MAX(cosine) AS max_eval_cos
+  FROM scored GROUP BY vec_id_1
+)
+SELECT e.vec_id,
+       CAST(COALESCE(p.n_eval_cands, 0) AS BIGINT) AS n_eval_cands,
+       p.max_eval_cos,
+       CAST(CASE WHEN COALESCE(p.max_eval_cos, -2) >= {COSINE_TAU}
+                 THEN 0 ELSE 1 END AS BIGINT) AS keep
+FROM embeddings e
+LEFT JOIN per_train p ON p.vec_id = e.vec_id
+WHERE e.vec_id % {EVAL_MOD} != 0
+ORDER BY e.vec_id
+"""
+
+
+@register("decontaminate_embedding", _emb_decon_sql())
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.operators.dedup import (
+        COSINE_TAU,
+        emb_band_table,
+        score_pairs_exact,
+    )
+
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    bands = emb_band_table(e)
+    is_eval = F.col("vec_id") % EVAL_MOD == 0
+    t = bands.filter(~is_eval).alias("t")
+    v = bands.filter(is_eval).alias("v")
+    cand = (
+        t.join(
+            v,
+            (F.col("t.band_idx") == F.col("v.band_idx"))
+            & (F.col("t.band_key") == F.col("v.band_key")),
+        )
+        .select(
+            F.col("t.vec_id").alias("vec_id_1"),
+            F.col("v.vec_id").alias("vec_id_2"),
+        )
+        .distinct()
+    )
+    per_train = (
+        score_pairs_exact(cand, e)
+        .groupBy("vec_id_1")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval_cands"),
+            F.max("cosine").alias("max_eval_cos"),
+        )
+        .withColumnRenamed("vec_id_1", "vec_id")
+    )
+    return (
+        e.filter(~is_eval)
+        .select("vec_id")
+        .join(per_train, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_eval_cands"), F.lit(0))
+            .cast("bigint")
+            .alias("n_eval_cands"),
+            "max_eval_cos",
+            F.when(
+                F.coalesce(F.col("max_eval_cos"), F.lit(-2.0)) >= COSINE_TAU, 0
+            )
+            .otherwise(1)
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -867,18 +867,25 @@ def _emb_planes():
     return planes
 
 
-@register("dedup_embedding_lsh", DEDUP_EMB_LSH_SQL)
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Band keys come from a vectorized Arrow UDF, not a SQL expression:
-    # the 32-plane × 64-dim projection blows past janino's method-size
-    # limit and would run interpreted per-row. The kernel folds
-    # dimension-by-dimension (acc += emb[:,d] * plane[d]) — the same
-    # left-assoc order as the oracle's `t0 + t1 + ... + t63`, so the
-    # sign bits (and hence the candidate set) are engine-identical.
+def emb_band_table(e: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_key) hyperplane-LSH bands for an
+    embeddings DataFrame — the shared candidate-generation stage of
+    `dedup_embedding_lsh` and `decontaminate_embedding`.
+
+    Band keys come from a vectorized Arrow UDF, not a SQL expression:
+    the 32-plane × 64-dim projection blows past janino's method-size
+    limit and would run interpreted per-row. The kernel folds
+    dimension-by-dimension (acc += emb[:,d] * plane[d]) — the same
+    left-assoc order as the oracle's `t0 + t1 + ... + t63`, so the
+    sign bits (and hence the candidate set) are engine-identical.
+    The result is localCheckpointed: every caller joins the band table
+    against itself (or a filtered split of it), and without the
+    checkpoint the Arrow projection kernel runs once per join side
+    (no ReusedExchange). The band table is (vec_id, band_idx, key) —
+    tiny next to the vectors.
+    """
     import numpy as np
     import pandas as pd
-
-    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
 
     def _band_keys(emb):
         planes = _emb_planes()
@@ -901,17 +908,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     band_keys = F.pandas_udf(_band_keys, "array<string>")
-    bands = (
+    return (
         e.select(
             "vec_id",
             F.posexplode(band_keys("embedding")).alias("band_idx0", "band_key"),
         )
         .withColumn("band_idx", F.col("band_idx0") + 1)
-        # the self-join otherwise evaluates the Arrow projection kernel
-        # twice (no ReusedExchange across the join sides); the band
-        # table is (vec_id, band_idx, key) — tiny next to the vectors
+        .select("vec_id", "band_idx", "band_key")
         .localCheckpoint(eager=True)
     )
+
+
+@register("dedup_embedding_lsh", DEDUP_EMB_LSH_SQL)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    bands = emb_band_table(e)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -1389,3 +1400,195 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_substring — duplicated-SPAN detection (the exact-substring
+# dedup of Lee et al., "Deduplicating Training Data Makes Language
+# Models Better", adapted to word windows): every k-word window of
+# every document is hashed; a window that also occurs in ANOTHER
+# document is a duplicated span. Emits per-doc window counts, the
+# duplicated-window fraction, and the keep decision (< 50 % of the
+# doc duplicated elsewhere). Complements doc-level near-dup (minhash/
+# simhash): it catches boilerplate shared across otherwise-distinct
+# documents.
+#
+# Plan shape at 100 TB: tokens explode narrowly, the window leads need
+# one shuffle on doc_id, then occurrences collapse to (doc_id, gram)
+# COUNTS before anything joins — the gram-frequency aggregate and the
+# (doc,gram)⋈gram join both run on the collapsed table, map-side
+# combined. No all-pairs anywhere; the widest shuffle key is the gram
+# string (at real scale you'd md5 it — kept readable here because the
+# oracle must mirror it byte-for-byte).
+# --------------------------------------------------------------------------
+SUBSTR_K = 8
+
+DEDUP_SUBSTRING_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL} AS t FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - {SUBSTR_K - 1}, 0)),
+                               i -> array_to_string(list_slice(t, i, i + {SUBSTR_K - 1}), ' ')))
+           AS gram
+  FROM toks
+),
+per_dg AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM wins GROUP BY doc_id, gram
+),
+nd AS (
+  SELECT gram, COUNT(*) AS n_docs FROM per_dg GROUP BY gram
+)
+SELECT per_dg.doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_windows,
+       ROUND(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) / SUM(c), 6) AS dup_frac,
+       CAST(CASE WHEN SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) * 2 < SUM(c)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM per_dg JOIN nd USING (gram)
+GROUP BY per_dg.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("dedup_substring", DEDUP_SUBSTRING_SQL)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok")
+    )
+    # window leads, not array lambdas: stays in whole-stage codegen
+    # (see exploded_shingles for the interpreted-HOF rationale)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, SUBSTR_K)
+    ]
+    wins = (
+        toks.select("doc_id", "tok", *leads)
+        .filter(F.col(f"t{SUBSTR_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", *[f"t{i}" for i in range(1, SUBSTR_K)]
+            ).alias("gram"),
+        )
+    )
+    per_dg = wins.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    nd = per_dg.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    dup_w = F.sum(
+        F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        per_dg.join(nd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_windows"),
+            dup_w.cast("bigint").alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+            (F.col("dup_windows") * 2 < F.col("n_windows"))
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best — the dedup pipeline's final verdict: near-dup
+# CLUSTERS (minhash pairs → star CC, as dedup_cc_star) plus a per-doc
+# quality score, keeping exactly ONE representative per cluster — the
+# highest-scoring member (distinct-token count; ties to the lowest
+# doc_id). What a user of a curation pipeline actually consumes:
+# every doc labeled with its cluster, size, score, and keep bit.
+#
+# Plan shape at 100 TB: the cluster label table is O(near-dup docs) —
+# tiny next to the corpus — so the corpus side is one narrow scored
+# projection plus a broadcast-shaped join/anti-join against labels;
+# the window runs ONLY over the clustered slice, never the corpus.
+# Oracle: the dedup_cc_star recursive-CTE fixpoint extended with the
+# score + ROW_NUMBER pick.
+# --------------------------------------------------------------------------
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_MINHASH_BODY})
+  WHERE est_jaccard >= {CLUSTER_TAU}
+),
+edges AS (
+  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+  UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.l < e.dst
+),
+labeled AS (
+  SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+),
+scored AS (
+  SELECT doc_id, CAST(len(list_distinct({TOK_SQL})) AS BIGINT) AS score
+  FROM documents
+),
+labeled_all AS (
+  SELECT s.doc_id,
+         COALESCE(lb.cluster_id, s.doc_id) AS cluster_id,
+         s.score
+  FROM scored s LEFT JOIN labeled lb ON lb.doc_id = s.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       score,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                 PARTITION BY cluster_id ORDER BY score DESC, doc_id) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM labeled_all
+ORDER BY doc_id
+"""
+
+
+@register("dedup_keep_best", KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
+        .select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    )
+    labels, _ = star_components(pairs)
+    d = load(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.expr(TOK_EXPR))).cast("bigint").alias("score"),
+    )
+    clustered = scored.join(
+        labels.select(F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")),
+        "doc_id",
+    )
+    wc = W.partitionBy("cluster_id")
+    wr = W.partitionBy("cluster_id").orderBy(F.col("score").desc(), "doc_id")
+    clustered_out = clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(wc).cast("bigint").alias("cluster_size"),
+        "score",
+        (F.row_number().over(wr) == 1).cast("bigint").alias("keep"),
+    )
+    singles = scored.join(
+        labels, scored.doc_id == labels.v, "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        "score",
+        F.lit(1).cast("bigint").alias("keep"),
+    )
+    return clustered_out.unionByName(singles).orderBy("doc_id")

@@ -458,3 +458,106 @@ def test_cc_star_matches_label_propagation(spark):
     a = {tuple(r) for r in dedup_connected_components(spark, sf).collect()}
     b = {tuple(r) for r in dedup_cc_star(spark, sf).collect()}
     assert a == b
+
+
+def test_substring_dedup_flags_planted_boilerplate(spark, tmp_path):
+    """Docs sharing an 8-word boilerplate span are flagged with
+    dup_windows ≥ 1; a verbatim copy scores dup_frac = 1.0 and loses
+    its keep bit; fully unique docs have zero duplicated windows.
+    Repetition WITHIN one doc must not count as a duplicated span."""
+    import random
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        SUBSTR_K,
+        dedup_substring,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"u{i}{j}" for i in range(50) for j in ("a", "b")]
+    rng.shuffle(vocab)
+    boiler = " ".join(f"bp{i}" for i in range(SUBSTR_K))
+    docs = []
+    # 0-3: unique docs from disjoint vocab slices (no shared windows)
+    for i in range(4):
+        docs.append(" ".join(vocab[i * 25 : (i + 1) * 25]))
+    # 4-5: distinct docs that embed the same boilerplate span
+    docs.append(docs[0] + " " + boiler)
+    docs.append(docs[1] + " " + boiler)
+    # 6: verbatim copy of doc 2
+    docs.append(docs[2])
+    # 7: internal repetition only — same phrase twice, one doc
+    rep = " ".join(f"rp{i}" for i in range(SUBSTR_K))
+    docs.append(rep + " " + rep)
+
+    _write_documents(spark, str(tmp_path), docs)
+    out = {
+        r["doc_id"]: r
+        for r in dedup_substring(spark, str(tmp_path)).collect()
+    }
+    assert out[4]["dup_windows"] >= 1 and out[5]["dup_windows"] >= 1
+    assert out[2]["dup_frac"] == 1.0 and out[6]["dup_frac"] == 1.0
+    assert out[2]["keep"] == 0 and out[6]["keep"] == 0
+    assert out[3]["dup_windows"] == 0 and out[3]["keep"] == 1
+    assert out[7]["dup_windows"] == 0  # within-doc repetition ≠ dup span
+
+
+def test_keep_best_exactly_one_representative_per_cluster(spark):
+    """Every cluster keeps exactly one member — the max-score one —
+    and the output covers every document exactly once."""
+    from kinesis_to_firehose_spark.operators.dedup import dedup_keep_best
+
+    sf = "/root/testdata/sf0.01"
+    rows = dedup_keep_best(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert any(len(m) > 1 for m in by_cluster.values())  # real clusters
+    for members in by_cluster.values():
+        kept = [r for r in members if r["keep"] == 1]
+        assert len(kept) == 1
+        assert kept[0]["score"] == max(r["score"] for r in members)
+        assert all(r["cluster_size"] == len(members) for r in members)
+
+
+def test_decontaminate_embedding_drops_planted_eval_copy(spark, tmp_path):
+    """A train vector identical to an eval vector must be dropped
+    (cosine 1.0 ≥ τ); the keep bit is consistent with max_eval_cos
+    everywhere; vectors with no candidates keep NULL max and keep=1."""
+    import numpy as np
+
+    from kinesis_to_firehose_spark.operators.curation import (
+        EVAL_MOD,
+        decontaminate_embedding,
+    )
+    from kinesis_to_firehose_spark.operators.dedup import COSINE_TAU, EMB_DIM
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eval_vec = rng.normal(size=EMB_DIM).astype("float32")
+    rows.append((0, [float(x) for x in eval_vec], 0))  # 0 % EVAL_MOD == 0 → eval
+    rows.append((1, [float(x) for x in eval_vec], 0))  # planted train copy
+    for i in range(2, 40):
+        v = rng.normal(size=EMB_DIM).astype("float32")
+        rows.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+
+    out = {
+        r["vec_id"]: r
+        for r in decontaminate_embedding(spark, str(tmp_path)).collect()
+    }
+    assert 0 not in out  # eval vectors are not in the train output
+    assert out[1]["keep"] == 0 and out[1]["max_eval_cos"] >= 0.999999
+    for r in out.values():
+        if r["n_eval_cands"] == 0:
+            assert r["max_eval_cos"] is None and r["keep"] == 1
+        else:
+            assert r["keep"] == (0 if r["max_eval_cos"] >= COSINE_TAU else 1)
+    assert len(out) == 40 - 1 - (40 - 1) // EVAL_MOD  # all train ids present
