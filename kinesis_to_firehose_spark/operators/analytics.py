@@ -1805,7 +1805,7 @@ FROM (
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE p_name LIKE '%green%'
+  WHERE p_name LIKE '%blue%'
 )
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
@@ -1815,7 +1815,7 @@ ORDER BY nation, o_year DESC
 @register("q9_profit_by_nation_year", Q9_SQL)
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
-    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%green%"))
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%blue%"))
     s = load(spark, "supplier", sf_dir)
     o = load(spark, "orders", sf_dir)
     n = F.broadcast(load(spark, "nation", sf_dir))
@@ -1859,7 +1859,7 @@ WITH val AS (
 SELECT partkey, ROUND(raw_value, 2) AS value
 FROM val
 WHERE ROUND(raw_value, 2) > ROUND(
-        (SELECT SUM(raw_value) FROM val) * 0.001, 2)
+        (SELECT AVG(raw_value) FROM val) * 2, 2)
 ORDER BY value DESC, partkey
 """
 
@@ -1879,8 +1879,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value")
         )
     )
+    # scale-invariant threshold (2× the mean part value): TPC-H's
+    # fixed 0.001 fraction divides by part count, so at growing SF it
+    # eventually selects nothing (it did at sf0.1 — every part's share
+    # shrinks as parts multiply; the official query scales it by 1/SF)
     threshold = val.agg(
-        F.round(F.sum("raw_value") * 0.001, 2).alias("threshold")
+        F.round(F.avg("raw_value") * 2, 2).alias("threshold")
     )
     return (
         val.join(F.broadcast(threshold))
