@@ -2431,3 +2431,104 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# column_corr — Pearson correlation matrix over lineitem measure
+# pairs, computed from EXACT sufficient statistics: every sum runs on
+# DECIMAL(18,4)-cast values (decimal addition is exact and
+# order-independent, so Spark's partial-aggregation order can't
+# perturb the result), the exact sums convert to double once, and the
+# corr formula is then a fixed scalar IEEE expression — identical in
+# both engines. One full-scan aggregate (map-side partials, 1-row
+# shuffle); the 3-row matrix is projected from that single row, so
+# the fact table is read exactly once.
+# --------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+# Right-sized per-column decimal types: wide enough for exact values
+# (qty ≤ 50, price < 10^6 at 2dp, discount at 2dp), narrow enough
+# that every product and sum stays under precision 38 in BOTH engines
+# (DuckDB errors on DECIMAL(18)×DECIMAL(18) int64 overflow; Spark
+# would silently round once p1+p2+1 > 38).
+_CORR_DEC = {
+    "l_quantity": "DECIMAL(8,2)",
+    "l_extendedprice": "DECIMAL(12,2)",
+    "l_discount": "DECIMAL(6,2)",
+}
+
+
+def _corr_formula(x: str, y: str) -> str:
+    """Scalar double corr from named sum columns (same text both engines)."""
+    return (
+        f"ROUND((nd * sxy_{x}_{y} - s_{x} * s_{y}) / "
+        f"(sqrt(nd * ss_{x} - s_{x} * s_{x}) * "
+        f"sqrt(nd * ss_{y} - s_{y} * s_{y})), 6)"
+    )
+
+
+def _dec(c: str) -> str:
+    return f"CAST({c} AS {_CORR_DEC[c]})"
+
+
+def _corr_sums_sql() -> str:
+    parts = ["CAST(COUNT(*) AS DOUBLE) AS nd"]
+    for c in _CORR_COLS:
+        parts.append(f"CAST(SUM({_dec(c)}) AS DOUBLE) AS s_{c}")
+        parts.append(f"CAST(SUM({_dec(c)} * {_dec(c)}) AS DOUBLE) AS ss_{c}")
+    for x, y in _CORR_PAIRS:
+        parts.append(f"CAST(SUM({_dec(x)} * {_dec(y)}) AS DOUBLE) AS sxy_{x}_{y}")
+    return ", ".join(parts)
+
+
+COLUMN_CORR_SQL = f"""
+WITH sums AS (
+  SELECT {_corr_sums_sql()} FROM lineitem
+)
+{" UNION ALL ".join(
+    f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+    f"CAST(nd AS BIGINT) AS n, {_corr_formula(x, y)} AS corr FROM sums"
+    for x, y in _CORR_PAIRS
+)}
+ORDER BY col_x, col_y
+"""
+
+
+@register("column_corr", COLUMN_CORR_SQL)
+def column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    # single aggregate row with every sufficient statistic
+    sums = li.groupBy().agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("nd"),
+        *[
+            F.expr(e).alias(a)
+            for e, a in _corr_agg_exprs()
+        ],
+    )
+    rows = [
+        sums.selectExpr(
+            f"'{x}' AS col_x",
+            f"'{y}' AS col_y",
+            "CAST(nd AS BIGINT) AS n",
+            f"{_corr_formula(x, y)} AS corr",
+        )
+        for x, y in _CORR_PAIRS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col_x", "col_y")
+
+
+def _corr_agg_exprs() -> list[tuple[str, str]]:
+    out = []
+    for c in _CORR_COLS:
+        out.append((f"CAST(SUM({_dec(c)}) AS DOUBLE)", f"s_{c}"))
+        out.append((f"CAST(SUM({_dec(c)} * {_dec(c)}) AS DOUBLE)", f"ss_{c}"))
+    for x, y in _CORR_PAIRS:
+        out.append((f"CAST(SUM({_dec(x)} * {_dec(y)}) AS DOUBLE)", f"sxy_{x}_{y}"))
+    return out

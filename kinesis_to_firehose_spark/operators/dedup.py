@@ -1592,3 +1592,117 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint").alias("keep"),
     )
     return clustered_out.unionByName(singles).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# dedup_containment — asymmetric near-SUPERSET detection: containment
+# C(A,B) = |A∩B| / min(|A|,|B|) over the same DF-capped word-bigram
+# shingle index as dedup_ngram_jaccard. Catches excerpt/quote
+# relationships symmetric Jaccard misses: a short doc fully embedded
+# in a long one has high containment but low Jaccard (the union is
+# dominated by the long doc), so it survives every Jaccard-style
+# dedup pass. Curation pipelines (e.g. Dolma's dedup stage) run
+# containment alongside Jaccard for exactly this case. Same
+# inverted-index shape — pairs sharing zero shingles never
+# materialize; one extra column over the existing aggregate.
+# --------------------------------------------------------------------------
+CONTAIN_TAU = 0.8
+
+CONTAINMENT_SQL = f"""
+{SHINGLES_CTE},
+raw_exploded AS (
+  SELECT doc_id, lang, len_bucket, unnest(sh) AS shingle FROM s
+),
+df_capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY lang, shingle) AS df_cnt
+    FROM raw_exploded
+  ) WHERE df_cnt <= {MAX_SHINGLE_DF}
+),
+exploded AS (
+  SELECT doc_id, lang, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM df_capped
+),
+matches AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2, COUNT(*) AS inter
+  FROM exploded a
+  JOIN exploded b
+    ON a.shingle = b.shingle AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+  GROUP BY doc_id_1, doc_id_2
+)
+SELECT doc_id_1, doc_id_2,
+       ROUND(inter * 1.0 / LEAST(n1, n2), 6) AS containment,
+       ROUND(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+FROM matches
+WHERE inter * 1.0 / LEAST(n1, n2) >= {CONTAIN_TAU}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("dedup_containment", CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: blocked on lang only (no len_bucket) — containment pairs
+    # are precisely the ones with very DIFFERENT lengths, so the
+    # length-bucket blocking that's right for Jaccard would hide them.
+    # The DF cap bounds hot shingles per (lang, shingle) as before.
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    ex = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("shingle"),
+        )
+        .distinct()
+    )
+    capped = (
+        ex.withColumn(
+            "df_cnt", F.count("*").over(W.partitionBy("lang", "shingle"))
+        )
+        .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
+        .drop("df_cnt")
+    )
+    exploded = capped.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
+    ).localCheckpoint(eager=True)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(
+            F.min("a.n_sh").alias("n1"),
+            F.min("b.n_sh").alias("n2"),
+            F.count("*").alias("inter"),
+        )
+    )
+    cont = F.col("inter") / F.least("n1", "n2")
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        matches.filter(cont >= CONTAIN_TAU)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )

@@ -553,3 +553,103 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# knn_graph — all-vectors k-nearest-neighbor GRAPH over the banded
+# hyperplane-LSH candidate space: every vector's top-K in-bucket
+# neighbors by exact cosine. The building block graph-based methods
+# (HNSW-style search, graph clustering, label propagation over
+# semantic neighbors) start from. Approximate by construction —
+# neighbors outside every shared band are invisible — and the oracle
+# mirrors the band table bit-exact, so the gate checks the
+# implementation; in-bucket recall is pytest's job (ann_lsh_topk).
+#
+# Plan shape at 100 TB: band table is a narrow Arrow projection (one
+# row per vector per band); candidates come from the (band_idx,
+# band_key) self-equi-join; exact rescore touches candidates only;
+# the final top-K is a per-source window over the candidate list
+# (bounded by bucket sizes), never over the corpus.
+# --------------------------------------------------------------------------
+KNN_K = 3
+
+
+def _knn_graph_sql() -> str:
+    from kinesis_to_firehose_spark.operators.dedup import (
+        _emb_band_keys,
+        _PAIR_COS_SQL,
+    )
+
+    band_list = ", ".join(_emb_band_keys("duck"))
+    return f"""
+WITH bands AS (
+  SELECT vec_id,
+         unnest([{band_list}]) AS band_key,
+         generate_subscripts([{band_list}], 1) AS band_idx
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+  FROM bands a
+  JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT cand.vec_id_1, cand.vec_id_2,
+         ROUND({_PAIR_COS_SQL}, 6) AS cosine
+  FROM cand
+  JOIN ({NORMED_CTE} SELECT * FROM normed) a ON a.vec_id = cand.vec_id_1
+  JOIN ({NORMED_CTE} SELECT * FROM normed) b ON b.vec_id = cand.vec_id_2
+),
+ranked AS (
+  SELECT vec_id_1 AS src, vec_id_2 AS neighbor, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY vec_id_1 ORDER BY cosine DESC, vec_id_2
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT src, neighbor, cosine, rank
+FROM ranked
+WHERE rank <= {KNN_K}
+ORDER BY src, rank
+"""
+
+
+@register("knn_graph", _knn_graph_sql())
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.operators.dedup import (
+        emb_band_table,
+        score_pairs_exact,
+    )
+
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    bands = emb_band_table(e)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("vec_id_1").orderBy(F.desc("cosine"), "vec_id_2")
+    return (
+        score_pairs_exact(cand, e)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("vec_id_1").alias("src"),
+            F.col("vec_id_2").alias("neighbor"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("src", "rank")
+    )

@@ -543,3 +543,74 @@ def markdown_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(plain).cast("bigint").alias("n_chars_text"),
         F.md5(plain).alias("plain_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# sample_weighted — deterministic weighted sampling without RNG or
+# transcendentals: priority sampling (Duffield–Lund–Thorup). Each doc
+# gets priority = weight / u, u ∈ (0,1] derived from the doc-id md5
+# (the same engine-portable hash-uniform as sample_stratified); the
+# top-K priorities per language are the sample. Heavier docs (weight =
+# n_chars) are proportionally likelier to make the cut, selection is
+# reproducible across runs AND engines (w/u is one IEEE division —
+# no pow()/ln() whose libm rounding could differ), and corpus growth
+# only ever displaces the lowest-priority members.
+#
+# Plan shape at 100 TB: priority is a narrow map; per-language top-K
+# is the top_n_per_group shape (window over lang). For huge strata
+# swap the window for a per-partition partial top-K + tiny final merge
+# — same contract, bounded memory.
+# --------------------------------------------------------------------------
+SAMPLE_W_K = 25
+_U32 = 1 << 32
+
+# CAST(... AS DOUBLE), not a 4294967296.0 literal: DuckDB types
+# decimal-point literals as DECIMAL and would carry decimal (not IEEE)
+# division all the way to the output.
+_PRI_DUCK = (
+    "n_chars * CAST(4294967296 AS DOUBLE) / "
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 1)"
+)
+_PRI_SPARK = (
+    "n_chars * CAST(4294967296 AS DOUBLE) / "
+    "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+    "AS BIGINT) + 1)"
+)
+
+SAMPLE_W_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         {_PRI_DUCK} AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, weight, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+  FROM pri
+)
+SELECT doc_id, lang, weight, ROUND(priority, 4) AS priority
+FROM ranked
+WHERE rn <= {SAMPLE_W_K}
+ORDER BY lang, priority DESC, doc_id
+"""
+
+
+@register("sample_weighted", SAMPLE_W_SQL)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    pri = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.expr(_PRI_SPARK).alias("priority"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("priority"), "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_W_K)
+        .select(
+            "doc_id", "lang", "weight", F.round("priority", 4).alias("priority")
+        )
+        .orderBy("lang", F.desc("priority"), "doc_id")
+    )

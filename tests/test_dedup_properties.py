@@ -561,3 +561,32 @@ def test_decontaminate_embedding_drops_planted_eval_copy(spark, tmp_path):
         else:
             assert r["keep"] == (0 if r["max_eval_cos"] >= COSINE_TAU else 1)
     assert len(out) == 40 - 1 - (40 - 1) // EVAL_MOD  # all train ids present
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment ≈ 1 while
+    Jaccard is far below its τ — the pair must appear in
+    dedup_containment and NOT in dedup_ngram_jaccard."""
+    import random
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    rng = random.Random(3)
+    long_words = [f"x{i}" for i in range(400)]
+    rng.shuffle(long_words)
+    excerpt = " ".join(long_words[:40])          # doc 1 ⊂ doc 0
+    long_doc = " ".join(long_words)
+    filler = " ".join(f"y{i}" for i in range(60))
+    _write_documents(spark, str(tmp_path), [long_doc, excerpt, filler])
+
+    cont = dedup_containment(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_id_1"], r["doc_id_2"]): r for r in cont}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)]["containment"] == 1.0
+    assert pairs[(0, 1)]["jaccard"] < 0.2
+
+    jac = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert all((r["doc_id_1"], r["doc_id_2"]) != (0, 1) for r in jac)
