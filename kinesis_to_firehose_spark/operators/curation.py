@@ -1182,3 +1182,82 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ppl_bucket_mix — CCNet-style perplexity bucketing (Wenzek et al.
+# 2020): per language, split the corpus into head/middle/tail terciles
+# by LM score (here the unigram log-prob proxy — lower = less
+# predictable = tail) and report each bucket's doc/token mass. The
+# op downstream mixers consume to oversample "head" data or cap
+# "tail". Composition: unigram_logprob_score → per-lang exact tercile
+# edges (tiny, broadcast back) → bucket + aggregate. Edges and scores
+# are rounded to 4dp on both sides before comparison, so bucket
+# assignment is engine-identical even at edge ties.
+# Plan shape at 100 TB: the scored table is the op's one wide stage
+# (token explode + broadcast TF join); everything after is a tiny
+# per-lang aggregate broadcast back plus one (lang,bucket) groupBy.
+# --------------------------------------------------------------------------
+_UNIGRAM_BODY = UNIGRAM_SQL.replace("ORDER BY tok.doc_id", "")
+
+PPL_BUCKET_SQL = f"""
+WITH scored AS (
+  SELECT d.doc_id, d.lang, u.n_tokens, u.avg_logprob
+  FROM documents d JOIN ({_UNIGRAM_BODY}) u ON d.doc_id = u.doc_id
+),
+edges AS (
+  SELECT lang,
+         ROUND(quantile_cont(avg_logprob, 0.33), 4) AS p33,
+         ROUND(quantile_cont(avg_logprob, 0.67), 4) AS p67
+  FROM scored GROUP BY lang
+),
+tot AS (SELECT lang, COUNT(*) AS lang_docs FROM scored GROUP BY lang),
+bucketed AS (
+  SELECT s.lang,
+         CASE WHEN s.avg_logprob <= e.p33 THEN 'tail'
+              WHEN s.avg_logprob <= e.p67 THEN 'middle'
+              ELSE 'head' END AS bucket,
+         s.n_tokens
+  FROM scored s JOIN edges e USING (lang)
+)
+SELECT b.lang, b.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(*) * 1.0 / MIN(t.lang_docs), 4) AS doc_share
+FROM bucketed b JOIN tot t USING (lang)
+GROUP BY b.lang, b.bucket
+ORDER BY lang, bucket
+"""
+
+
+@register("ppl_bucket_mix", PPL_BUCKET_SQL)
+def ppl_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = unigram_logprob_score(spark, sf_dir)
+    d = load(spark, "documents", sf_dir).select("doc_id", "lang")
+    scored = d.join(u, "doc_id")
+    edges = scored.groupBy(F.col("lang").alias("e_lang")).agg(
+        F.round(F.expr("percentile(avg_logprob, 0.33)"), 4).alias("p33"),
+        F.round(F.expr("percentile(avg_logprob, 0.67)"), 4).alias("p67"),
+    )
+    tot = scored.groupBy(F.col("lang").alias("t_lang")).agg(
+        F.count("*").alias("lang_docs")
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") <= F.col("p33"), "tail")
+        .when(F.col("avg_logprob") <= F.col("p67"), "middle")
+        .otherwise("head")
+    )
+    return (
+        scored.join(F.broadcast(edges), F.col("lang") == F.col("e_lang"))
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(tot), F.col("lang") == F.col("t_lang"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.count("*") / F.min("lang_docs"), 4
+            ).alias("doc_share"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -266,3 +266,69 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.expr(f"({num}) / ({den})"), 6).alias("ewma"),
     ).orderBy("event_type", "ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# anomaly_mad — robust outlier detection per series: median absolute
+# deviation instead of z-scores (value_outliers), so a few extreme
+# points can't inflate the threshold that is supposed to catch them
+# (the classic z-score masking failure). Flag |x - median| >
+# K·MAD, K = 3·1.4826 (the Gaussian consistency constant). Two tiny
+# per-type aggregates (median, then MAD on the residual) broadcast
+# back; the flagging pass is narrow. Medians are exact percentiles
+# rounded to 4dp before the residual so both engines branch on
+# identical doubles.
+# --------------------------------------------------------------------------
+_MAD_K = "4.4478"  # 3 * 1.4826, fixed-text literal → same double both engines
+
+ANOMALY_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 4) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+       ROUND(ABS(e.value - m.med), 4) AS abs_dev
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE ABS(e.value - m.med) > CAST({_MAD_K} AS DOUBLE) * d.mad
+ORDER BY e.event_id
+"""
+
+
+@register("anomaly_mad", ANOMALY_MAD_SQL)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    med = e.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    with_med = e.join(
+        F.broadcast(med), F.col("event_type") == F.col("m_type")
+    ).drop("m_type")
+    mad = with_med.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.round(
+            F.expr("percentile(ABS(value - med), 0.5)"), 4
+        ).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), F.col("event_type") == F.col("d_type"))
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.expr(f"CAST({_MAD_K} AS DOUBLE)") * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            F.round(F.abs(F.col("value") - F.col("med")), 4).alias("abs_dev"),
+        )
+        .orderBy("event_id")
+    )

@@ -169,6 +169,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "mm_ann_search",         # 3 media query vectors × candidates
         "domain_mix_rebalance",  # 1-row total/source-count aggregate
         "unigram_logprob_score", # 1-row corpus token count
+        "ppl_bucket_mix",        # composes unigram_logprob_score (same 1-row cross)
         "bm25_search",           # 1-row (N, avgdl) scalar aggregate
     }
     STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
