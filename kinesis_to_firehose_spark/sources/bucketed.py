@@ -106,18 +106,22 @@ def _commit_meta(path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(path, "_snapshot_meta.json"))
 
 
-def _gc_versions(path: str, keep_version: int) -> None:
-    """Drop version dirs other than the committed one plus any dead
-    build/tmp dirs. Safe to run any time: only the meta-named version
-    is ever read."""
+def _gc_versions(path: str, keep_version: int, keep_n: int = 1) -> None:
+    """Drop version dirs outside the retention window (the committed
+    version and its keep_n-1 predecessors) plus any dead build/tmp
+    dirs. Safe to run any time: only meta-named or retained versions
+    are ever read."""
     import os
     import shutil
 
     if not os.path.isdir(path):
         return
+    kept = {
+        f"v={v}" for v in range(keep_version - keep_n + 1, keep_version + 1)
+    }
     for d in os.listdir(path):
         full = os.path.join(path, d)
-        if d.startswith("v=") and d != f"v={keep_version}":
+        if d.startswith("v=") and d not in kept:
             shutil.rmtree(full, ignore_errors=True)
         elif d.startswith(".build-") or d == "_snapshot_meta.json.tmp":
             shutil.rmtree(full, ignore_errors=True) if os.path.isdir(
@@ -246,18 +250,27 @@ def _adopt_build_files(
     return entries, stats
 
 
-def _gc_manifest_store(path: str, keep_version: int) -> None:
-    """Drop data files not referenced by the committed manifest, stale
-    manifests, and dead build dirs. Safe any time: readers only
-    resolve files through the committed manifest."""
+def _gc_manifest_store(path: str, keep_version: int, keep_n: int = 1) -> None:
+    """Drop data files not referenced by any RETAINED manifest (the
+    committed one and its keep_n-1 predecessors), manifests outside
+    the retention window, and dead build dirs. Safe any time: readers
+    only resolve files through retained manifests, and retained
+    manifests' file sets are untouched."""
     import os
     import shutil
 
+    kept_versions = [
+        v
+        for v in range(keep_version - keep_n + 1, keep_version + 1)
+        if os.path.isfile(_manifest_file(path, v))
+    ]
     referenced = {
         rel
-        for rels in _read_manifest(path, keep_version)["entries"].values()
+        for v in kept_versions
+        for rels in _read_manifest(path, v)["entries"].values()
         for rel in rels
     }
+    kept_names = {f"manifest-v{v}.json" for v in kept_versions}
     data = os.path.join(path, "data")
     if os.path.isdir(data):
         for d in os.listdir(data):
@@ -269,27 +282,68 @@ def _gc_manifest_store(path: str, keep_version: int) -> None:
                     os.remove(os.path.join(full, f))
     for f in os.listdir(path):
         full = os.path.join(path, f)
-        if f.startswith("manifest-v") and f != f"manifest-v{keep_version}.json":
+        if f.startswith("manifest-v") and f not in kept_names:
             os.remove(full)
         elif f.startswith(".build-"):
             shutil.rmtree(full, ignore_errors=True)
 
 
 def _gc_store(path: str, meta: dict) -> None:
+    keep_n = meta.get("keep_versions", 1)
     if meta.get("layout") == "manifest":
-        _gc_manifest_store(path, meta["version"])
+        _gc_manifest_store(path, meta["version"], keep_n)
     else:
-        _gc_versions(path, meta["version"])
+        _gc_versions(path, meta["version"], keep_n)
 
 
-def snapshot_read(spark: SparkSession, path: str) -> DataFrame:
-    """Full-store read for either layout (with the `_pid` partition
-    column present, as a raw dirs-layout read would surface it)."""
+def _resolve_version(path: str, version: int | None) -> tuple[dict, int]:
+    """Resolve a read's (meta, version): the committed version when
+    `version` is None, else that exact retained version. Raises on a
+    version outside the retention window — a GC'd version read must
+    fail loudly, never silently fall back to different data."""
     import os
 
     meta = _read_meta(path)
+    if version is None:
+        return meta, (meta or {}).get("version")
+    if not meta or "version" not in meta:
+        raise ValueError(
+            f"snapshot at {path!r} is not versioned; cannot time-travel"
+        )
+    committed = meta["version"]
+    keep_n = meta.get("keep_versions", 1)
+    artifact = (
+        _manifest_file(path, version)
+        if meta.get("layout") == "manifest"
+        else os.path.join(path, f"v={version}")
+    )
+    if (
+        version > committed
+        or version <= committed - keep_n
+        or not os.path.exists(artifact)
+    ):
+        raise ValueError(
+            f"version {version} not retained at {path!r} (committed "
+            f"{committed}, keep_versions {keep_n})"
+        )
+    return meta, version
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Full-store read for either layout (with the `_pid` partition
+    column present, as a raw dirs-layout read would surface it).
+    `version` time-travels to a retained older epoch (written with
+    keep_versions > 1): dirs layout reads that version's dir, manifest
+    layout resolves that version's file set — retained data files are
+    immutable and shared, so an old read sees exactly the old commit.
+    A version outside the retention window raises."""
+    import os
+
+    meta, v = _resolve_version(path, version)
     if meta and meta.get("layout") == "manifest":
-        manifest = _read_manifest(path, meta["version"])
+        manifest = _read_manifest(path, v)
         files = [
             os.path.join(path, "data", rel)
             for rels in manifest["entries"].values()
@@ -297,11 +351,14 @@ def snapshot_read(spark: SparkSession, path: str) -> DataFrame:
         ]
         base = os.path.join(path, "data")
         return spark.read.option("basePath", base).parquet(*files)
+    if version is not None:
+        return spark.read.parquet(os.path.join(path, f"v={v}"))
     return spark.read.parquet(snapshot_data_root(path))
 
 
 def snapshot_scan(
-    spark: SparkSession, path: str, col: str, lo, hi
+    spark: SparkSession, path: str, col: str, lo, hi,
+    version: int | None = None,
 ) -> DataFrame:
     """Band scan `lo <= col <= hi` over the store. On a manifest
     layout with footer stats for `col`, files whose [min, max] range
@@ -314,10 +371,10 @@ def snapshot_scan(
     from pyspark.sql import functions as F
 
     pred = (F.col(col) >= lo) & (F.col(col) <= hi)
-    meta = _read_meta(path)
+    meta, v = _resolve_version(path, version)
     if not meta or meta.get("layout") != "manifest":
-        return snapshot_read(spark, path).filter(pred)
-    manifest = _read_manifest(path, meta["version"])
+        return snapshot_read(spark, path, version).filter(pred)
+    manifest = _read_manifest(path, v)
     stats = manifest["stats"]
     files = []
     for rels in manifest["entries"].values():
@@ -327,7 +384,7 @@ def snapshot_scan(
                 continue  # provably disjoint: skip without opening
             files.append(os.path.join(path, "data", rel))
     if not files:
-        return snapshot_read(spark, path).filter(F.lit(False))
+        return snapshot_read(spark, path, version).filter(F.lit(False))
     df = spark.read.option("basePath", os.path.join(path, "data")).parquet(
         *files
     )
@@ -342,6 +399,7 @@ def write_snapshot(
     n_key_files: int = 8,
     layout: str = "dirs",
     stats_cols: tuple[str, ...] = (),
+    keep_versions: int = 1,
 ) -> None:
     """Persist a current-state snapshot (latest_per_key/merge_upsert
     output) laid out for point lookups: an epoch-versioned store
@@ -380,6 +438,7 @@ def write_snapshot(
         version = meta["version"] + 1
         layout = meta.get("layout", "dirs")  # the store's layout wins
         stats_cols = tuple(meta.get("stats_cols", stats_cols))
+        keep_versions = meta.get("keep_versions", keep_versions)
     else:
         version = 1
     new_meta = {
@@ -388,6 +447,7 @@ def write_snapshot(
         "version": version,
         "layout": layout,
         "stats_cols": list(stats_cols),
+        "keep_versions": keep_versions,
     }
     _chaos_hook("pre-build")
     if layout == "manifest":
@@ -426,6 +486,7 @@ def snapshot_lookup(
     key: str,
     values,
     n_key_files: int | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Point lookup against a written snapshot. The key IN-filter is
     pushed to the parquet scan (PushedFilters), and because _pid is a
@@ -434,7 +495,7 @@ def snapshot_lookup(
     planning time, before any file is opened."""
     from pyspark.sql import functions as F
 
-    meta = _read_meta(path)
+    meta, v = _resolve_version(path, version)
     if n_key_files is None:
         if meta is None:
             # guessing a modulus silently prunes the WRONG dirs and
@@ -446,7 +507,7 @@ def snapshot_lookup(
         n_key_files = meta["n_key_files"]
     values = list(values)
     if not values:
-        return snapshot_read(spark, path).filter(F.lit(False))
+        return snapshot_read(spark, path, version).filter(F.lit(False))
     pids = sorted(
         r["p"]
         for r in spark.createDataFrame([(v,) for v in values], [key])
@@ -459,19 +520,24 @@ def snapshot_lookup(
         # partitions' files enter the read at all
         import os
 
-        manifest = _read_manifest(path, meta["version"])
+        manifest = _read_manifest(path, v)
         files = [
             os.path.join(path, "data", rel)
             for p in pids
             for rel in manifest["entries"].get(str(p), [])
         ]
         if not files:
-            return snapshot_read(spark, path).filter(F.lit(False))
+            return snapshot_read(spark, path, version).filter(F.lit(False))
         df = spark.read.option(
             "basePath", os.path.join(path, "data")
         ).parquet(*files)
         return df.filter(df[key].isin(values))
-    df = spark.read.parquet(snapshot_data_root(path))
+    if version is not None:
+        import os as _os
+
+        df = spark.read.parquet(_os.path.join(path, f"v={v}"))
+    else:
+        df = spark.read.parquet(snapshot_data_root(path))
     return df.filter(df[key].isin(values) & F.col("_pid").isin(pids))
 
 
@@ -576,6 +642,7 @@ def snapshot_merge_targeted(
         "version": old_version + 1,
         "layout": store_layout,
         "stats_cols": meta.get("stats_cols", []),
+        "keep_versions": meta.get("keep_versions", 1),
     }
     if store_layout == "manifest":
         # unchanged partitions carry over as manifest-entry copies —

@@ -719,3 +719,51 @@ def test_manifest_stats_sidecar_skips_files(spark, tmp_path):
         for r in B.snapshot_scan(spark, path, "value", lo, hi).collect()
     }
     assert (users[0], 999) in got2
+
+
+@pytest.mark.parametrize("layout", ["dirs", "manifest"])
+def test_snapshot_time_travel_with_retention(spark, tmp_path, layout):
+    """keep_versions=2: after a merge, version N-1 still reads the
+    exact pre-merge content (immutable shared files) while the default
+    read sees the merge; after a second merge the oldest version falls
+    out of the window and reading it raises instead of silently
+    returning different data."""
+    import pytest as _pytest
+
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, value double"
+        )
+
+    def store(df):
+        return {r["user_id"]: r["value"] for r in df.collect()}
+
+    path = str(tmp_path / "snap")
+    base_rows = [(i, 100 + i, float(i)) for i in range(12)]
+    B.write_snapshot(
+        spark, mk_df(base_rows), path, n_key_files=4,
+        layout=layout, keep_versions=2,
+    )
+    v1 = B._read_meta(path)["version"]
+
+    B.snapshot_merge_targeted(spark, path, mk_df([(3, 900, 3333.0)]))
+    v2 = B._read_meta(path)["version"]
+    assert v2 == v1 + 1
+    # default read = merged; time travel = pre-merge, bit for bit
+    assert store(B.snapshot_read(spark, path))[3] == 3333.0
+    old = store(B.snapshot_read(spark, path, version=v1))
+    assert old[3] == 3.0 and len(old) == 12
+    # versioned point lookup sees the old value of the changed key
+    got = B.snapshot_lookup(spark, path, "user_id", [3], version=v1).collect()
+    assert [r["value"] for r in got] == [3.0]
+
+    B.snapshot_merge_targeted(spark, path, mk_df([(7, 901, 7777.0)]))
+    # window moved: v2 retained, v1 gone — and must say so loudly
+    assert store(B.snapshot_read(spark, path, version=v2))[7] == 7.0
+    assert store(B.snapshot_read(spark, path, version=v2))[3] == 3333.0
+    with _pytest.raises(ValueError, match="not retained"):
+        B.snapshot_read(spark, path, version=v1)
+    with _pytest.raises(ValueError, match="not retained"):
+        B.snapshot_lookup(spark, path, "user_id", [3], version=v1)
