@@ -2532,3 +2532,65 @@ def _corr_agg_exprs() -> list[tuple[str, str]]:
     for x, y in _CORR_PAIRS:
         out.append((f"CAST(SUM({_dec(x)} * {_dec(y)}) AS DOUBLE)", f"sxy_{x}_{y}"))
     return out
+
+
+# --------------------------------------------------------------------------
+# window_suite — ranking-function breadth on one shuffle: ntile /
+# percent_rank / cume_dist / nth_value / lag-delta over the same
+# (event_type, value-ordered) window, aggregated down to a compact
+# per-(type, quartile) check table. Exercises the full ranking family
+# the engines must agree on (tie semantics included — the ORDER BY
+# carries event_id as the deterministic tiebreak). One window shuffle
+# on event_type feeds every function; the aggregate collapses before
+# anything leaves the stage.
+# --------------------------------------------------------------------------
+WINDOW_SUITE_SQL = """
+WITH w AS (
+  SELECT event_type, value,
+         NTILE(4)        OVER win AS quartile,
+         PERCENT_RANK()  OVER win AS pr,
+         CUME_DIST()     OVER win AS cd,
+         NTH_VALUE(value, 10) OVER (
+           win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS tenth_value,
+         value - LAG(value) OVER win AS delta
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(pr), 6) AS min_pr,
+       ROUND(MAX(cd), 6) AS max_cd,
+       ROUND(MIN(tenth_value), 2) AS tenth_value,
+       ROUND(AVG(delta), 6) AS avg_delta
+FROM w
+GROUP BY event_type, quartile
+ORDER BY event_type, quartile
+"""
+
+
+@register("window_suite", WINDOW_SUITE_SQL)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    win = W.partitionBy("event_type").orderBy("value", "event_id")
+    full = win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w = e.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(win).alias("quartile"),
+        F.percent_rank().over(win).alias("pr"),
+        F.cume_dist().over(win).alias("cd"),
+        F.nth_value("value", 10).over(full).alias("tenth_value"),
+        (F.col("value") - F.lag("value").over(win)).alias("delta"),
+    )
+    return (
+        w.groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("pr"), 6).alias("min_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+            F.round(F.min("tenth_value"), 2).alias("tenth_value"),
+            F.round(F.avg("delta"), 6).alias("avg_delta"),
+        )
+        .orderBy("event_type", "quartile")
+    )

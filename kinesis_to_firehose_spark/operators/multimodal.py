@@ -474,3 +474,153 @@ def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_audio(media_repartition_by_bytes(audio))
         .orderBy("media_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# mm_phash_dedup — perceptual-hash near-dup detection over the media
+# blobs: a 60-bit locality-sensitive fingerprint (dHash analogue).
+# The blob's token stream is cut into 60 equal TOKEN slices and bit i
+# says whether slice i's character mass beats the blob average (for a
+# real image codec, swap "chars per token slice" for "mean luma per
+# cell"; the bucketing machinery below is codec-agnostic). Token
+# slices, not byte slices: a same-position edit perturbs one slice,
+# where byte offsets would shift every slice after the edit and
+# destroy locality (the reason real pHash normalizes images to a
+# fixed grid first).
+# Near-identical blobs differ in few slices ⇒ small hamming distance.
+# Candidates come from the SimHash pigeonhole (4×15-bit chunks:
+# hamming ≤ 3 guarantees one equal chunk), verified with
+# bit_count(xor). Pure integer SQL in BOTH engines — fully
+# oracle-checkable, unlike the sha256 feature stub whose avalanche
+# destroys locality.
+# Plan shape at 100 TB: fingerprints are one narrow map over the
+# blobs; the only shuffle is the (chunk_idx, chunk) equi-join —
+# identical to dedup_simhash.
+# --------------------------------------------------------------------------
+PHASH_SLICES = 60
+PHASH_TAU = 3
+_PH_CHUNK_BITS = 15
+_PH_CHUNKS = 4
+_PH_MASK = (1 << _PH_CHUNK_BITS) - 1
+
+
+def _phash_slice_counts(engine: str) -> list[str]:
+    """Character mass per token slice i over (t = token array, L =
+    token count): integer floor-division slice bounds [start, stop],
+    identical in both engines."""
+    fd = "//" if engine == "duck" else " div "
+    out = []
+    for i in range(PHASH_SLICES):
+        lo = f"(({i} * L){fd}{PHASH_SLICES})"
+        hi = f"(({i + 1} * L){fd}{PHASH_SLICES})"
+        if engine == "duck":
+            # DuckDB: an empty slice (lo+1 > hi, short docs) is NULL,
+            # not [] — coalesce to 0 to match Spark's '' → length 0
+            sub = f"array_to_string(list_slice(t, {lo} + 1, {hi}), '')"
+        else:
+            sub = f"concat_ws('', slice(t, {lo} + 1, {hi} - {lo}))"
+        out.append(f"COALESCE(length({sub}), 0) AS sp{i}")
+    return out
+
+
+def _phash_pack() -> str:
+    total = " + ".join(f"sp{i}" for i in range(PHASH_SLICES))
+    terms = " + ".join(
+        f"(CASE WHEN {PHASH_SLICES} * sp{i} > ({total}) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(PHASH_SLICES)
+    )
+    return f"({terms})"
+
+
+MM_PHASH_SQL = f"""
+WITH blobs AS (
+  SELECT doc_id AS media_id, {_KIND_SQL} AS kind,
+         string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS L
+  FROM documents
+),
+sliced AS (
+  SELECT media_id, kind,
+         {", ".join(_phash_slice_counts("duck"))}
+  FROM blobs
+),
+hashed AS (
+  SELECT media_id, kind, {_phash_pack()} AS phash FROM sliced
+),
+chunked AS (
+  SELECT media_id, kind, phash, c AS chunk_idx,
+         (phash >> ((c - 1) * {_PH_CHUNK_BITS})) & {_PH_MASK} AS chunk
+  FROM hashed, generate_series(1, {_PH_CHUNKS}) AS g(c)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_id_1, b.media_id AS media_id_2,
+         a.phash AS h1, b.phash AS h2
+  FROM chunked a
+  JOIN chunked b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+   AND a.media_id < b.media_id
+)
+SELECT media_id_1, media_id_2,
+       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {PHASH_TAU}
+ORDER BY media_id_1, media_id_2
+"""
+
+
+@register("mm_phash_dedup", MM_PHASH_SQL)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir)
+    blobs = media.select(
+        "media_id",
+        "kind",
+        F.split(F.decode("content", "utf-8"), " ").alias("t"),
+    ).withColumn("L", F.size("t"))
+    sliced = blobs.select(
+        "media_id",
+        "kind",
+        *[F.expr(e) for e in _phash_slice_counts("spark")],
+    )
+    hashed = sliced.select(
+        "media_id", "kind", F.expr(_phash_pack()).alias("phash")
+    )
+    chunked = hashed.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"shiftright(phash, {c * _PH_CHUNK_BITS}) & {_PH_MASK}"
+                    for c in range(_PH_CHUNKS)
+                )
+                + ")"
+            )
+        ).alias("chunk_idx0", "chunk"),
+    ).withColumn("chunk_idx", F.col("chunk_idx0") + 1)
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_1"),
+            F.col("b.media_id").alias("media_id_2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("h1 ^ h2")).cast("bigint")
+        )
+        .filter(F.col("hamming") <= PHASH_TAU)
+        .select("media_id_1", "media_id_2", "hamming")
+        .orderBy("media_id_1", "media_id_2")
+    )

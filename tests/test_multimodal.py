@@ -261,3 +261,38 @@ def test_decode_features_real_and_auto_paths(spark):
     a = decode_features(junk, codec="auto").orderBy("media_id").collect()
     s = decode_features(junk, codec="stub").orderBy("media_id").collect()
     assert a == s
+
+
+def test_phash_locality_on_planted_near_identical_blobs(spark, tmp_path):
+    """Near-identical blobs (one word substituted) land within the
+    hamming threshold and pair up; unrelated blobs don't. Also checks
+    the pigeonhole candidate join finds the pair without an all-pairs
+    compare (candidates come only from equal 15-bit chunks)."""
+    import random
+
+    from kinesis_to_firehose_spark.operators.multimodal import (
+        PHASH_TAU,
+        mm_phash_dedup,
+    )
+
+    rng = random.Random(5)
+    words = [f"w{rng.randrange(1000)}" for _ in range(80)]
+    base = " ".join(words)
+    near = " ".join(words[:40] + ["CHANGED"] + words[41:])
+    far = " ".join(f"z{i}" * 3 for i in range(60))
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, near, "en", "s", len(near)),
+        (2, far, "en", "s", len(far)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        (r["media_id_1"], r["media_id_2"]): r["hamming"]
+        for r in mm_phash_dedup(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] <= PHASH_TAU
+    assert (0, 2) not in out and (1, 2) not in out
