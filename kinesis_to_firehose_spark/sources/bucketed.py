@@ -548,6 +548,7 @@ def snapshot_merge_targeted(
     key: str = "user_id",
     n_key_files: int = 8,
     layout: str = "dirs",
+    keep_versions: int = 1,
 ) -> list[int]:
     """MERGE an epoch's changed rows into the snapshot store touching
     ONLY the partition dirs that contain changed keys: the changed
@@ -579,7 +580,8 @@ def snapshot_merge_targeted(
     if meta is None or "version" not in meta:
         # no committed store yet (or a legacy flat layout): full write
         write_snapshot(
-            spark, changes, snapshot_dir, key, n_key_files, layout=layout
+            spark, changes, snapshot_dir, key, n_key_files, layout=layout,
+            keep_versions=keep_versions,
         )
         meta = _read_meta(snapshot_dir)
         if meta.get("layout") == "manifest":

@@ -447,6 +447,7 @@ def snapshot_sink(
     max_files_per_trigger: int = 4,
     n_key_files: int = 4,
     layout: str = "dirs",
+    keep_versions: int = 1,
 ):
     """The CDC loop closed end-to-end: change feed → stateful upsert
     (latest_per_key_stream emits only keys whose snapshot row changed)
@@ -457,7 +458,9 @@ def snapshot_sink(
     the merge is PARTITION-TARGETED: the hash layout names exactly
     which files contain changed keys, so only those are read and
     atomically replaced (snapshot_merge_targeted). Epoch cost is
-    O(changed partitions), not O(snapshot). Returns the
+    O(changed partitions), not O(snapshot). keep_versions > 1 retains
+    that many epochs for time-travel reads (snapshot_read(version=));
+    an existing store's retention setting wins. Returns the
     StreamingQuery."""
     from kinesis_to_firehose_spark.sources.bucketed import (
         snapshot_merge_targeted,
@@ -475,7 +478,7 @@ def snapshot_sink(
         # read or rewritten, published with an atomic meta flip
         snapshot_merge_targeted(
             spark, snapshot_dir, changed, n_key_files=n_key_files,
-            layout=layout,
+            layout=layout, keep_versions=keep_versions,
         )
 
     return (
