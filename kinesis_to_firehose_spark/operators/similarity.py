@@ -653,3 +653,97 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# semantic_clusters — the knn_graph composed into CLUSTERS: neighbor
+# edges at cosine ≥ τ collapse into connected components via the same
+# alternating-star machinery as dedup_cc_star, labeling every vector
+# with its semantic group (plus cluster size and its top in-cluster
+# cosine as a cohesion signal). This is the standard embedding-space
+# grouping step (topic/near-topic pools for mixing or per-cluster
+# caps) — and the oracle restates the whole chain: band table →
+# candidate edges → exact cosine → recursive-CTE components.
+# Plan shape: everything before the CC loop is knn_graph's (narrow
+# band projection + chunk equi-join + candidate-only rescore); each
+# CC round shuffles only the EDGE list (≈ neighbors × vectors with a
+# cosine gate, not the corpus).
+# --------------------------------------------------------------------------
+CLUSTER_COS_TAU = 0.45  # the dedup COSINE_TAU regime: the corpus's planted near-dup gap
+
+
+def _semantic_clusters_sql() -> str:
+    knn_body = _knn_graph_sql().replace("ORDER BY src, rank", "")
+    return f"""
+WITH RECURSIVE knn AS ({knn_body}),
+pairs AS (
+  SELECT LEAST(src, neighbor) AS a, GREATEST(src, neighbor) AS b,
+         MAX(cosine) AS cosine
+  FROM knn WHERE cosine >= {CLUSTER_COS_TAU}
+  GROUP BY LEAST(src, neighbor), GREATEST(src, neighbor)
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.l < e.dst
+),
+labeled AS (
+  SELECT v AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+),
+cohesion AS (
+  SELECT v, MAX(cosine) AS top_cos FROM (
+    SELECT a AS v, cosine FROM pairs
+    UNION ALL SELECT b AS v, cosine FROM pairs
+  ) GROUP BY v
+)
+SELECT lb.vec_id, lb.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY lb.cluster_id) AS BIGINT)
+         AS cluster_size,
+       c.top_cos
+FROM labeled lb JOIN cohesion c ON c.v = lb.vec_id
+ORDER BY vec_id
+"""
+
+
+@register("semantic_clusters", _semantic_clusters_sql())
+def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.operators.dedup import star_components
+
+    knn = knn_graph(spark, sf_dir).filter(
+        F.col("cosine") >= CLUSTER_COS_TAU
+    )
+    pairs = (
+        knn.select(
+            F.least("src", "neighbor").alias("a"),
+            F.greatest("src", "neighbor").alias("b"),
+            "cosine",
+        )
+        .groupBy("a", "b")
+        .agg(F.max("cosine").alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
+    labels, _ = star_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    cohesion = (
+        pairs.select(F.col("a").alias("v"), "cosine")
+        .unionAll(pairs.select(F.col("b").alias("v"), "cosine"))
+        .groupBy("v")
+        .agg(F.max("cosine").alias("top_cos"))
+    )
+    w = W.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("v").alias("vec_id"), F.col("l").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .join(cohesion, F.col("vec_id") == F.col("v"))
+        .select("vec_id", "cluster_id", "cluster_size", "top_cos")
+        .orderBy("vec_id")
+    )

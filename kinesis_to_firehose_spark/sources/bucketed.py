@@ -350,10 +350,18 @@ def snapshot_read(
             for rel in rels
         ]
         base = os.path.join(path, "data")
-        return spark.read.option("basePath", base).parquet(*files)
+        return (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*files)
+        )
     if version is not None:
-        return spark.read.parquet(os.path.join(path, f"v={v}"))
-    return spark.read.parquet(snapshot_data_root(path))
+        return spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, f"v={v}")
+        )
+    return spark.read.option("mergeSchema", "true").parquet(
+        snapshot_data_root(path)
+    )
 
 
 def snapshot_scan(
@@ -385,8 +393,10 @@ def snapshot_scan(
             files.append(os.path.join(path, "data", rel))
     if not files:
         return snapshot_read(spark, path, version).filter(F.lit(False))
-    df = spark.read.option("basePath", os.path.join(path, "data")).parquet(
-        *files
+    df = (
+        spark.read.option("basePath", os.path.join(path, "data"))
+        .option("mergeSchema", "true")
+        .parquet(*files)
     )
     return df.filter(pred)
 
@@ -441,6 +451,9 @@ def write_snapshot(
         keep_versions = meta.get("keep_versions", keep_versions)
     else:
         version = 1
+    cols = [c for c in snapshot.columns if c != "_pid"]
+    history = dict((meta or {}).get("schema_history", {}))
+    history[str(version)] = cols
     new_meta = {
         "key": key,
         "n_key_files": n_key_files,
@@ -448,6 +461,7 @@ def write_snapshot(
         "layout": layout,
         "stats_cols": list(stats_cols),
         "keep_versions": keep_versions,
+        "schema_history": history,
     }
     _chaos_hook("pre-build")
     if layout == "manifest":
@@ -528,16 +542,22 @@ def snapshot_lookup(
         ]
         if not files:
             return snapshot_read(spark, path, version).filter(F.lit(False))
-        df = spark.read.option(
-            "basePath", os.path.join(path, "data")
-        ).parquet(*files)
+        df = (
+            spark.read.option("basePath", os.path.join(path, "data"))
+            .option("mergeSchema", "true")
+            .parquet(*files)
+        )
         return df.filter(df[key].isin(values))
     if version is not None:
         import os as _os
 
-        df = spark.read.parquet(_os.path.join(path, f"v={v}"))
+        df = spark.read.option("mergeSchema", "true").parquet(
+            _os.path.join(path, f"v={v}")
+        )
     else:
-        df = spark.read.parquet(snapshot_data_root(path))
+        df = spark.read.option("mergeSchema", "true").parquet(
+            snapshot_data_root(path)
+        )
     return df.filter(df[key].isin(values) & F.col("_pid").isin(pids))
 
 
@@ -624,10 +644,15 @@ def snapshot_merge_targeted(
             if os.path.isdir(os.path.join(old_root, f"_pid={p}"))
         ]
     if affected:
-        current = spark.read.parquet(*affected)  # no _pid col: recomputed
+        # mergeSchema: files from earlier epochs may predate columns
+        # added since (schema evolution); allowMissingColumns fills
+        # NULLs when either side lacks the other's columns
+        current = spark.read.option("mergeSchema", "true").parquet(
+            *affected
+        )  # no _pid col: recomputed
         merged = current.join(
             changes.select(key), key, "left_anti"
-        ).unionByName(changes)
+        ).unionByName(changes, allowMissingColumns=True)
     else:
         merged = changes
 
@@ -638,6 +663,10 @@ def snapshot_merge_targeted(
     # the changed partition dirs
     _write_version_data(merged, build, key, n_key_files)
     _chaos_hook("post-build")
+    history = dict(meta.get("schema_history", {}))
+    history[str(old_version + 1)] = [
+        c for c in merged.columns if c != "_pid"
+    ]
     new_meta = {
         "key": key,
         "n_key_files": n_key_files,
@@ -645,6 +674,7 @@ def snapshot_merge_targeted(
         "layout": store_layout,
         "stats_cols": meta.get("stats_cols", []),
         "keep_versions": meta.get("keep_versions", 1),
+        "schema_history": history,
     }
     if store_layout == "manifest":
         # unchanged partitions carry over as manifest-entry copies —

@@ -767,3 +767,44 @@ def test_snapshot_time_travel_with_retention(spark, tmp_path, layout):
         B.snapshot_read(spark, path, version=v1)
     with _pytest.raises(ValueError, match="not retained"):
         B.snapshot_lookup(spark, path, "user_id", [3], version=v1)
+
+
+@pytest.mark.parametrize("layout", ["dirs", "manifest"])
+def test_snapshot_schema_evolution_across_epochs(spark, tmp_path, layout):
+    """An epoch that adds a column merges cleanly: unchanged rows read
+    back with NULL in the new column, changed rows carry their value,
+    lookups on both old and new keys see the evolved schema, the meta
+    schema history records which columns each version has, and a
+    time-travel read of the pre-evolution version still has the OLD
+    schema."""
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, 100 + i, float(i)) for i in range(8)],
+        "user_id long, event_id long, value double",
+    )
+    B.write_snapshot(
+        spark, base, path, n_key_files=4, layout=layout, keep_versions=2
+    )
+    v1 = B._read_meta(path)["version"]
+
+    evolved = spark.createDataFrame(
+        [(3, 900, 3333.0, "gold")],
+        "user_id long, event_id long, value double, tier string",
+    )
+    B.snapshot_merge_targeted(spark, path, evolved)
+
+    out = {r["user_id"]: r for r in B.snapshot_read(spark, path).collect()}
+    assert out[3]["tier"] == "gold" and out[3]["value"] == 3333.0
+    assert out[5]["tier"] is None and out[5]["value"] == 5.0
+
+    look = B.snapshot_lookup(spark, path, "user_id", [3, 5]).collect()
+    assert {r["user_id"]: r["tier"] for r in look} == {3: "gold", 5: None}
+
+    meta = B._read_meta(path)
+    hist = meta["schema_history"]
+    assert "tier" not in hist[str(v1)] and "tier" in hist[str(v1 + 1)]
+
+    old_cols = set(B.snapshot_read(spark, path, version=v1).columns)
+    assert "tier" not in old_cols
