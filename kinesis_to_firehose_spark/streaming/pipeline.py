@@ -487,3 +487,128 @@ def snapshot_sink(
         .foreachBatch(_merge)
         .start()
     )
+
+
+# ---------------------------------------------------------------------
+# ewma_stream — streaming twin of the batch ewma_smooth operator:
+# per-series EWMA (α=1/2, 4 lags) computed incrementally with
+# applyInPandasWithState carrying each series' lag buffer across
+# micro-batches. The fold arithmetic mirrors the batch op's
+# left-associative term order exactly (value + l1·0.5 + l2·0.25 +
+# l3·0.125 + l4·0.0625, missing lags contributing literal 0.0), so a
+# time-ordered replay of the feed produces BIT-IDENTICAL doubles to
+# the batch window — asserted in tests. Emits the raw double; callers
+# round at the query edge like the batch op does.
+# State per series is five fixed-width fields (4 lags + count) — the
+# minimal footprint, independent of history length.
+# ---------------------------------------------------------------------
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("l1", T.DoubleType()),
+        T.StructField("l2", T.DoubleType()),
+        T.StructField("l3", T.DoubleType()),
+        T.StructField("l4", T.DoubleType()),
+        T.StructField("n", T.IntegerType()),
+    ]
+)
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma_raw", T.DoubleType()),
+    ]
+)
+_EWMA_COEFFS = (0.5, 0.25, 0.125, 0.0625)
+
+
+def ewma_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    src = file_stream_source(spark, source_dir, max_files_per_trigger)
+
+    def _ewma(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            l1, l2, l3, l4, n = state.get
+            lags = [l1, l2, l3, l4]
+        else:
+            lags, n = [0.0, 0.0, 0.0, 0.0], 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        out_ids, out_ts, out_val, out_ewma = [], [], [], []
+        for row in rows.itertuples(index=False):
+            v = float(row.value)
+            num, den = v, 1.0
+            for i, c in enumerate(_EWMA_COEFFS):
+                if n > i:
+                    num = num + lags[i] * c
+                    den = den + c
+                else:  # batch CASE arm: missing lag adds literal 0.0
+                    num = num + 0.0
+                    den = den + 0.0
+            out_ids.append(int(row.event_id))
+            out_ts.append(row.ts)
+            out_val.append(v)
+            out_ewma.append(num / den)
+            lags = [v, lags[0], lags[1], lags[2]]
+            n = min(n + 1, 4)
+        state.update((lags[0], lags[1], lags[2], lags[3], n))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "event_type": [key[0]] * len(out_ids),
+                "ts": out_ts,
+                "value": out_val,
+                "ewma_raw": out_ewma,
+            }
+        )
+
+    return src.groupBy(F.col("event_type")).applyInPandasWithState(
+        _ewma,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_time_sliced_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_slices: int = 3
+) -> None:
+    """Time-ORDERED feed for sequence-sensitive streams (EWMA): slice
+    events into contiguous ts ranges, one parquet file per slice, with
+    strictly increasing mtimes so the file stream replays history in
+    event-time order (a shard replay, unlike write_source_slice's
+    random split)."""
+    import glob
+    import shutil
+    import time
+
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    e = load(spark, "events", sf_dir)
+    qs = [i / n_slices for i in range(1, n_slices)]
+    edges = e.selectExpr(
+        f"percentile(cast(ts as double), array({', '.join(map(str, qs))})) AS p"
+    ).first()["p"]
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = [float("-inf"), *edges, float("inf")]
+    for i in range(n_slices):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = e.filter(
+            (F.col("ts").cast("double") >= lo)
+            & (F.col("ts").cast("double") < hi)
+        )
+        tmp = os.path.join(out_dir, f".slice-{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        [src] = glob.glob(os.path.join(tmp, "*.parquet"))
+        dst = os.path.join(out_dir, f"slice-{i:03d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(tmp)
+        t = time.time() - (n_slices - i) * 10
+        os.utime(dst, (t, t))

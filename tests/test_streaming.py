@@ -733,3 +733,56 @@ def test_snapshot_sink_maintains_point_lookup_store(spark, tmp_path, layout):
     some = sorted(want)[:3]
     looked = snapshot_lookup(spark, snap, "user_id", some)
     assert sorted(r["user_id"] for r in looked.collect()) == some
+
+
+def test_ewma_stream_matches_batch_bit_exact(spark, tmp_path):
+    """Streaming EWMA parity: drain a time-ordered feed one slice per
+    micro-batch through the stateful lag buffer; every per-event EWMA
+    must equal the batch window op BIT-EXACTLY (same left-assoc fold),
+    with cross-batch continuity actually exercised (≥3 batches)."""
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        ewma_stream,
+        write_time_sliced_source,
+    )
+
+    src = str(tmp_path / "src")
+    write_time_sliced_source(spark, SF, src, n_slices=3)
+
+    emitted = []
+
+    def sink(df, batch_id):
+        emitted.append((batch_id, df.collect()))
+
+    q = (
+        ewma_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(emitted) >= 3
+
+    stream_rows = [r for _, batch in emitted for r in batch]
+    batch_out = all_ops()["ewma_smooth"].fn(spark, SF).collect()
+    assert len(stream_rows) == len(batch_out)
+
+    # round the stream's raw doubles with the SAME Spark ROUND the
+    # batch op applies, then compare per event
+    rounded = {
+        r["event_id"]: r["ewma"]
+        for r in spark.createDataFrame(
+            [(x["event_id"], x["ewma_raw"]) for x in stream_rows],
+            "event_id long, ewma_raw double",
+        )
+        .selectExpr("event_id", "round(ewma_raw, 6) AS ewma")
+        .collect()
+    }
+    mismatches = [
+        (r["event_id"], rounded[r["event_id"]], r["ewma"])
+        for r in batch_out
+        if rounded[r["event_id"]] != r["ewma"]
+    ]
+    assert not mismatches, mismatches[:5]
