@@ -454,6 +454,8 @@ def write_snapshot(
     cols = [c for c in snapshot.columns if c != "_pid"]
     history = dict((meta or {}).get("schema_history", {}))
     history[str(version)] = cols
+    buckets = dict((meta or {}).get("bucket_history", {}))
+    buckets[str(version)] = n_key_files
     new_meta = {
         "key": key,
         "n_key_files": n_key_files,
@@ -462,6 +464,7 @@ def write_snapshot(
         "stats_cols": list(stats_cols),
         "keep_versions": keep_versions,
         "schema_history": history,
+        "bucket_history": buckets,
     }
     _chaos_hook("pre-build")
     if layout == "manifest":
@@ -510,6 +513,13 @@ def snapshot_lookup(
     from pyspark.sql import functions as F
 
     meta, v = _resolve_version(path, version)
+    if version is not None and meta is not None:
+        # an older version may predate a rebucket — prune with the
+        # bucket count IT was written with, or the lookup names the
+        # wrong dirs and silently returns empty results
+        n_key_files = int(
+            meta.get("bucket_history", {}).get(str(v), meta["n_key_files"])
+        )
     if n_key_files is None:
         if meta is None:
             # guessing a modulus silently prunes the WRONG dirs and
@@ -667,6 +677,8 @@ def snapshot_merge_targeted(
     history[str(old_version + 1)] = [
         c for c in merged.columns if c != "_pid"
     ]
+    buckets = dict(meta.get("bucket_history", {}))
+    buckets[str(old_version + 1)] = n_key_files
     new_meta = {
         "key": key,
         "n_key_files": n_key_files,
@@ -675,6 +687,7 @@ def snapshot_merge_targeted(
         "stats_cols": meta.get("stats_cols", []),
         "keep_versions": meta.get("keep_versions", 1),
         "schema_history": history,
+        "bucket_history": buckets,
     }
     if store_layout == "manifest":
         # unchanged partitions carry over as manifest-entry copies —
@@ -721,3 +734,28 @@ def snapshot_merge_targeted(
     _chaos_hook("post-commit")
     _gc_store(snapshot_dir, new_meta)
     return changed_pids
+
+
+def snapshot_rebucket(
+    spark: SparkSession, path: str, new_n_key_files: int
+) -> None:
+    """Re-bucket a store that outgrew its partition count: rewrite the
+    CURRENT content as the next version under `new_n_key_files`, with
+    the same atomic meta flip every other writer uses. Old retained
+    versions keep their own bucket count (meta.bucket_history), so
+    versioned lookups against them still prune the right dirs.
+    Cost is one full rewrite — the operation is exactly one shuffle of
+    the snapshot (same as its original write); subsequent targeted
+    merges prune with the new count. The layout, schema history,
+    retention, and stats config all carry over."""
+    meta = _read_meta(path)
+    if not meta or "version" not in meta:
+        raise ValueError(f"snapshot at {path!r} is not a versioned store")
+    current = snapshot_read(spark, path).drop("_pid")
+    write_snapshot(
+        spark,
+        current,
+        path,
+        key=meta["key"],
+        n_key_files=new_n_key_files,
+    )

@@ -808,3 +808,56 @@ def test_snapshot_schema_evolution_across_epochs(spark, tmp_path, layout):
 
     old_cols = set(B.snapshot_read(spark, path, version=v1).columns)
     assert "tier" not in old_cols
+
+
+@pytest.mark.parametrize("layout", ["dirs", "manifest"])
+def test_snapshot_rebucket_preserves_content_and_versioned_lookups(
+    spark, tmp_path, layout
+):
+    """Re-bucketing 4 → 8 dirs keeps content identical, later merges
+    target the NEW bucket count, and a versioned lookup against the
+    pre-rebucket epoch prunes with the OLD bucket count (or it would
+    silently miss keys)."""
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, 100 + i, float(i)) for i in range(16)],
+        "user_id long, event_id long, value double",
+    )
+    B.write_snapshot(
+        spark, base, path, n_key_files=4, layout=layout, keep_versions=2
+    )
+    v1 = B._read_meta(path)["version"]
+
+    B.snapshot_rebucket(spark, path, 8)
+    meta = B._read_meta(path)
+    assert meta["n_key_files"] == 8
+    assert meta["bucket_history"][str(v1)] == 4
+
+    got = {
+        r["user_id"]: r["value"]
+        for r in B.snapshot_read(spark, path).collect()
+    }
+    assert got == {i: float(i) for i in range(16)}
+
+    # every key findable at the current version (new count) AND at the
+    # retained pre-rebucket version (old count)
+    for version in (None, v1):
+        vals = {
+            r["user_id"]: r["value"]
+            for r in B.snapshot_lookup(
+                spark, path, "user_id", list(range(16)), version=version
+            ).collect()
+        }
+        assert vals == got, f"version={version}"
+
+    # merges after the rebucket use the new layout
+    B.snapshot_merge_targeted(
+        spark, path, spark.createDataFrame(
+            [(3, 900, 3333.0)], "user_id long, event_id long, value double"
+        )
+    )
+    assert B.snapshot_lookup(spark, path, "user_id", [3]).collect()[0][
+        "value"
+    ] == 3333.0
