@@ -1793,13 +1793,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Star join over part-filtered lineitem, one shuffle to the
 # (nation, year) grain.
 # --------------------------------------------------------------------------
-Q9_SQL = """
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+# amount is computed and SUMMED in exact decimals (column_corr's
+# trick): double sums are order-dependent, and Spark's partial-agg
+# order landed a q9 group sum on the other side of a half-cent vs
+# DuckDB at sf0.001. The decimal sum is order-independent, so the
+# parity holds at ANY data scale and parallelism; the final cast
+# returns the rounded value to double for the output schema.
+_Q9_AMOUNT = (
+    "CAST(l_extendedprice AS DECIMAL(14,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(6,2))) - "
+    "CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(14,2)) * "
+    "CAST(l_quantity AS DECIMAL(8,2))"
+)
+
+Q9_SQL = f"""
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         l_extendedprice * (1 - l_discount)
-           - 0.6 * p_retailprice * l_quantity AS amount
+         {_Q9_AMOUNT} AS amount
   FROM lineitem
   JOIN part ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -1819,10 +1831,6 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, "supplier", sf_dir)
     o = load(spark, "orders", sf_dir)
     n = F.broadcast(load(spark, "nation", sf_dir))
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
-    )
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1831,10 +1839,12 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
-            amount.alias("amount"),
+            F.expr(_Q9_AMOUNT).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(_r(F.sum("amount")).alias("sum_profit"))
+        .agg(
+            F.round(F.sum("amount"), 2).cast("double").alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 

@@ -1234,7 +1234,10 @@ ORDER BY lang, bucket
 def ppl_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = unigram_logprob_score(spark, sf_dir)
     d = load(spark, "documents", sf_dir).select("doc_id", "lang")
-    scored = d.join(u, "doc_id")
+    # materialize once: three consumers (edges, tot, the final
+    # aggregate) would otherwise each replay the token explode +
+    # broadcast-TF join (same shape as quality_adaptive_gate's cut)
+    scored = d.join(u, "doc_id").localCheckpoint(eager=True)
     edges = scored.groupBy(F.col("lang").alias("e_lang")).agg(
         F.round(F.expr("percentile(avg_logprob, 0.33)"), 4).alias("p33"),
         F.round(F.expr("percentile(avg_logprob, 0.67)"), 4).alias("p67"),

@@ -1648,23 +1648,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are precisely the ones with very DIFFERENT lengths, so the
     # length-bucket blocking that's right for Jaccard would hide them.
     # The DF cap bounds hot shingles per (lang, shingle) as before.
-    d = load(spark, "documents", sf_dir)
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok"),
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    ex = (
-        toks.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(
-            "doc_id",
-            "lang",
-            F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("shingle"),
-        )
-        .distinct()
-    )
+    # Same shingle index as the Jaccard family (shared tokenizer).
+    ex = exploded_shingles(spark, sf_dir).drop("len_bucket")
     capped = (
         ex.withColumn(
             "df_cnt", F.count("*").over(W.partitionBy("lang", "shingle"))

@@ -523,10 +523,17 @@ def _phash_slice_counts(engine: str) -> list[str]:
     return out
 
 
+def _phash_total() -> str:
+    return "(" + " + ".join(f"sp{i}" for i in range(PHASH_SLICES)) + ")"
+
+
 def _phash_pack() -> str:
-    total = " + ".join(f"sp{i}" for i in range(PHASH_SLICES))
+    # sp_total is a hoisted column: inlining the 60-term sum into all
+    # 60 CASE arms makes an O(slices²) expression that overruns
+    # janino's method-size limit and falls back to interpreted
+    # evaluation (see emb_band_table for the same failure mode)
     terms = " + ".join(
-        f"(CASE WHEN {PHASH_SLICES} * sp{i} > ({total}) "
+        f"(CASE WHEN {PHASH_SLICES} * sp{i} > sp_total "
         f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(PHASH_SLICES)
     )
@@ -545,8 +552,11 @@ sliced AS (
          {", ".join(_phash_slice_counts("duck"))}
   FROM blobs
 ),
+totaled AS (
+  SELECT *, {_phash_total()} AS sp_total FROM sliced
+),
 hashed AS (
-  SELECT media_id, kind, {_phash_pack()} AS phash FROM sliced
+  SELECT media_id, kind, {_phash_pack()} AS phash FROM totaled
 ),
 chunked AS (
   SELECT media_id, kind, phash, c AS chunk_idx,
@@ -582,7 +592,8 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         *[F.expr(e) for e in _phash_slice_counts("spark")],
     )
-    hashed = sliced.select(
+    totaled = sliced.withColumn("sp_total", F.expr(_phash_total()))
+    hashed = totaled.select(
         "media_id", "kind", F.expr(_phash_pack()).alias("phash")
     )
     chunked = hashed.select(

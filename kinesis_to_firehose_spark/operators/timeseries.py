@@ -308,9 +308,13 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = e.groupBy(F.col("event_type").alias("m_type")).agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
     )
-    with_med = e.join(
-        F.broadcast(med), F.col("event_type") == F.col("m_type")
-    ).drop("m_type")
+    # materialized: both the MAD aggregate and the flagging pass
+    # consume this join — without a cut each replays the events scan
+    with_med = (
+        e.join(F.broadcast(med), F.col("event_type") == F.col("m_type"))
+        .drop("m_type")
+        .localCheckpoint(eager=True)
+    )
     mad = with_med.groupBy(F.col("event_type").alias("d_type")).agg(
         F.round(
             F.expr("percentile(ABS(value - med), 0.5)"), 4
