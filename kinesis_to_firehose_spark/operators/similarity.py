@@ -627,12 +627,16 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = emb_band_table(e)
     a = bands.alias("a")
     b = bands.alias("b")
+    # score each unordered pair ONCE (v1 < v2) and mirror: the Arrow
+    # kernel's dot and the norm product are commutative per IEEE, so
+    # cos(a,b) == cos(b,a) bitwise — halves the rescore work vs
+    # scoring both orientations
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_id_1"),
@@ -640,10 +644,17 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    scored = score_pairs_exact(cand, e)
+    sym = scored.unionAll(
+        scored.select(
+            F.col("vec_id_2").alias("vec_id_1"),
+            F.col("vec_id_1").alias("vec_id_2"),
+            "cosine",
+        )
+    )
     w = W.partitionBy("vec_id_1").orderBy(F.desc("cosine"), "vec_id_2")
     return (
-        score_pairs_exact(cand, e)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= KNN_K)
         .select(
             F.col("vec_id_1").alias("src"),
