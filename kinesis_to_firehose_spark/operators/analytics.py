@@ -2604,3 +2604,46 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# hourly_top_users — windowed heavy hitters: top-3 users by event
+# count per tumbling hour (ties to the lower user_id). The per-window
+# rank runs over the AGGREGATED (hour, user) table — one count
+# shuffle, then a window over rows already collapsed to one per
+# (hour, user), never per event. Streaming twin: topk_stream
+# (streaming/pipeline.py) with closed-window parity asserted in
+# tests/test_streaming.py.
+# --------------------------------------------------------------------------
+HOURLY_TOPK = 3
+
+HOURLY_TOP_USERS_SQL = f"""
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n
+  FROM events GROUP BY date_trunc('hour', ts), user_id
+),
+ranked AS (
+  SELECT hour, user_id, CAST(n AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY hour ORDER BY n DESC, user_id) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT hour, user_id, n, rank FROM ranked
+WHERE rank <= {HOURLY_TOPK}
+ORDER BY hour, rank
+"""
+
+
+@register("hourly_top_users", HOURLY_TOP_USERS_SQL)
+def hourly_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = W.partitionBy("hour").orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= HOURLY_TOPK)
+        .select("hour", "user_id", "n", "rank")
+        .orderBy("hour", "rank")
+    )

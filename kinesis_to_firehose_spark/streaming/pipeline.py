@@ -612,3 +612,46 @@ def write_time_sliced_source(
         shutil.rmtree(tmp)
         t = time.time() - (n_slices - i) * 10
         os.utime(dst, (t, t))
+
+
+# ---------------------------------------------------------------------
+# topk_stream — streaming twin of hourly_top_users: watermarked
+# tumbling-window counts per (hour, user) in APPEND mode, so a window
+# emits exactly once — when the watermark proves it complete. The
+# per-window rank is computed in the sink over each emitted batch
+# (rows for a closed window all arrive in the same batch, because
+# append mode releases a window atomically). State is bounded by the
+# watermark: one count row per (open window, user).
+# ---------------------------------------------------------------------
+def topk_stream(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    src = file_stream_source(spark, source_dir, max_files_per_trigger)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .count()
+        .select(
+            F.col("win.start").alias("hour"),
+            "user_id",
+            F.col("count").cast("bigint").alias("n"),
+        )
+    )
+
+
+def rank_topk_batch(batch_df: DataFrame, k: int) -> DataFrame:
+    """Sink-side rank for topk_stream batches: same ordering contract
+    as the batch op (count desc, user_id asc)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("hour").orderBy(F.desc("n"), F.col("user_id"))
+    return (
+        batch_df.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= k)
+        .select("hour", "user_id", "n", "rank")
+    )

@@ -786,3 +786,55 @@ def test_ewma_stream_matches_batch_bit_exact(spark, tmp_path):
         if rounded[r["event_id"]] != r["ewma"]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_topk_stream_closed_windows_match_batch(spark, tmp_path):
+    """Windowed heavy-hitter parity: append-mode window counts rank to
+    exactly the batch hourly_top_users rows for every window the
+    watermark closed (the still-open tail windows are excluded from
+    the comparison on both sides)."""
+    from kinesis_to_firehose_spark.operators.analytics import (
+        HOURLY_TOPK,
+    )
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        rank_topk_batch,
+        topk_stream,
+        write_time_sliced_source,
+    )
+
+    src = str(tmp_path / "src")
+    write_time_sliced_source(spark, SF, src, n_slices=4)
+
+    closed = []
+
+    def sink(df, batch_id):
+        closed.extend(rank_topk_batch(df, HOURLY_TOPK).collect())
+
+    q = (
+        topk_stream(spark, src, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert closed, "no windows closed — watermark never advanced"
+
+    stream_rows = {
+        (r["hour"], r["user_id"]): (r["n"], r["rank"]) for r in closed
+    }
+    closed_hours = {h for h, _ in stream_rows}
+    batch_rows = {
+        (r["hour"], r["user_id"]): (r["n"], r["rank"])
+        for r in all_ops()["hourly_top_users"].fn(spark, SF).collect()
+        if r["hour"] in closed_hours
+    }
+    assert stream_rows == batch_rows
+    # the comparison must cover most of the feed, not a sliver
+    all_hours = {
+        r["hour"]
+        for r in all_ops()["hourly_top_users"].fn(spark, SF).collect()
+    }
+    assert len(closed_hours) >= len(all_hours) - 2
