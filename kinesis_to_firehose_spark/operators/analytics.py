@@ -2647,3 +2647,116 @@ def hourly_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour", "user_id", "n", "rank")
         .orderBy("hour", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# data_quality_report — deequ/dbt-style constraint checking as one
+# compact report: row-level rules (not-null, domain range, positivity)
+# fold into a SINGLE conditional aggregate over one lineitem scan;
+# the two relation-level rules are an anti-join count (referential
+# integrity lineitem→orders, broadcast-shaped on the orders KEY
+# projection) and a duplicate-key count (one groupBy on the candidate
+# key). Every rule emits (rule, violations, status) — the contract a
+# pipeline gate consumes.
+# --------------------------------------------------------------------------
+DQ_SQL = """
+WITH row_rules AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS not_null_orderkey,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS discount_in_range,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS price_positive,
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS not_null_shipdate
+  FROM lineitem
+),
+ref AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey IS NULL
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS dups FROM (
+    SELECT COUNT(*) AS c FROM lineitem
+    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+  )
+)
+SELECT rule, violations,
+       CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM (
+  SELECT 'not_null_orderkey' AS rule, not_null_orderkey AS violations
+    FROM row_rules
+  UNION ALL SELECT 'discount_in_range', discount_in_range FROM row_rules
+  UNION ALL SELECT 'price_positive', price_positive FROM row_rules
+  UNION ALL SELECT 'not_null_shipdate', not_null_shipdate FROM row_rules
+  UNION ALL SELECT 'fk_orderkey_in_orders', orphans FROM ref
+  UNION ALL SELECT 'unique_orderkey_linenumber', dups FROM dup
+)
+ORDER BY rule
+"""
+
+
+@register("data_quality_report", DQ_SQL)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+
+    def viol(name, cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    row_rules = li.agg(
+        viol("not_null_orderkey", F.col("l_orderkey").isNull()),
+        viol(
+            "discount_in_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+        viol("price_positive", F.col("l_extendedprice") <= 0),
+        viol("not_null_shipdate", F.col("l_shipdate").isNull()),
+    )
+    orphans = (
+        li.join(
+            o.select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(F.lit("fk_orderkey_in_orders").alias("rule"), "violations")
+    )
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("violations")
+        )
+        .select(
+            F.lit("unique_orderkey_linenumber").alias("rule"), "violations"
+        )
+    )
+    rows = None
+    for name in (
+        "not_null_orderkey",
+        "discount_in_range",
+        "price_positive",
+        "not_null_shipdate",
+    ):
+        r = row_rules.select(
+            F.lit(name).alias("rule"), F.col(name).alias("violations")
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return (
+        rows.unionAll(orphans)
+        .unionAll(dups)
+        .select(
+            "rule",
+            "violations",
+            F.when(F.col("violations") == 0, "pass")
+            .otherwise("fail")
+            .alias("status"),
+        )
+        .orderBy("rule")
+    )

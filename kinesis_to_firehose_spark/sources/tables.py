@@ -112,3 +112,14 @@ def materialized(
         for n, df in handles:
             _MATERIALIZED.pop((sf_dir, n), None)
             df.unpersist()
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so users can drive the
+    engine through plain `spark.sql(...)` — the same names the DuckDB
+    oracles use, so any oracle_sql() string that sticks to
+    Spark-compatible syntax runs verbatim. Views are lazy references
+    to the parquet reads (column pruning + pushdown intact); calling
+    again re-points the names at a different sf_dir."""
+    for t in TABLES:
+        load(spark, t, sf_dir).createOrReplaceTempView(t)

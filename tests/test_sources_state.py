@@ -922,3 +922,31 @@ def test_export_corpus_partitioned_deterministic_with_manifest(
     assert manifest2 == manifest
     with open(os.path.join(out, "_manifest.json")) as f:
         assert json.load(f) == manifest
+
+
+def test_register_views_sql_surface(spark):
+    """spark.sql over the registered views computes the same result as
+    the DataFrame op (TPC-H q6 shape), and the view scan keeps filter
+    pushdown."""
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.sources.tables import register_views
+
+    register_views(spark, SF)
+    got = spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    ).collect()
+    want = all_ops()["q6_forecast_revenue"].fn(spark, SF).collect()
+    assert got[0]["revenue"] == want[0]["revenue"]
+    plan = (
+        spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity < 5")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan
