@@ -48,8 +48,22 @@ def host_speed_sentinel() -> float:
 
 
 def main() -> None:
+    import contextlib
+
     spark = get_spark("kinesis-to-firehose-spark-bench")
     ops = {k: v for k, v in all_ops().items() if k not in EXCLUDE}
+    # Opt-in multi-query scan sharing (SPARK_GRAFT_SHARED_SCAN=1):
+    # materialize the hot fact tables once for the whole sweep — the
+    # measured ~19% TPC-H-set win (SURVEY §6). Off by default so the
+    # per-op numbers stay per-op (the driver compares them to
+    # BASELINE.md, which is unshared).
+    shared = os.environ.get("SPARK_GRAFT_SHARED_SCAN") == "1"
+    if shared:
+        from kinesis_to_firehose_spark.sources.tables import materialized
+
+        share_ctx = materialized(spark, SF_DIR, ("lineitem", "orders"))
+    else:
+        share_ctx = contextlib.nullcontext()
     # Warm the JVM / codegen / parquet footer caches so timings measure
     # the queries, not first-run startup (~35s otherwise).
     for name in ("q1_pricing_summary",):
@@ -57,6 +71,8 @@ def main() -> None:
             ops[name].fn(spark, SF_DIR).count()
     timings: dict[str, float] = {}
     total = 0.0
+    ctx_stack = contextlib.ExitStack()
+    ctx_stack.enter_context(share_ctx)
     for name, op in sorted(ops.items()):
         # Best of three: first runs after heavy neighbors pay JVM
         # lazy-cleanup/codegen-cache penalties and transient host
@@ -75,6 +91,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+    ctx_stack.close()
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -87,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "shared_scan": shared,
                 "host_sentinel_sec": host_speed_sentinel(),
             }
         )
