@@ -2760,3 +2760,81 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# --------------------------------------------------------------------------
+# user_activity_full_outer — the one join type nothing else exercises:
+# FULL OUTER, at (user, day) granularity so BOTH null arms genuinely
+# fire (every user clicks AND purchases eventually, but not every
+# day): user-days with only one activity kind surface with a
+# NULL-filled side and an activity_class of click_only /
+# purchase_only / both. The join runs on two already-aggregated
+# (user, day) tables — one count shuffle each, then a key-aligned
+# full outer (sort-merge on the compound key at scale).
+# --------------------------------------------------------------------------
+FULL_OUTER_SQL = """
+WITH clicks AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.day, p.day) AS day,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases,
+       CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+            WHEN p.user_id IS NULL THEN 'click_only'
+            ELSE 'both' END AS activity_class
+FROM clicks c
+FULL OUTER JOIN purchases p
+  ON c.user_id = p.user_id AND c.day = p.day
+ORDER BY user_id, day
+"""
+
+
+@register("user_activity_full_outer", FULL_OUTER_SQL)
+def user_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.col("user_id").alias("c_user"), day.alias("c_day")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_clicks"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("p_user"), day.alias("p_day")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_day") == F.col("p_day")),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            F.coalesce(F.col("c_day"), F.col("p_day")).alias("day"),
+            F.coalesce(F.col("n_clicks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.when(F.col("c_user").isNull(), "purchase_only")
+            .when(F.col("p_user").isNull(), "click_only")
+            .otherwise("both")
+            .alias("activity_class"),
+        )
+        .orderBy("user_id", "day")
+    )
