@@ -2838,3 +2838,60 @@ def user_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# range_window_agg — RANGE-frame windows (the frame type nothing else
+# exercises): for every event, the count and value-sum of the SAME
+# series' events in the trailing hour, frame bounded by event-TIME
+# (RANGE 3600 PRECEDING over epoch seconds), not row count — peers
+# with equal timestamps enter together, which is the semantic ROWS
+# frames get wrong. Sums run on exact decimals so the sliding-frame
+# accumulation order (which differs between engines' window
+# implementations) cannot perturb the result. One series shuffle.
+# --------------------------------------------------------------------------
+RANGE_WINDOW_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,  -- floor, not CAST-round:
+         -- DuckDB epoch() keeps fractional seconds and its BIGINT cast
+         -- ROUNDS, where Spark unix_timestamp truncates
+         CAST(value AS DECIMAL(10,2)) AS v
+  FROM events
+)
+SELECT event_id, event_type, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(v) OVER w AS DOUBLE) AS sum_1h
+FROM e
+WINDOW w AS (
+  PARTITION BY event_type ORDER BY sec
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
+"""
+
+
+@register("range_window_agg", RANGE_WINDOW_SQL)
+def range_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("value").cast("decimal(10,2)").alias("v"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.count("*").over(w).cast("bigint").alias("n_1h"),
+            F.sum("v").over(w).cast("double").alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
