@@ -70,28 +70,27 @@ def main() -> None:
         if name in ops:
             ops[name].fn(spark, SF_DIR).count()
     timings: dict[str, float] = {}
-    total = 0.0
-    ctx_stack = contextlib.ExitStack()
-    ctx_stack.enter_context(share_ctx)
-    for name, op in sorted(ops.items()):
-        # Best of three: first runs after heavy neighbors pay JVM
-        # lazy-cleanup/codegen-cache penalties and transient host
-        # stalls that are session artifacts, not query cost (verified:
-        # 17s → 0.4s on immediate repeat, no data caching involved).
-        best, n = None, 0
-        # Untimed settle: collect the previous op's JVM garbage so its
-        # major-GC debt doesn't land inside this op's timing window
-        # (observed: 0.3s ops reading 3.7s mid-bench, clean on repeat).
-        spark.sparkContext._jvm.System.gc()
-        for _ in range(3):
-            t0 = time.perf_counter()
-            n = op.fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
-    ctx_stack.close()
+    # shared context closed even if an op raises mid-sweep (a leaked
+    # materialization would pin executor storage for the process life)
+    with share_ctx:
+        for name, op in sorted(ops.items()):
+            # Best of three: first runs after heavy neighbors pay JVM
+            # lazy-cleanup/codegen-cache penalties and transient host
+            # stalls that are session artifacts, not query cost
+            # (verified: 17s → 0.4s on immediate repeat, no caching).
+            best, n = None, 0
+            # Untimed settle: collect the previous op's JVM garbage so
+            # its major-GC debt doesn't land inside this op's timing
+            # window (observed: 0.3s ops reading 3.7s mid-bench).
+            spark.sparkContext._jvm.System.gc()
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = op.fn(spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+    total = sum(timings.values())
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:

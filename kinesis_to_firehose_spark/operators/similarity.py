@@ -644,7 +644,10 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    scored = score_pairs_exact(cand, e)
+    # materialized: both union branches consume the scored pairs, and
+    # without a cut Spark re-runs the Arrow kernel + joins per branch
+    # (ReusedExchange covers exchanges, not the mapInPandas node)
+    scored = score_pairs_exact(cand, e).localCheckpoint(eager=True)
     sym = scored.unionAll(
         scored.select(
             F.col("vec_id_2").alias("vec_id_1"),

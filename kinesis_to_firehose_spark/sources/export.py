@@ -4,11 +4,12 @@ manifest — the hand-off surface between this engine and a training
 data loader.
 
 Design (100 TB posture):
-- One `repartition(split, lang)` is the export's only shuffle; the
-  writer's `partitionBy` then emits each partition's rows into its
-  own `split=…/lang=…/` directory, so training jobs read exactly the
-  split/language they want via partition pruning (no file listing
-  games, no full scans).
+- The export shuffles each salt slice once on (split, lang) — n
+  slices ⇒ n shuffles of 1/n of the data each, one full pass in
+  total; the writer's `partitionBy` then emits each partition's rows
+  into its own `split=…/lang=…/` directory, so training jobs read
+  exactly the split/language they want via partition pruning (no
+  file listing games, no full scans).
 - Spark's part files carry a random task UUID, so a byte-identical
   re-export would still produce different NAMES. The adopt pass
   renames files to `part-NNNNN.parquet` per partition dir (sorted
@@ -54,13 +55,55 @@ def export_corpus(
         .select("doc_id", "text", "lang", "n_chars", "n_tokens",
                 split.alias("split"))
     )
-    (
-        rows.repartition(files_per_partition, "split", "lang")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("split", "lang")
-        .parquet(out_dir)
-    )
+    # One write per deterministic salt slice (pmod(hash(doc_id), n)):
+    # repartitioning by (split, lang, salt) does NOT fan out —
+    # hash-partitioning can collide two salts of a combo, and AQE
+    # coalesces the tiny shuffle back into one task anyway, both of
+    # which collapse a directory to a single file. A per-slice write
+    # pins one file per (split, lang) dir per slice (repartition by
+    # the partition columns puts a combo's rows in one task; coalesce
+    # only merges tasks, never splits a combo), and the slice index IS
+    # the file name — exact fan-out, fully deterministic tree.
+    import shutil
+
+    staging = out_dir.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    salt = F.pmod(F.hash("doc_id"), F.lit(files_per_partition))
+    with_salt = rows.withColumn("_salt", salt)
+    for sv in range(files_per_partition):
+        (
+            with_salt.filter(F.col("_salt") == sv)
+            .drop("_salt")
+            .repartition("split", "lang")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("split", "lang")
+            .parquet(os.path.join(staging, f"s={sv}"))
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    for sv in range(files_per_partition):
+        root = os.path.join(staging, f"s={sv}")
+        for sd in sorted(os.listdir(root)):
+            if not sd.startswith("split="):
+                continue
+            for ld in sorted(os.listdir(os.path.join(root, sd))):
+                if not ld.startswith("lang="):
+                    continue
+                src_dir = os.path.join(root, sd, ld)
+                parts = [
+                    f for f in os.listdir(src_dir) if f.endswith(".parquet")
+                ]
+                if not parts:
+                    continue
+                assert len(parts) == 1, parts
+                dst_dir = os.path.join(out_dir, sd, ld)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(
+                    os.path.join(src_dir, parts[0]),
+                    os.path.join(dst_dir, f"part-{sv:05d}.parquet"),
+                )
+    shutil.rmtree(staging, ignore_errors=True)
     return _adopt_and_manifest(spark, out_dir)
 
 

@@ -71,12 +71,6 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Register every table as a temp view for the SQL API."""
-    for name in TABLES:
-        load(spark, name, sf_dir).createOrReplaceTempView(name)
-
-
 from contextlib import contextmanager  # noqa: E402
 
 
@@ -120,6 +114,15 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     oracles use, so any oracle_sql() string that sticks to
     Spark-compatible syntax runs verbatim. Views are lazy references
     to the parquet reads (column pruning + pushdown intact); calling
-    again re-points the names at a different sf_dir."""
+    again re-points the names at a different sf_dir. Pair with
+    `unregister_views` in shared sessions.
+    """
     for t in TABLES:
         load(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def unregister_views(spark: SparkSession) -> None:
+    """Drop the temp views register_views created (shared-session
+    hygiene: a later consumer must not silently resolve these names)."""
+    for t in TABLES:
+        spark.catalog.dropTempView(t)

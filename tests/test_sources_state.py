@@ -923,13 +923,33 @@ def test_export_corpus_partitioned_deterministic_with_manifest(
     with open(os.path.join(out, "_manifest.json")) as f:
         assert json.load(f) == manifest
 
+    # files_per_partition actually fans out (salted repartition): the
+    # big train partitions must land in >1 file, and content is
+    # unchanged
+    out2 = str(tmp_path / "corpus2")
+    m2 = export_corpus(spark, SF, out2, files_per_partition=2)
+    assert any(
+        len(p["files"]) == 2
+        for key, p in m2["partitions"].items()
+        if key.startswith("split=train")
+    )
+    assert {
+        k: (p["n_docs"], p["n_tokens"]) for k, p in m2["partitions"].items()
+    } == {
+        k: (p["n_docs"], p["n_tokens"])
+        for k, p in manifest["partitions"].items()
+    }
+
 
 def test_register_views_sql_surface(spark):
     """spark.sql over the registered views computes the same result as
     the DataFrame op (TPC-H q6 shape), and the view scan keeps filter
     pushdown."""
     from kinesis_to_firehose_spark.registry import all_ops
-    from kinesis_to_firehose_spark.sources.tables import register_views
+    from kinesis_to_firehose_spark.sources.tables import (
+        register_views,
+        unregister_views,
+    )
 
     register_views(spark, SF)
     got = spark.sql(
@@ -943,10 +963,14 @@ def test_register_views_sql_surface(spark):
     ).collect()
     want = all_ops()["q6_forecast_revenue"].fn(spark, SF).collect()
     assert got[0]["revenue"] == want[0]["revenue"]
-    plan = (
-        spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity < 5")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan
+    try:
+        plan = (
+            spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity < 5")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan
+    finally:
+        # shared session: later tests must not silently resolve these
+        unregister_views(spark)
