@@ -2511,14 +2511,17 @@ ORDER BY col_x, col_y
 @register("column_corr", COLUMN_CORR_SQL)
 def column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
-    # single aggregate row with every sufficient statistic
+    # single aggregate row with every sufficient statistic,
+    # materialized: the three projected matrix rows each reference it,
+    # and without a cut every row replays the full lineitem scan
+    # (PLAN_DIGEST showed 3 file_scans for a "one-pass" op)
     sums = li.groupBy().agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("nd"),
         *[
             F.expr(e).alias(a)
             for e, a in _corr_agg_exprs()
         ],
-    )
+    ).localCheckpoint(eager=True)
     rows = [
         sums.selectExpr(
             f"'{x}' AS col_x",
@@ -2706,6 +2709,8 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def viol(name, cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
 
+    # 1-row conditional aggregate, materialized: four rule rows project
+    # from it and would otherwise each replay the lineitem scan
     row_rules = li.agg(
         viol("not_null_orderkey", F.col("l_orderkey").isNull()),
         viol(
@@ -2714,7 +2719,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         viol("price_positive", F.col("l_extendedprice") <= 0),
         viol("not_null_shipdate", F.col("l_shipdate").isNull()),
-    )
+    ).localCheckpoint(eager=True)
     orphans = (
         li.join(
             o.select("o_orderkey"),
