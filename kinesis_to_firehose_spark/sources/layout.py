@@ -137,3 +137,47 @@ def candidate_files_for_box(
     return candidate_files_for_preds(
         spark, path, {x: (x_lo, x_hi), y: (y_lo, y_hi)}
     )
+
+
+def zorder_scan(
+    spark: SparkSession, path: str, preds: dict[str, tuple]
+) -> DataFrame:
+    """Driver-side file skipping over a z-ordered directory: read each
+    file's [min, max] for the predicate columns straight from its
+    parquet FOOTER (no data read, no Spark job — the same
+    `_file_stats` the manifest snapshot store uses), drop files
+    provably disjoint from every band, and plan the scan over the
+    survivors only. Parquet row-group stats would prune the same rows
+    eventually, but only after a task is scheduled per file — at 100 TB
+    and a selective box that is millions of no-op tasks; skipping at
+    the driver never schedules them. The residual band filter still
+    applies (file-level stats are necessary, not sufficient)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.bucketed import _file_stats
+
+    cols = tuple(preds)
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    kept = []
+    for f in files:
+        st = _file_stats(f, cols)
+        drop = False
+        for c, (lo, hi) in preds.items():
+            rng = st.get(c)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    cond = F.lit(True)
+    for c, (lo, hi) in preds.items():
+        cond = cond & (F.col(c) >= lo) & (F.col(c) <= hi)
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*kept).filter(cond)

@@ -974,3 +974,51 @@ def test_register_views_sql_surface(spark):
     finally:
         # shared session: later tests must not silently resolve these
         unregister_views(spark)
+
+
+def test_zorder_scan_driver_side_file_skipping(spark, tmp_path):
+    """zorder_scan plans over only the footer-surviving files (fewer
+    than the directory's total for a selective box), never opens the
+    pruned ones, and returns exactly the full filtered read."""
+    import os
+
+    from kinesis_to_firehose_spark.sources.layout import (
+        candidate_files_for_preds,
+        write_zorder,
+        zorder_scan,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts_s", F.unix_timestamp("ts").cast("double"))
+        .select("event_id", "user_id", "ts_s", "value")
+    )
+    path = str(tmp_path / "z")
+    write_zorder(e, "user_id", "ts_s", path, n_files=16)
+
+    lo_u, hi_u = 10, 30
+    ts_med = e.selectExpr("percentile(ts_s, 0.5)").first()[0]
+    preds = {"user_id": (lo_u, hi_u), "ts_s": (ts_med, ts_med + 86400 * 3)}
+
+    n_cand, n_total = candidate_files_for_preds(spark, path, preds)
+    assert n_cand < n_total  # the box is genuinely selective
+
+    df = zorder_scan(spark, path, preds)
+    # planned files == the footer-surviving set, not the whole dir
+    planned = {
+        os.path.basename(f)
+        for f in df.inputFiles()
+    }
+    assert len(planned) == n_cand
+
+    full = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u)
+            & (F.col("ts_s") >= preds["ts_s"][0])
+            & (F.col("ts_s") <= preds["ts_s"][1])
+        )
+    )
+    got = sorted(r["event_id"] for r in df.collect())
+    want = sorted(r["event_id"] for r in full.collect())
+    assert got == want and got
