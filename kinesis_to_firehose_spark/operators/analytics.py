@@ -2511,17 +2511,21 @@ ORDER BY col_x, col_y
 @register("column_corr", COLUMN_CORR_SQL)
 def column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
-    # single aggregate row with every sufficient statistic,
-    # materialized: the three projected matrix rows each reference it,
-    # and without a cut every row replays the full lineitem scan
-    # (PLAN_DIGEST showed 3 file_scans for a "one-pass" op)
+    # single aggregate row with every sufficient statistic
     sums = li.groupBy().agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("nd"),
         *[
             F.expr(e).alias(a)
             for e, a in _corr_agg_exprs()
         ],
-    ).localCheckpoint(eager=True)
+    )
+    # Union of per-pair projections over the shared aggregate. The
+    # STATIC plan shows one file scan per branch, but ReuseExchange
+    # dedups the aggregate at runtime — the scan executes once
+    # (measured: union 0.32s ≈ bare agg ≥; an explode-of-structs
+    # single-consumer rewrite was 4x SLOWER from re-compiling the
+    # large corr expressions per array element, and eager
+    # localCheckpoint 6x slower via the non-AQE df.rdd path).
     rows = [
         sums.selectExpr(
             f"'{x}' AS col_x",
@@ -2709,8 +2713,6 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def viol(name, cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
 
-    # 1-row conditional aggregate, materialized: four rule rows project
-    # from it and would otherwise each replay the lineitem scan
     row_rules = li.agg(
         viol("not_null_orderkey", F.col("l_orderkey").isNull()),
         viol(
@@ -2719,7 +2721,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         viol("price_positive", F.col("l_extendedprice") <= 0),
         viol("not_null_shipdate", F.col("l_shipdate").isNull()),
-    ).localCheckpoint(eager=True)
+    )
     orphans = (
         li.join(
             o.select("o_orderkey"),
@@ -2742,6 +2744,9 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("unique_orderkey_linenumber").alias("rule"), "violations"
         )
     )
+    # per-rule projections over the shared 1-row aggregate: runtime
+    # ReuseExchange executes the underlying scan once (see the
+    # column_corr comment for the measured alternatives)
     rows = None
     for name in (
         "not_null_orderkey",
