@@ -391,6 +391,152 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# dedup_minhash_gated — minhash LSH with GATED HOT-BUCKET HANDLING.
+# A band bucket holding k docs yields k(k-1)/2 candidate rows in the
+# plain self-join; on adversarial corpora (boilerplate templates, spam
+# farms) one bucket can hold a large fraction of the corpus and the
+# join output — not the shuffle, which AQE skew-split already fixes —
+# becomes quadratic. The gate: buckets with ≤ cap members emit
+# all-pairs exactly as dedup_minhash_lsh; buckets ABOVE the cap emit
+# only the doc_id-ordered CHAIN (member i paired with member i+1,
+# k-1 pairs from a window lag — no join at all for the hot path).
+# Chain pairing keeps every hot bucket CONNECTED, so downstream
+# connected-components clustering (dedup_cc_star) recovers the same
+# clusters whenever chain-adjacent members verify — exactly the
+# hot-bucket regime, where members share a full band signature. Both
+# the size count and the lag ride ONE shuffle on (band_idx, band_key).
+# Cap is 2 here so the driver-gate corpus (max bucket = 3 at sf0.01)
+# exercises BOTH paths through the oracle compare; production caps
+# are O(10³). Adversarial-skew property test:
+# tests/test_dedup_properties.py::test_gated_minhash_bounds_hot_buckets.
+# --------------------------------------------------------------------------
+HOT_BUCKET_CAP = 2
+
+GATED_MINHASH_SQL = f"""
+{SHINGLES_CTE},
+exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+),
+hashed_v AS (
+  SELECT doc_id, {_V_SQL} AS v FROM exploded
+),
+sigs AS (
+  SELECT doc_id, {_SIG_AGG_SQL} FROM hashed_v GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_KEYS_SQL}]) AS band_key,
+         generate_subscripts([{_BAND_KEYS_SQL}], 1) AS band_idx
+  FROM sigs
+),
+sized AS (
+  SELECT doc_id, band_idx, band_key,
+         COUNT(*) OVER (PARTITION BY band_idx, band_key) AS cnt,
+         LAG(doc_id) OVER (
+           PARTITION BY band_idx, band_key ORDER BY doc_id) AS prev_id
+  FROM bands
+),
+cand AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM sized a
+  JOIN sized b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE a.cnt <= {HOT_BUCKET_CAP}
+  UNION
+  SELECT prev_id AS doc_id_1, doc_id AS doc_id_2
+  FROM sized
+  WHERE cnt > {HOT_BUCKET_CAP} AND prev_id IS NOT NULL
+)
+SELECT doc_id_1, doc_id_2,
+       ROUND(({_EST_MATCH_SQL}) / {N_PERMS}.0, 6) AS est_jaccard
+FROM cand
+JOIN sigs s1 ON s1.doc_id = cand.doc_id_1
+JOIN sigs s2 ON s2.doc_id = cand.doc_id_2
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+def minhash_lsh_pairs_gated(
+    exploded: DataFrame,
+    cap: int = HOT_BUCKET_CAP,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Gated variant of minhash_lsh_pairs (module comment above).
+
+    Candidate output is O(Σ min(k, cap)·k) instead of O(Σ k²) per
+    bucket; the hot path is a pure window lag, so an adversarial
+    bucket holding the whole corpus costs k-1 rows, not k²/2.
+    """
+    hashed_v = exploded.select("doc_id", F.expr(_V_SPARK).alias("v"))
+    sigs = (
+        hashed_v.groupBy("doc_id")
+        .agg(*[F.expr(e) for e in _sig_agg_spark(n_perms)])
+        .localCheckpoint(eager=True)
+    )
+    band_keys = _band_keys_spark(n_perms, n_bands)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_keys})")).alias(
+            "band_idx0", "band_key"
+        ),
+    ).withColumn("band_idx", F.col("band_idx0") + 1)
+    wb = W.partitionBy("band_idx", "band_key")
+    sized = bands.select(
+        "doc_id",
+        "band_idx",
+        "band_key",
+        F.count("*").over(wb).alias("cnt"),
+        F.lag("doc_id").over(wb.orderBy("doc_id")).alias("prev_id"),
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    small = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.cnt") <= cap)
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+    )
+    hot = (
+        sized.filter((F.col("cnt") > cap) & F.col("prev_id").isNotNull())
+        .select(
+            F.col("prev_id").alias("doc_id_1"),
+            F.col("doc_id").alias("doc_id_2"),
+        )
+    )
+    cand = small.union(hot).distinct()
+    s1 = sigs.alias("s1")
+    s2 = sigs.alias("s2")
+    est_match = sum(
+        F.when(F.col(f"s1.h{p}") == F.col(f"s2.h{p}"), 1).otherwise(0)
+        for p in range(n_perms)
+    )
+    return (
+        cand.join(s1, F.col("s1.doc_id") == F.col("doc_id_1"))
+        .join(s2, F.col("s2.doc_id") == F.col("doc_id_2"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(est_match / float(n_perms), 6).alias("est_jaccard"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+@register("dedup_minhash_gated", GATED_MINHASH_SQL)
+def dedup_minhash_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = exploded_shingles(spark, sf_dir).select("doc_id", "shingle")
+    return minhash_lsh_pairs_gated(ex)
+
+
+# --------------------------------------------------------------------------
 # dedup_simhash — 32-bit SimHash over tokens (bit j = sign of the
 # token-frequency-weighted vote of md5 hex digit j's top bit), packed
 # into a BIGINT so hamming distance is native bit_count(xor) — whole-

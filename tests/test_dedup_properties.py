@@ -590,3 +590,72 @@ def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
 
     jac = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     assert all((r["doc_id_1"], r["doc_id_2"]) != (0, 1) for r in jac)
+
+
+# ---------------------------------------------------------------------------
+# Gated hot-bucket minhash: an adversarial corpus with one corpus-scale
+# band bucket must produce O(k) candidates (chain pairs), not O(k²),
+# while keeping the hot cluster CONNECTED so CC recovers it whole.
+# ---------------------------------------------------------------------------
+def _explode_text(df):
+    from pyspark.sql.window import Window as W
+    from kinesis_to_firehose_spark.operators.dedup import TOK_EXPR
+
+    toks = df.select(
+        "doc_id", F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def test_gated_minhash_bounds_hot_buckets(spark):
+    from kinesis_to_firehose_spark.operators.dedup import (
+        minhash_lsh_pairs_gated,
+        star_components,
+    )
+    from kinesis_to_firehose_spark.sources.synth import skewed_corpus
+
+    n_docs, hot = 200, 0.5
+    n_hot = int(n_docs * hot)
+    ex = _explode_text(skewed_corpus(spark, n_docs, hot)).localCheckpoint()
+
+    gated = minhash_lsh_pairs_gated(ex, cap=8).collect()
+    # hot docs contribute a chain (k-1 pairs), not k(k-1)/2 ≈ 4950
+    assert len(gated) < 2 * n_docs, f"gated emitted {len(gated)} pairs"
+    hot_pairs = [
+        r for r in gated if r.doc_id_1 < n_hot and r.doc_id_2 < n_hot
+    ]
+    assert len(hot_pairs) == n_hot - 1  # exactly the doc_id chain
+    # identical docs: chain pairs carry full signature agreement
+    assert all(r.est_jaccard == 1.0 for r in hot_pairs)
+
+    # connectivity: CC over gated pairs recovers ONE hot cluster
+    edges = spark.createDataFrame(
+        [(r.doc_id_1, r.doc_id_2) for r in gated], "src long, dst long"
+    )
+    labels, _ = star_components(edges)
+    hot_labels = {r.l for r in labels.collect() if r.v < n_hot}
+    assert len(hot_labels) == 1, f"hot cluster fragmented: {hot_labels}"
+
+
+def test_gated_minhash_equals_plain_below_cap(spark, planted):
+    """With every bucket under the cap, the gated op IS the plain op."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_gated,
+    )
+
+    df, _ = planted
+    plain = {tuple(r) for r in minhash_lsh_pairs(df).collect()}
+    gated = {
+        tuple(r) for r in minhash_lsh_pairs_gated(df, cap=10_000).collect()
+    }
+    assert plain == gated
