@@ -172,10 +172,12 @@ def run_pipeline(
     return writer.start()
 
 
-def drop_stats_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def drop_stats_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """Streaming drop-stats (stats.go): 1-minute tumbling window counts
     of dropped records by app/level, with a watermark for late data."""
-    src = file_stream_source(spark, source_dir)
+    src = file_stream_source(spark, source_dir, max_files_per_trigger)
     dropped = src.filter(
         ~F.col("event_type").isin("click", "view", "purchase", "signup")
     )
@@ -479,6 +481,70 @@ def snapshot_sink(
         snapshot_merge_targeted(
             spark, snapshot_dir, changed, n_key_files=n_key_files,
             layout=layout, keep_versions=keep_versions,
+        )
+
+    return (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+        .start()
+    )
+
+
+def stats_snapshot_sink(
+    spark: SparkSession,
+    source_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    layout: str = "manifest",
+    keep_versions: int = 3,
+    n_key_files: int = 4,
+    max_files_per_trigger: int = 1,
+):
+    """STREAMING AGGREGATE EXPORT: the drop-stats feed (stats.go's
+    per-minute dropped-record counts) maintained as a queryable,
+    versioned snapshot table — the serving side of the observability
+    pipeline. Each micro-batch's UPDATED (minute, app, level) rows are
+    merged newest-wins into the snapshot store keyed by the composite
+    stats_key, so the store always holds the latest count per cell and
+    converges to the batch aggregate once the stream drains. Epoch
+    cost is O(changed partitions) (snapshot_merge_targeted); with
+    keep_versions > 1 each trigger's commit is retained for
+    time-travel reads — an operator can diff the stats table between
+    epochs (what changed this minute?) without any extra bookkeeping.
+
+    Defaults to the manifest layout: the store's file set is named by
+    a per-version manifest json, so epoch merges move O(changed) files
+    and version retention shares immutable data files — the
+    Iceberg/Delta posture, which is the right one for a stats table
+    updated every trigger forever. Returns the StreamingQuery."""
+    from kinesis_to_firehose_spark.sources.bucketed import (
+        snapshot_merge_targeted,
+    )
+
+    updates = drop_stats_stream(
+        spark, source_dir, max_files_per_trigger
+    ).select(
+        F.col("minute.start").alias("minute_start"),
+        "container_app",
+        "level",
+        "n_dropped",
+        F.concat_ws(
+            "|",
+            F.col("minute.start").cast("string"),
+            "container_app",
+            "level",
+        ).alias("stats_key"),
+    )
+
+    def _merge(batch_df, batch_id):
+        changed = batch_df.localCheckpoint(eager=True)
+        if changed.isEmpty():
+            return
+        snapshot_merge_targeted(
+            spark, snapshot_dir, changed, key="stats_key",
+            n_key_files=n_key_files, layout=layout,
+            keep_versions=keep_versions,
         )
 
     return (

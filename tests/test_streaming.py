@@ -838,3 +838,82 @@ def test_topk_stream_closed_windows_match_batch(spark, tmp_path):
         for r in all_ops()["hourly_top_users"].fn(spark, SF).collect()
     }
     assert len(closed_hours) >= len(all_hours) - 2
+
+
+def test_stats_snapshot_sink_versioned_export(spark, tmp_path):
+    """Streaming aggregate export: the drop-stats feed maintained as a
+    versioned manifest-layout snapshot table. After the drain the
+    store equals the batch pre-aggregate; each trigger's commit is
+    retained for time-travel (an earlier version shows strictly less
+    dropped mass); retention caps the version window."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.bucketed import (
+        _read_meta,
+        snapshot_read,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        stats_snapshot_sink,
+        write_time_sliced_source,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    write_time_sliced_source(spark, SF, src, n_slices=3)
+
+    q = stats_snapshot_sink(spark, src, store, ckpt, keep_versions=2)
+    q.processAllAvailable()
+    q.stop()
+
+    meta = _read_meta(store)
+    assert meta["layout"] == "manifest"
+    assert meta["version"] >= 2  # multiple epochs committed
+
+    # final store == batch pre-aggregate (same fallback semantics)
+    dropped = load(spark, "events", SF).filter(
+        ~F.col("event_type").isin("click", "view", "purchase", "signup")
+    )
+    app = F.coalesce(
+        F.when(F.col("value") >= 5, F.col("event_type")), F.lit("_UNKNOWN_")
+    )
+    level = F.coalesce(
+        F.when(F.col("value") < 50, F.lit("warning")).when(
+            F.col("value") < 90, F.lit("critical")
+        ),
+        F.lit("debug"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in dropped.withColumn("level", level)
+        .withColumn("container_app", app)
+        .groupBy(
+            F.window("ts", "1 minute")["start"].alias("minute_start"),
+            "container_app",
+            "level",
+        )
+        .agg(F.count("*").alias("n_dropped"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in snapshot_read(spark, store)
+        .select("minute_start", "container_app", "level", "n_dropped")
+        .collect()
+    )
+    assert got == want
+
+    # time travel: the previous epoch's table is readable and carries
+    # strictly less dropped mass than the final one
+    prev = (
+        snapshot_read(spark, store, version=meta["version"] - 1)
+        .agg(F.sum("n_dropped"))
+        .first()[0]
+    )
+    final = sum(r[3] for r in got)
+    assert prev is not None and prev < final
+
+    # retention: keep_versions=2 ⇒ version - 2 is out of the window
+    with pytest.raises(Exception):
+        snapshot_read(spark, store, version=meta["version"] - 2).collect()
