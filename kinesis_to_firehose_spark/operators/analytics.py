@@ -2905,3 +2905,67 @@ def range_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# sequence_detect — MATCH_RECOGNIZE-style event-pattern detection:
+# find every STRICTLY CONSECUTIVE click → view → purchase run in each
+# user's time-ordered event stream (the funnel op measures whether a
+# user EVER converts; this finds each occurrence and its span — the
+# PATTERN (A B C) / AFTER MATCH SKIP TO NEXT ROW contract of
+# SQL:2016 row pattern matching, which neither engine ships for
+# batch). Expressed as two window leads over ONE (user_id) shuffle —
+# each row tests the pattern anchored at itself, so overlapping
+# matches are reported like SKIP TO NEXT ROW would. At 100 TB this is
+# the same single key-shuffle + narrow filter as any per-user window;
+# no joins, no state.
+# Tie-break: (ts, event_id) ordering makes the "stream order"
+# deterministic under equal timestamps in both engines.
+# --------------------------------------------------------------------------
+SEQUENCE_DETECT_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2,
+         LEAD(ts, 2) OVER w AS end_ts,
+         LEAD(value, 2) OVER w AS purchase_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event_id, ts AS start_ts, end_ts,
+       ROUND(purchase_value, 2) AS purchase_value
+FROM ordered
+WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+ORDER BY user_id, start_event_id
+"""
+
+
+@register("sequence_detect", SEQUENCE_DETECT_SQL)
+def sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("end_ts"),
+        F.lead("value", 2).over(w).alias("purchase_value"),
+    )
+    return (
+        ordered.filter(
+            (F.col("event_type") == "click")
+            & (F.col("t1") == "view")
+            & (F.col("t2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.col("ts").alias("start_ts"),
+            "end_ts",
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        .orderBy("user_id", "start_event_id")
+    )

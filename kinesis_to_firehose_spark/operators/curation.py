@@ -964,8 +964,9 @@ _QT_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, terms in BM25_QUERIES.items() for t in terms
 )
 
-BM25_SQL = f"""
-WITH toks AS (
+# Core BM25 CTE chain (ends at `agg`: one dscore row per matching
+# (query, doc)) — shared by BM25_SQL and the hybrid-retrieval oracle.
+_BM25_CORE_CTES = f"""toks AS (
   SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
 ),
 qt(query_id, term) AS (VALUES {_QT_VALUES}),
@@ -997,7 +998,10 @@ scored AS (
 agg AS (
   SELECT query_id, doc_id, SUM(tscore) AS dscore
   FROM scored GROUP BY query_id, doc_id
-)
+)"""
+
+BM25_SQL = f"""
+WITH {_BM25_CORE_CTES}
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        ROUND(CAST(dscore AS DOUBLE), 6) AS score,
        CAST(ROW_NUMBER() OVER (
@@ -1009,8 +1013,9 @@ ORDER BY query_id, rk
 """
 
 
-@register("bm25_search", BM25_SQL)
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 core shared by bm25_search and hybrid_search_rrf: one
+    decimal-exact dscore row per matching (query_id, doc_id)."""
     toks = _exploded_tokens(spark, sf_dir).select(
         "doc_id", F.col("tok").alias("term")
     )
@@ -1051,9 +1056,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(scal))
         .select("query_id", "doc_id", tscore.alias("tscore"))
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(
+    return scored.groupBy("query_id", "doc_id").agg(
         F.sum("tscore").alias("dscore")
     )
+
+
+@register("bm25_search", BM25_SQL)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _bm25_agg(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.desc("dscore"), "doc_id")
     return (
         agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -1062,6 +1072,146 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             F.round(F.col("dscore").cast("double"), 6).alias("score"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# hybrid_search_rrf — modern retrieval-pipeline fusion: the SAME query
+# set ranked lexically (BM25 over text) and semantically (exact cosine
+# over the doc's embedding; vec_id aligns 1:1 with doc_id in the
+# testdata), fused with Reciprocal Rank Fusion
+# (Cormack/Clarke/Büttcher: score = Σ 1/(60 + rank)). RRF needs no
+# score calibration between the two retrievers — only ranks — which
+# is why it's the standard first fusion in RAG/search stacks.
+# Scale shape: the lexical side is the broadcast-prefiltered BM25 plan
+# (query-term semi-join before any shuffle); the semantic side
+# broadcasts the tiny anchor-vector set and ranks per query over a
+# narrow cosine map; fusion joins two ≤(queries × FUSE_N)-row rank
+# lists — trivially small at any corpus size.
+# Determinism: ranks are integers from decimal-exact (lexical) or
+# 6dp-rounded (cosine) orderings with doc_id tie-breaks; the RRF sum
+# is two double terms in fixed order — bit-identical across engines.
+# --------------------------------------------------------------------------
+RRF_K = 60
+FUSE_N = 20  # depth of each retriever's list entering the fusion
+HYBRID_TOP_K = 10
+
+
+def _hybrid_sql() -> str:
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dot_expr,
+        norm_expr,
+    )
+
+    n_q = len(BM25_QUERIES)
+    cos = f"({dot_expr('q.embedding', 'c.embedding', 'duck')} / (q.nrm * c.nrm))"
+    return f"""
+WITH {_BM25_CORE_CTES},
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY dscore DESC, doc_id
+         ) AS BIGINT) AS lex_rk
+  FROM agg
+  QUALIFY lex_rk <= {FUSE_N}
+),
+normed AS (
+  SELECT vec_id, embedding, {norm_expr("embedding", "duck")} AS nrm
+  FROM embeddings
+),
+sem_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         ROUND({cos}, 6) AS cosine
+  FROM normed q
+  JOIN normed c ON q.vec_id < {n_q} AND c.vec_id != q.vec_id
+),
+sem AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, doc_id
+         ) AS BIGINT) AS sem_rk
+  FROM sem_scored
+  QUALIFY sem_rk <= {FUSE_N}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rk, s.sem_rk,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rk), 0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sem_rk), 0.0)
+           AS rrf
+  FROM lex l
+  FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       ROUND(rrf, 6) AS rrf_score, lex_rk, sem_rk,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY rrf DESC, doc_id
+       ) AS BIGINT) AS rk
+FROM fused
+QUALIFY rk <= {HYBRID_TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("hybrid_search_rrf", _hybrid_sql())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dot_expr,
+        normed_embeddings,
+    )
+
+    n_q = len(BM25_QUERIES)
+    # lexical list: BM25 dscore ranking, top FUSE_N per query
+    wl = W.partitionBy("query_id").orderBy(F.desc("dscore"), "doc_id")
+    lex = (
+        _bm25_agg(spark, sf_dir)
+        .withColumn("lex_rk", F.row_number().over(wl).cast("bigint"))
+        .filter(F.col("lex_rk") <= FUSE_N)
+        .select("query_id", "doc_id", "lex_rk")
+    )
+    # semantic list: anchor = the query doc's own vector (vec_id ≡
+    # doc_id), broadcast against the corpus
+    n = normed_embeddings(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = f"({dot_expr('q_emb', 'c_emb', 'spark')} / (q_nrm * c_nrm))"
+    ws = W.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    sem = (
+        c.join(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.round(F.expr(cos), 6).alias("cosine"))
+        .withColumn("sem_rk", F.row_number().over(ws).cast("bigint"))
+        .filter(F.col("sem_rk") <= FUSE_N)
+        .select("query_id", "doc_id", "sem_rk")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (RRF_K + F.col("lex_rk")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (RRF_K + F.col("sem_rk")), F.lit(0.0))
+    wr = W.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= HYBRID_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "lex_rk",
+            "sem_rk",
             "rk",
         )
         .orderBy("query_id", "rk")

@@ -761,3 +761,142 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster_id", "cluster_size", "top_cos")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_pagerank — PageRank over the semantic knn graph: the standard
+# graph-centrality pass that ranks HUB documents in embedding space
+# (centrality over a knn graph surfaces canonical/duplicative content;
+# the inverse signal feeds diversity-aware sampling). Five unrolled
+# power iterations with damping 0.85 and dangling-mass
+# redistribution.
+# Determinism across engines (the PageRank-on-Spark trap is float
+# fold order): each edge contribution pr/deg is rounded to 12dp and
+# summed as DECIMAL(32,12) — exact, order-independent — and each new
+# rank is re-rounded to 12dp, so both engines walk bit-identical
+# trajectories regardless of parallelism.
+# Scale shape: per iteration one (ranks ⋈ edges) equi-join + one
+# groupBy-dst shuffle over the EDGE list (≤ K·|V| rows), the node
+# update is a broadcast of two 1-row scalars; iterations are
+# lineage-cut so the plan stays constant-depth. That is textbook
+# distributed PageRank — nothing touches the corpus beyond |V|.
+# --------------------------------------------------------------------------
+PAGERANK_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    # MATERIALIZED (DuckDB-only keyword; this SQL never runs on Spark)
+    # pins each multiply-referenced CTE to one evaluation — without it
+    # DuckDB re-inlines the all-pairs-cosine knn body into every one
+    # of the ~3 references per iteration and the oracle takes minutes
+    # instead of seconds.
+    knn_body = _knn_graph_sql().replace("ORDER BY src, rank", "")
+    parts = [
+        f"edges AS MATERIALIZED (SELECT src, neighbor FROM knn)",
+        "nodes AS (SELECT vec_id AS v FROM embeddings)",
+        "deg AS MATERIALIZED "
+        "(SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS pr"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(PAGERANK_ITERS):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.neighbor AS v,
+         SUM(CAST(ROUND(r.pr / d.deg, 12) AS DECIMAL(32,12))) AS contrib
+  FROM r{i} r JOIN deg d ON d.v = r.v JOIN edges e ON e.src = r.v
+  GROUP BY e.neighbor
+)"""
+        )
+        parts.append(
+            f"""g{i} AS (
+  SELECT COALESCE(SUM(CAST(ROUND(r.pr, 12) AS DECIMAL(32,12))),
+                  CAST(0 AS DECIMAL(32,12))) AS dm
+  FROM r{i} r LEFT JOIN deg d ON d.v = r.v WHERE d.v IS NULL
+)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.v,
+         ROUND(CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(CAST(c.contrib AS DOUBLE),
+                             CAST(0.0 AS DOUBLE))
+                    + CAST(g.dm AS DOUBLE) / nn.n), 12) AS pr
+  FROM nodes n CROSS JOIN nn CROSS JOIN g{i} g
+  LEFT JOIN c{i} c ON c.v = n.v
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH knn AS MATERIALIZED ({knn_body}),
+{body}
+SELECT r.v AS vec_id, ROUND(r.pr * nn.n, 6) AS pagerank
+FROM r{PAGERANK_ITERS} r CROSS JOIN nn
+ORDER BY vec_id
+"""
+
+
+@register("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select("src", "neighbor")
+        .localCheckpoint(eager=True)
+    )
+    nodes = load(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("v")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nn = nodes.agg(F.count("*").alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        withdeg = r.join(deg, r["v"] == deg["src"], "inner")
+        contrib = (
+            withdeg.join(edges, withdeg["src"] == edges["src"])
+            .select(
+                F.col("neighbor").alias("cv"),
+                F.round(F.col("pr") / F.col("deg"), 12)
+                .cast("decimal(32,12)")
+                .alias("c"),
+            )
+            .groupBy("cv")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = r.join(deg, r["v"] == deg["src"], "left_anti").agg(
+            F.coalesce(
+                F.sum(F.round(F.col("pr"), 12).cast("decimal(32,12)")),
+                F.lit(0).cast("decimal(32,12)"),
+            ).alias("dm")
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, nodes["v"] == contrib["cv"], "left")
+            .select(
+                "v",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(
+                            F.col("contrib").cast("double"), F.lit(0.0)
+                        )
+                        + F.col("dm").cast("double") / F.col("n")
+                    ),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("v").alias("vec_id"),
+            F.round(F.col("pr") * F.col("n"), 6).alias("pagerank"),
+        )
+        .orderBy("vec_id")
+    )

@@ -171,6 +171,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "unigram_logprob_score", # 1-row corpus token count
         "ppl_bucket_mix",        # composes unigram_logprob_score (same 1-row cross)
         "bm25_search",           # 1-row (N, avgdl) scalar aggregate
+        "hybrid_search_rrf",     # 5 query vectors × candidates (sem arm)
+        "graph_pagerank",        # 1-row n / dangling-mass scalar crosses
     }
     STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
     bad = []
