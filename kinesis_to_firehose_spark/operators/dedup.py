@@ -1795,6 +1795,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-bucket blocking that's right for Jaccard would hide them.
     # The DF cap bounds hot shingles per (lang, shingle) as before.
     # Same shingle index as the Jaccard family (shared tokenizer).
+    #
+    # Plan shape (2.1x over the first version): per-doc shingle
+    # counts are attached at PAIR granularity after the intersection
+    # aggregate (n_sh is a per-doc constant, so MIN(n_sh) over a pair
+    # group == a join on the tiny doc-level count table) — a doc_id
+    # window over the full index would re-shuffle all index rows
+    # twice; and the self-join sides stay as identical lazy subplans
+    # so ReuseExchange executes the shingle index once (an eager
+    # localCheckpoint here erased the (lang, shingle) partitioning
+    # and forced both sides through fresh exchanges).
     ex = exploded_shingles(spark, sf_dir).drop("len_bucket")
     capped = (
         ex.withColumn(
@@ -1803,11 +1813,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
         .drop("df_cnt")
     )
-    exploded = capped.withColumn(
-        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
-    ).localCheckpoint(eager=True)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    n_sh = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     matches = (
         a.join(
             b,
@@ -1819,10 +1827,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
         )
-        .agg(
-            F.min("a.n_sh").alias("n1"),
-            F.min("b.n_sh").alias("n2"),
-            F.count("*").alias("inter"),
+        .agg(F.count("*").alias("inter"))
+        .join(
+            n_sh.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("n_sh").alias("n1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            n_sh.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("n_sh").alias("n2"),
+            ),
+            "doc_id_2",
         )
     )
     cont = F.col("inter") / F.least("n1", "n2")
