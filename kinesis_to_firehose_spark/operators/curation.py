@@ -1414,3 +1414,249 @@ def ppl_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# chunk_documents — RAG/pretraining chunking WITHIN a document:
+# overlapping sliding token windows (CHUNK_LEN tokens, stride
+# CHUNK_STRIDE, so consecutive chunks share CHUNK_LEN-CHUNK_STRIDE
+# tokens of context). Complements pack_sequences, which concatenates
+# ACROSS documents with no overlap: packing feeds pretraining,
+# chunking feeds retrieval indexes where each chunk must stand alone
+# but boundary-straddling answers need the overlap. Emits the chunk's
+# token count and an md5 of its text (stable identity for downstream
+# embedding/dedup) instead of the text itself — the parity check then
+# covers exact chunk CONTENT without shipping it twice.
+# Scale shape: pure narrow map (split + sequence + explode + slice)
+# — no shuffle at all until the output sort; chunk fan-out is
+# n_tokens/stride per doc, bounded and uniform.
+# --------------------------------------------------------------------------
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+CHUNK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOK_SQL} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE}))
+           AS start_pos,
+         t
+  FROM toks
+)
+SELECT doc_id, lang,
+       CAST((start_pos - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, start_pos, start_pos + {CHUNK_LEN} - 1))
+            AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         list_slice(t, start_pos, start_pos + {CHUNK_LEN} - 1), ' '))
+         AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("chunk_documents", CHUNK_SQL)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    toks = d.select("doc_id", "lang", F.expr(TOK_EXPR).alias("t"))
+    # start positions 1, 1+stride, ... over the 1-indexed token array
+    # (slice() is 1-indexed in Spark like list_slice in DuckDB)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("t"), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("t"), F.col("start_pos"), CHUNK_LEN)
+    return (
+        toks.select(
+            "doc_id", "lang", "t", F.explode(starts).alias("start_pos")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            ((F.col("start_pos") - 1) / CHUNK_STRIDE)
+            .cast("bigint")
+            .alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# bigram_logprob_score — the bigram upgrade of unigram_logprob_score:
+# score each doc by the mean log-probability of its token BIGRAMS
+# under an interpolated corpus bigram LM,
+#   P(w2 | w1) = 0.7 * c(w1 w2) / c_start(w1) + 0.3 * c(w2) / N
+# (c_start(w1) = bigrams starting with w1; the 0.3 unigram floor
+# keeps unseen continuations finite — Jelinek-Mercer interpolation).
+# A bigram model separates "rare words" from "rare word ORDER":
+# shuffled/templated text scores near its unigram bound while natural
+# text gains from predictable transitions — the standard CCNet-style
+# quality axis one step up.
+# Scale shape: one bigram explode (lead over the per-doc window);
+# count tables are vocab- and vocab²-bounded (broadcast), N is a
+# 1-row scalar; then one per-doc aggregate. No corpus-sized shuffle
+# beyond the explode.
+# --------------------------------------------------------------------------
+BIGRAM_LAMBDA = 0.7
+
+BIGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i + 1])) AS w2
+  FROM toks
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+cs AS (SELECT w1, COUNT(*) AS cstart FROM bg GROUP BY w1),
+uni AS (
+  SELECT term, COUNT(*) AS cu
+  FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln({BIGRAM_LAMBDA} * cb.c * 1.0 / cs.cstart
+                    + {1 - BIGRAM_LAMBDA} * uni.cu * 1.0 / tot.n)), 4)
+         AS avg_logprob
+FROM bg
+JOIN cb USING (w1, w2)
+JOIN cs USING (w1)
+JOIN uni ON uni.term = bg.w2
+CROSS JOIN tot
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+
+@register("bigram_logprob_score", BIGRAM_SQL)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exploded_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cs = bg.groupBy("w1").agg(F.count("*").alias("cstart"))
+    uni = toks.groupBy(F.col("tok").alias("term")).agg(
+        F.count("*").alias("cu")
+    )
+    tot = uni.agg(F.sum("cu").cast("bigint").alias("n"))
+    p = (
+        F.lit(BIGRAM_LAMBDA) * F.col("c") / F.col("cstart")
+        + F.lit(1 - BIGRAM_LAMBDA) * F.col("cu") / F.col("n")
+    )
+    return (
+        bg.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(cs), "w1")
+        .join(F.broadcast(uni), F.col("w2") == F.col("term"))
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters_mg — Misra-Gries heavy hitters as a TWO-PASS exact op:
+# pass 1 runs the classic k-counter Misra-Gries summary PER PARTITION
+# inside mapInPandas (O(k) memory per task regardless of partition
+# size); by the pigeonhole argument any term with global frequency
+# > N/(k+1) must survive at least one partition's summary, so the
+# union of partition survivors is a guaranteed SUPERSET of the true
+# heavy hitters. Pass 2 exactly recounts ONLY the candidate terms
+# (broadcast semi-join — the candidate set is ≤ k × partitions rows)
+# and keeps those above the threshold. Net effect: exact heavy
+# hitters with a full groupBy over only the candidate-matching rows —
+# the standard scale pattern when the raw term shuffle (vocab of
+# billions at 100 TB) is the bottleneck. Because pass 2 is exact, the
+# op is fully oracle-checkable (plain GROUP BY ... HAVING) even
+# though pass 1 is a sketch — unlike HLL/quantile sketches which stay
+# rows-only.
+# --------------------------------------------------------------------------
+MG_K = 32  # counters per partition; threshold = N / (MG_K + 1)
+
+HEAVY_HITTERS_SQL = rf"""
+WITH tok AS (
+  SELECT unnest({TOK_SQL}) AS term FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+FROM tok CROSS JOIN tot
+GROUP BY term, tot.n
+HAVING COUNT(*) * ({MG_K} + 1) > n
+ORDER BY freq DESC, term
+"""
+
+
+def _mg_partial(iterator):
+    """Partition-local Misra-Gries: ≤ MG_K counters, streamed over
+    Arrow batches. Yields the surviving (term, count) pairs; counts
+    are the LOWER-BOUND sketch counts (not used downstream — pass 2
+    recounts exactly), survivors alone carry the superset guarantee."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for batch in iterator:
+        for term in batch["term"]:
+            if term in counters:
+                counters[term] += 1
+            elif len(counters) < MG_K:
+                counters[term] = 1
+            else:
+                # decrement-all step; drop zeroed counters
+                dead = []
+                for t in counters:
+                    counters[t] -= 1
+                    if counters[t] == 0:
+                        dead.append(t)
+                for t in dead:
+                    del counters[t]
+    yield pd.DataFrame(
+        {"term": list(counters), "mg_count": list(counters.values())}
+    )
+
+
+@register("heavy_hitters_mg", HEAVY_HITTERS_SQL)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    toks = _exploded_tokens(spark, sf_dir).select("tok")
+    terms = toks.select(F.col("tok").alias("term"))
+    schema = StructType(
+        [
+            StructField("term", StringType()),
+            StructField("mg_count", LongType()),
+        ]
+    )
+    candidates = (
+        terms.mapInPandas(_mg_partial, schema).select("term").distinct()
+    )
+    tot = terms.agg(F.count("*").alias("n"))
+    return (
+        terms.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .join(F.broadcast(tot))
+        .filter(F.col("freq") * (MG_K + 1) > F.col("n"))
+        .select("term", "freq")
+        .orderBy(F.desc("freq"), "term")
+    )

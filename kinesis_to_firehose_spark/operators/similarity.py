@@ -900,3 +900,101 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# contrastive_pairs — training-data generation for embedding models:
+# for every vector, one POSITIVE (its nearest knn_graph neighbor —
+# rank 1 by exact cosine over the banded-LSH candidate space) and
+# NEG_K deterministic random NEGATIVES drawn by md5 hash of
+# (anchor, k) mod corpus size. A hash collision with the anchor or
+# its positive is resolved by stepping +1 (twice at most: three
+# consecutive ids cannot all land in a 2-element bad set), so both
+# engines pick the identical negative with no RNG and no rejection
+# loop. This is the standard (anchor, positive, negative) triplet
+# mining shape for contrastive/InfoNCE training.
+# Scale shape: positives ride the existing knn plan (band equi-join,
+# no all-pairs); negatives are a pure narrow map off the positive
+# rows (md5 + arithmetic) with two 1-row scalars broadcast — negative
+# ids are drawn by index, never by joining the corpus.
+# --------------------------------------------------------------------------
+NEG_K = 2
+
+
+def _contrastive_sql() -> str:
+    knn_body = _knn_graph_sql().replace("ORDER BY src, rank", "")
+    h = (
+        "('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '-' || "
+        "CAST(neg_rank AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"""
+WITH knn AS MATERIALIZED ({knn_body}),
+pos AS (
+  SELECT src AS anchor_id, neighbor AS positive_id, cosine AS pos_cosine
+  FROM knn WHERE rank = 1
+),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+ks AS (SELECT CAST(unnest(generate_series(1, {NEG_K})) AS BIGINT) AS neg_rank),
+base AS (
+  SELECT p.*, ks.neg_rank, nn.n, {h} % nn.n AS b0
+  FROM pos p CROSS JOIN ks CROSS JOIN nn
+),
+fix1 AS (
+  SELECT *, CASE WHEN b0 IN (anchor_id, positive_id)
+                 THEN (b0 + 1) % n ELSE b0 END AS b1
+  FROM base
+),
+fix2 AS (
+  SELECT *, CASE WHEN b1 IN (anchor_id, positive_id)
+                 THEN (b1 + 1) % n ELSE b1 END AS b2
+  FROM fix1
+)
+SELECT anchor_id, positive_id, pos_cosine, neg_rank,
+       CAST(b2 AS BIGINT) AS negative_id
+FROM fix2
+ORDER BY anchor_id, neg_rank
+"""
+
+
+@register("contrastive_pairs", _contrastive_sql())
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = (
+        knn_graph(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select(
+            F.col("src").alias("anchor_id"),
+            F.col("neighbor").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    nn = (
+        load(spark, "embeddings", sf_dir)
+        .agg(F.count("*").alias("n"))
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(anchor_id AS STRING) || '-' || "
+        "CAST(neg_rank AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    base = (
+        pos.crossJoin(F.broadcast(nn))
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("nk"),
+        )
+        .withColumn("neg_rank", F.col("nk").cast("bigint"))
+        .drop("nk")
+        .withColumn("b0", h % F.col("n"))
+    )
+    def step(c):
+        collides = (c == F.col("anchor_id")) | (c == F.col("positive_id"))
+        return F.when(collides, (c + 1) % F.col("n")).otherwise(c)
+    fixed = base.withColumn("b1", step(F.col("b0"))).withColumn(
+        "b2", step(F.col("b1"))
+    )
+    return fixed.select(
+        "anchor_id",
+        "positive_id",
+        "pos_cosine",
+        "neg_rank",
+        F.col("b2").cast("bigint").alias("negative_id"),
+    ).orderBy("anchor_id", "neg_rank")

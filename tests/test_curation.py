@@ -248,3 +248,102 @@ def test_markdown_strip_keeps_link_label_drops_url(spark, tmp_path):
     import hashlib
 
     assert out["plain_md5"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_chunk_documents_covers_and_overlaps(spark, tmp_path):
+    """Every token of a long doc lands in some chunk; consecutive full
+    chunks overlap by CHUNK_LEN - CHUNK_STRIDE tokens; chunk_md5 is the
+    md5 of exactly the sliced token text."""
+    import hashlib
+
+    from kinesis_to_firehose_spark.operators.curation import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    toks = [f"w{i}" for i in range(150)]
+    _write_documents(spark, str(tmp_path), [(0, " ".join(toks))])
+    rows = sorted(
+        chunk_documents(spark, str(tmp_path)).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # coverage: starts tile the doc at stride spacing
+    starts = [r["chunk_id"] * CHUNK_STRIDE for r in rows]
+    assert starts == list(range(0, 150, CHUNK_STRIDE))
+    covered = set()
+    for r in rows:
+        s = r["chunk_id"] * CHUNK_STRIDE
+        expect = toks[s : s + CHUNK_LEN]
+        assert r["n_tokens"] == len(expect)
+        md5 = hashlib.md5(" ".join(expect).encode()).hexdigest()
+        assert r["chunk_md5"] == md5
+        covered.update(range(s, s + r["n_tokens"]))
+    assert covered == set(range(150))
+    # overlap between consecutive full chunks
+    assert CHUNK_LEN - CHUNK_STRIDE > 0
+
+
+def test_bigram_scorer_prefers_predictable_order(spark, tmp_path):
+    """Docs made of one repeated bigram pattern must outscore a doc
+    with the same unigram mix but shuffled order: the bigram term is
+    what separates them (their unigram distributions are identical)."""
+    from kinesis_to_firehose_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    patterned = "a b " * 40  # bigrams: (a,b) x40 + (b,a) x39
+    shuffled = "a a b b a b b a " * 10  # same 50/50 unigram mix
+    _write_documents(
+        spark, str(tmp_path), [(0, patterned.strip()), (1, shuffled.strip())]
+    )
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob_score(spark, str(tmp_path)).collect()
+    }
+    assert scores[0] > scores[1]
+
+
+def test_heavy_hitters_mg_candidate_superset(spark, tmp_path):
+    """The pigeonhole guarantee: every term with global freq > N/(k+1)
+    appears in the final output with its EXACT count, even on an
+    adversarially skewed corpus (one hot term + a long tail spread to
+    defeat any single counter array)."""
+    from kinesis_to_firehose_spark.operators.curation import (
+        MG_K,
+        heavy_hitters_mg,
+    )
+
+    # hot term: ~20% of tokens; tail: 400 distinct singletons per doc
+    docs = []
+    for d in range(8):
+        tail = " ".join(f"t{d}_{i}" for i in range(400))
+        docs.append((d, ("hot " * 100) + tail))
+    _write_documents(spark, str(tmp_path), docs)
+    out = {r["term"]: r["freq"] for r in heavy_hitters_mg(spark, str(tmp_path)).collect()}
+    n = 8 * (100 + 400)
+    assert out.get("hot") == 800
+    # exactness: every reported term really is above threshold
+    for term, freq in out.items():
+        assert freq * (MG_K + 1) > n
+
+
+def test_contrastive_negatives_avoid_anchor_and_positive(spark):
+    """No emitted negative may equal its anchor or its positive, every
+    anchor gets exactly NEG_K negatives, and the draw is deterministic
+    across invocations."""
+    from kinesis_to_firehose_spark.operators.similarity import (
+        NEG_K,
+        contrastive_pairs,
+    )
+
+    rows = contrastive_pairs(spark, SF).collect()
+    assert rows, "no pairs emitted"
+    per_anchor = {}
+    for r in rows:
+        assert r["negative_id"] != r["anchor_id"]
+        assert r["negative_id"] != r["positive_id"]
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
+    assert all(ks == set(range(1, NEG_K + 1)) for ks in per_anchor.values())
+    again = contrastive_pairs(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

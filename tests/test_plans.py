@@ -173,6 +173,9 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "bm25_search",           # 1-row (N, avgdl) scalar aggregate
         "hybrid_search_rrf",     # 5 query vectors × candidates (sem arm)
         "graph_pagerank",        # 1-row n / dangling-mass scalar crosses
+        "bigram_logprob_score",  # 1-row corpus token count
+        "heavy_hitters_mg",      # 1-row total-count threshold scalar
+        "contrastive_pairs",     # 1-row corpus-size scalar for the mod draw
     }
     STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
     bad = []
