@@ -2969,3 +2969,121 @@ def sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "start_event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# scd2_history — Slowly-Changing-Dimension Type 2 table built from the
+# append-only change feed: each time a user's tracked attribute
+# (event_type here) CHANGES, a new version row opens with valid_from =
+# change ts and the previous row closes with valid_to = that ts;
+# the newest row stays open (valid_to NULL, is_current=1).
+# Consecutive events with the same attribute value collapse into one
+# version (the defining SCD2 rule — a re-delivery of the same state
+# must not open a new version). Complements latest_per_key (Type 1 —
+# current state only) and merge_upsert (snapshot maintenance): this
+# is the full history layout warehouses join facts against with
+# BETWEEN valid_from AND valid_to.
+# Scale shape: one user_id shuffle; the change filter (lag) and the
+# interval close (lead) both run on that same partitioning — two
+# window passes, zero joins.
+# --------------------------------------------------------------------------
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type != prev_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+       event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+@register("scd2_history", SCD2_SQL)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w2).cast("bigint").alias("version"),
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("bigint"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------------------------------------------------------------------
+# k_anonymity_audit — training-data governance: group the event log by
+# a quasi-identifier tuple (event_type, hour-of-day, coarse value
+# bucket) and report every cell whose DISTINCT-USER count is below k —
+# the cells where releasing the grouped data could single out an
+# individual. This is the audit half of k-anonymity (suppression /
+# generalization acts on its output). One groupBy shuffle with a
+# distinct-count aggregate; the result is cell-level (bounded by the
+# QI domain), never row-level.
+# --------------------------------------------------------------------------
+K_ANON = 5
+
+K_ANON_SQL = f"""
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(FLOOR(value / 10) AS BIGINT) AS value_bucket,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(DISTINCT user_id) < {K_ANON}
+ORDER BY event_type, hour_of_day, value_bucket
+"""
+
+
+@register("k_anonymity_audit", K_ANON_SQL)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+            F.floor(F.col("value") / 10).cast("bigint").alias("value_bucket"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_records"),
+        )
+        .filter(F.col("n_users") < K_ANON)
+        .orderBy("event_type", "hour_of_day", "value_bucket")
+    )

@@ -1660,3 +1660,75 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "freq")
         .orderBy(F.desc("freq"), "term")
     )
+
+
+# --------------------------------------------------------------------------
+# build_inverted_index — the serve-side retrieval index as a TABLE:
+# term → document frequency, collection frequency, and the posting
+# list of doc_ids, CHUNKED into fixed-size blocks (term, block_id,
+# postings[≤BLOCK]) the way real engines segment posting lists — a
+# hot term's postings at 100 TB would otherwise be one multi-GB array
+# in a single row/task. Downstream, bm25_search-style scoring reads
+# (term, block) slices; block boundaries are deterministic (doc_id
+# order), so the layout is reproducible byte-for-byte.
+# Scale shape: one (term) shuffle for the counts + one
+# (term, block_id) aggregate for the blocks; rows are bounded by
+# BLOCK, never by the corpus.
+# --------------------------------------------------------------------------
+POSTING_BLOCK = 256
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+cf AS (
+  SELECT term, COUNT(*) AS coll_freq
+  FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+numbered AS (
+  SELECT term, doc_id,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id)
+                     - 1) * 1.0 / {POSTING_BLOCK}) AS BIGINT) AS block_id
+  FROM tok
+)
+SELECT n.term,
+       n.block_id,
+       CAST(cf.coll_freq AS BIGINT) AS coll_freq,
+       CAST(COUNT(*) AS BIGINT) AS block_df,
+       list(n.doc_id ORDER BY n.doc_id) AS postings
+FROM numbered n JOIN cf USING (term)
+GROUP BY n.term, n.block_id, cf.coll_freq
+ORDER BY term, block_id
+"""
+
+
+@register("build_inverted_index", INVERTED_INDEX_SQL)
+def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exploded_tokens(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term")
+    )
+    tok = toks.distinct()
+    cf = toks.groupBy("term").agg(F.count("*").alias("coll_freq"))
+    w = W.partitionBy("term").orderBy("doc_id")
+    numbered = tok.withColumn(
+        "block_id",
+        F.floor((F.row_number().over(w) - 1) / POSTING_BLOCK).cast("bigint"),
+    )
+    return (
+        numbered.groupBy("term", "block_id")
+        .agg(
+            F.count("*").cast("bigint").alias("block_df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .join(F.broadcast(cf), "term")
+        .select(
+            "term",
+            "block_id",
+            F.col("coll_freq").cast("bigint").alias("coll_freq"),
+            "block_df",
+            "postings",
+        )
+        .orderBy("term", "block_id")
+    )

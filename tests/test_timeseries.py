@@ -53,3 +53,54 @@ def test_split_proportions(spark):
     assert 0.85 < d["train"] / n < 0.95
     assert d["val"] / n < 0.10
     assert d["test"] / n < 0.10
+
+
+def test_scd2_history_invariants(spark):
+    """Per user: versions are contiguous from 1, exactly one open row
+    (is_current), intervals chain exactly (valid_to == next
+    valid_from), and consecutive versions always change event_type."""
+    from kinesis_to_firehose_spark.operators.analytics import scd2_history
+
+    rows = scd2_history(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] == 1 and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+
+
+def test_inverted_index_blocks_bounded_and_sorted(spark):
+    """Posting blocks never exceed POSTING_BLOCK, postings are strictly
+    increasing within a block, blocks partition the distinct-doc set,
+    and block boundaries respect doc_id order across blocks."""
+    from kinesis_to_firehose_spark.operators.curation import (
+        POSTING_BLOCK,
+        build_inverted_index,
+    )
+
+    rows = build_inverted_index(spark, SF).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    assert by_term
+    for term, blocks in by_term.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+        all_docs = []
+        for b in blocks:
+            assert 1 <= len(b["postings"]) <= POSTING_BLOCK
+            assert b["block_df"] == len(b["postings"])
+            assert b["postings"] == sorted(b["postings"])
+            all_docs.extend(b["postings"])
+        # full list strictly increasing across block boundaries too
+        assert all_docs == sorted(set(all_docs))
+        # only the last block may be partial
+        for b in blocks[:-1]:
+            assert len(b["postings"]) == POSTING_BLOCK
