@@ -24,7 +24,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # pools) and measures protocol correctness, not query throughput; the
 # compute they exercise is already timed via decode/serialize/batch
 # ops. They remain in queries() for the driver's correctness gate.
-EXCLUDE: set[str] = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
+EXCLUDE: set[str] = {
+    "firehose_sink",
+    "checkpoint_resume",
+    "kinesis_source",
+    "kinesis_replay_source",
+}
 
 
 def host_speed_sentinel() -> float:

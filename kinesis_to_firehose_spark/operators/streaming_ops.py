@@ -98,3 +98,49 @@ def kinesis_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         return spark.table(name)
+
+
+@register("kinesis_replay_source", "SELECT COUNT(*) AS n_records FROM events")
+def kinesis_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table through the REAL connector surface —
+    the `kinesis_replay` Python Data Source (one partition per shard,
+    per-shard sequence-number offsets) — and count records: every
+    record surfaces exactly once through format("kinesis_replay").
+    The producer half routes by user_id (Kinesis partition-key
+    semantics: one user's records stay shard-ordered)."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        register_replay_source,
+        write_replay_slices,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    register_replay_source(spark)
+    records = [
+        (str(r["user_id"]), r["data"])
+        for r in load(spark, "events", sf_dir)
+        .select(
+            "user_id",
+            F.to_json(F.struct("event_id", "ts", "event_type", "value")).alias(
+                "data"
+            ),
+        )
+        .collect()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "stream")
+        write_replay_slices(src, records, n_shards=4)
+        name = "kinesis_replay_smoke"
+        q = (
+            spark.readStream.format("kinesis_replay")
+            .option("path", src)
+            .load()
+            .groupBy()
+            .agg(F.count("*").alias("n_records"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(name)

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from kinesis_to_firehose_spark.plans.explain import physical_plan
 
 # ops that spin up streaming pipelines; no static batch plan to digest
-_STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
+_STREAMING = {
+    "firehose_sink",
+    "checkpoint_resume",
+    "kinesis_source",
+    "kinesis_replay_source",
+}
 
 _COUNTERS = {
     "exchanges": "Exchange",

@@ -177,7 +177,12 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "heavy_hitters_mg",      # 1-row total-count threshold scalar
         "contrastive_pairs",     # 1-row corpus-size scalar for the mod draw
     }
-    STREAMING = {"firehose_sink", "checkpoint_resume", "kinesis_source"}
+    STREAMING = {
+        "firehose_sink",
+        "checkpoint_resume",
+        "kinesis_source",
+        "kinesis_replay_source",
+    }
     bad = []
     for name, op in sorted(OPS.items()):
         if name in DELIBERATE or name in STREAMING:
