@@ -759,3 +759,115 @@ def snapshot_rebucket(
         key=meta["key"],
         n_key_files=new_n_key_files,
     )
+
+
+def _diff_pid_files(
+    path: str, meta: dict, v_old: int, v_new: int
+) -> dict[int, tuple[list[str], list[str]]]:
+    """Per-partition file sets that can DIFFER between two retained
+    versions — pids proven identical are excluded without opening any
+    data file. Manifest layout: a pid whose manifest entry lists the
+    same immutable files in both versions is unchanged by
+    construction (targeted merges carry unchanged pids as entry
+    copies). Dirs layout: a pid dir carried across versions as hard
+    links holds the same inodes (os.path.samefile), so equal file
+    sets by inode are unchanged."""
+    import os
+
+    out: dict[int, tuple[list[str], list[str]]] = {}
+    if meta.get("layout") == "manifest":
+        mo = _read_manifest(path, v_old)["entries"]
+        mn = _read_manifest(path, v_new)["entries"]
+        data = os.path.join(path, "data")
+        for pid in sorted(set(mo) | set(mn), key=int):
+            old_rels, new_rels = mo.get(pid, []), mn.get(pid, [])
+            if sorted(old_rels) == sorted(new_rels):
+                continue  # identical immutable files: provably unchanged
+            out[int(pid)] = (
+                [os.path.join(data, r) for r in old_rels],
+                [os.path.join(data, r) for r in new_rels],
+            )
+        return out
+
+    def pid_files(v: int) -> dict[int, list[str]]:
+        root = os.path.join(path, f"v={v}")
+        files: dict[int, list[str]] = {}
+        for d in os.listdir(root):
+            if not d.startswith("_pid="):
+                continue
+            full = os.path.join(root, d)
+            files[int(d.split("=", 1)[1])] = sorted(
+                os.path.join(full, f)
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+        return files
+
+    fo, fn = pid_files(v_old), pid_files(v_new)
+    for pid in sorted(set(fo) | set(fn)):
+        old_fs, new_fs = fo.get(pid, []), fn.get(pid, [])
+        if len(old_fs) == len(new_fs) and all(
+            os.path.samefile(a, b) for a, b in zip(old_fs, new_fs)
+        ):
+            continue  # hard-linked carry-over: same inodes, unchanged
+        out[pid] = (old_fs, new_fs)
+    return out
+
+
+def snapshot_diff(
+    spark: SparkSession, path: str, v_old: int, v_new: int | None = None
+) -> DataFrame:
+    """Version-to-version change set: (key, change) with change ∈
+    {'added', 'deleted', 'updated'} between two RETAINED versions of
+    the store (keep_versions ≥ the span). The table-format trick that
+    makes this O(changed) instead of O(store): both layouts share
+    unchanged partitions' IMMUTABLE files across versions (manifest
+    entry copies / hard-linked dirs), so a partition whose file
+    identity is equal in both versions is skipped at the driver —
+    never read, never planned. Only differing partitions are loaded
+    and full-outer joined on the key; equal rows (by md5 of the
+    common non-key columns) drop out.
+
+    At 100 TB an epoch touches a bounded set of partitions, so the
+    diff reads exactly the data the epoch wrote plus its old
+    versions — the audit query ("what changed between v3 and v7")
+    stays proportional to the change, not the snapshot."""
+    from pyspark.sql import functions as F
+
+    meta, vn = _resolve_version(path, v_new)
+    _, vo = _resolve_version(path, v_old)
+    key = meta["key"]
+    changed = _diff_pid_files(path, meta, vo, vn)
+    if not changed:
+        return spark.createDataFrame([], f"{key} long, change string")
+    old_files = [f for o, _ in changed.values() for f in o]
+    new_files = [f for _, n in changed.values() for f in n]
+
+    def side(files: list[str], tag: str) -> DataFrame:
+        if not files:
+            return None
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        cols = sorted(c for c in df.columns if c not in (key, "_pid"))
+        return df.select(
+            F.col(key),
+            F.md5(F.to_json(F.struct(*cols))).alias(f"{tag}_h"),
+        )
+
+    old = side(old_files, "o")
+    new = side(new_files, "n")
+    if old is None:
+        return new.select(key, F.lit("added").alias("change")).orderBy(key)
+    if new is None:
+        return old.select(key, F.lit("deleted").alias("change")).orderBy(key)
+    j = old.join(new, key, "full_outer")
+    change = (
+        F.when(F.col("o_h").isNull(), "added")
+        .when(F.col("n_h").isNull(), "deleted")
+        .when(F.col("o_h") != F.col("n_h"), "updated")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(key, "change")
+        .orderBy(key)
+    )

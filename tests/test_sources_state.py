@@ -1022,3 +1022,56 @@ def test_zorder_scan_driver_side_file_skipping(spark, tmp_path):
     got = sorted(r["event_id"] for r in df.collect())
     want = sorted(r["event_id"] for r in full.collect())
     assert got == want and got
+
+
+@pytest.mark.parametrize("layout", ["dirs", "manifest"])
+def test_snapshot_diff_is_partition_skipping_and_exact(spark, tmp_path, layout):
+    """snapshot_diff between retained versions: reports exactly the
+    added/updated keys of the epoch, classifies a full-rewrite delete,
+    and — the O(changed) guarantee — partitions whose file identity is
+    shared across versions (manifest entry copies / hard-linked dirs)
+    are excluded from the read set at the driver."""
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, value double"
+        )
+
+    path = str(tmp_path / "snap")
+    n = 4
+    base = [(i, 100 + i, float(i)) for i in range(16)]
+    B.write_snapshot(
+        spark, mk_df(base), path, n_key_files=n, layout=layout,
+        keep_versions=3,
+    )
+    v1 = B._read_meta(path)["version"]
+
+    # epoch: update key 3, insert key 100
+    B.snapshot_merge_targeted(spark, path, mk_df([(3, 900, 3333.0), (100, 901, 42.0)]))
+    v2 = B._read_meta(path)["version"]
+
+    got = {r["user_id"]: r["change"] for r in B.snapshot_diff(spark, path, v1, v2).collect()}
+    assert got == {3: "updated", 100: "added"}
+
+    # the skipping claim: only the pids of the changed keys survive
+    meta = B._read_meta(path)
+    changed = B._diff_pid_files(path, meta, v1, v2)
+    expected_pids = {
+        r["p"]
+        for r in mk_df([(3, 0, 0.0), (100, 0, 0.0)])
+        .select(B._pid_expr("user_id", n).alias("p"))
+        .collect()
+    }
+    assert set(changed) == expected_pids
+    assert len(changed) < n + 1  # strictly fewer than all pids
+
+    # identical versions diff to empty without reading anything
+    assert B.snapshot_diff(spark, path, v2, v2).count() == 0
+
+    # a second epoch dropping key 5 via full rewrite → 'deleted'
+    rewrite = [r for r in base if r[0] not in (3, 5)] + [(3, 900, 3333.0), (100, 901, 42.0)]
+    B.write_snapshot(spark, mk_df(rewrite), path)
+    v3 = B._read_meta(path)["version"]
+    got3 = {r["user_id"]: r["change"] for r in B.snapshot_diff(spark, path, v2, v3).collect()}
+    assert got3 == {5: "deleted"}
