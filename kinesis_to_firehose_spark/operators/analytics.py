@@ -3087,3 +3087,108 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_users") < K_ANON)
         .orderBy("event_type", "hour_of_day", "value_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# sliding_distinct_users — exact DISTINCT counts over SLIDING windows
+# (1 h wide, 30 min slide): the one windowed aggregate ranking/frame
+# functions cannot express (distinct doesn't distribute over
+# overlapping frames), so each event is expanded to the w/s = 2
+# windows containing it and the distinct-count runs per window —
+# Spark's native F.window(ts, "1 hour", "30 minutes") does exactly
+# this expansion inside the plan; the oracle spells it out with
+# time_bucket + unnest. Epoch-aligned buckets in both engines.
+# Scale shape: fan-out ×2 (w/s), then one groupBy(window) with a
+# distinct aggregate — the standard partial/final two-phase distinct.
+# --------------------------------------------------------------------------
+SLIDING_DISTINCT_SQL = """
+WITH bucketed AS (
+  SELECT user_id, event_id,
+         time_bucket(INTERVAL '30 minutes', ts) AS b
+  FROM events
+),
+expanded AS (
+  SELECT user_id, event_id,
+         unnest([b, b - INTERVAL '30 minutes']) AS win_start
+  FROM bucketed
+)
+SELECT win_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM expanded
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
+@register("sliding_distinct_users", SLIDING_DISTINCT_SQL)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_users", "n_events")
+        .orderBy("win_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# join_incremental — incremental view maintenance for JOINS, the
+# two-sided counterpart of agg_merge_incremental: with base/delta
+# splits A = A0 ∪ ΔA (orders) and B = B0 ∪ ΔB (customer), the
+# maintained join is
+#   A ⋈ B = (A0 ⋈ B0) ∪ (A0 ⋈ ΔB) ∪ (ΔA ⋈ B0) ∪ (ΔA ⋈ ΔB)
+# and the op computes the right-hand side, aggregated per nation in
+# exact DECIMAL. The oracle computes the plain A ⋈ B aggregate —
+# equality IS the IVM identity. In production A0 ⋈ B0 is the stored
+# materialization (never recomputed); an epoch pays only the three
+# delta terms, each one broadcast-or-bucketed join where the delta
+# side is epoch-sized ≪ the base. Deterministic "epoch" membership:
+# ΔA = orderkey % 97 == 0, ΔB = custkey % 89 == 0.
+# --------------------------------------------------------------------------
+JOIN_INCR_SQL = """
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY nationkey
+"""
+
+
+@register("join_incremental", JOIN_INCR_SQL)
+def join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    da = o.filter(F.col("o_orderkey") % 97 == 0)
+    a0 = o.filter(F.col("o_orderkey") % 97 != 0)
+    db = c.filter(F.col("c_custkey") % 89 == 0)
+    b0 = c.filter(F.col("c_custkey") % 89 != 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    parts = [
+        a0.join(b0, on),
+        a0.join(db, on),
+        da.join(b0, on),
+        da.join(db, on),
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            # the DECIMAL sum is exact/order-independent on both
+            # engines; the final DOUBLE cast of identical decimals is
+            # bit-identical too
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("nationkey")
+    )
