@@ -3192,3 +3192,148 @@ def join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# rfm_segments — recency/frequency/monetary customer segmentation,
+# the classic lifecycle-marketing aggregate, built SCALE-FIRST: each
+# metric's quintile edges come from one exact-percentile aggregate
+# broadcast back (the equidepth_histogram pattern) — NOT a global
+# NTILE, which would sort every customer in one partition. Scores are
+# metric > edge comparisons (deterministic, tie-stable in both
+# engines); recency scores invert (fewer days since last order =
+# better). Monetary sums in exact DECIMAL before the double cast.
+# Reference date = MAX(o_orderdate) corpus-wide, so the op is
+# deterministic with no wall clock.
+# --------------------------------------------------------------------------
+_RFM_PS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _rfm_sql() -> str:
+    r_edges = ", ".join(
+        f"quantile_cont(recency_days, {p}) AS r{i}"
+        for i, p in enumerate(_RFM_PS, 1)
+    )
+    f_edges = ", ".join(
+        f"quantile_cont(frequency * 1.0, {p}) AS f{i}"
+        for i, p in enumerate(_RFM_PS, 1)
+    )
+    m_edges = ", ".join(
+        f"quantile_cont(monetary, {p}) AS m{i}"
+        for i, p in enumerate(_RFM_PS, 1)
+    )
+    r_bucket = " ".join(
+        f"+ CASE WHEN recency_days > r{i} THEN 1 ELSE 0 END"
+        for i in range(1, 5)
+    )
+    f_bucket = " ".join(
+        f"+ CASE WHEN frequency > f{i} THEN 1 ELSE 0 END"
+        for i in range(1, 5)
+    )
+    m_bucket = " ".join(
+        f"+ CASE WHEN monetary > m{i} THEN 1 ELSE 0 END"
+        for i in range(1, 5)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+                        (SELECT MAX(o_orderdate) FROM orders))
+              AS DOUBLE) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+edges AS (SELECT {r_edges}, {f_edges}, {m_edges} FROM base),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         6 - (1 {r_bucket}) AS r_score,
+         1 {f_bucket} AS f_score,
+         1 {m_bucket} AS m_score
+  FROM base, edges
+)
+SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       ROUND(monetary, 2) AS monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY custkey
+"""
+
+
+@register("rfm_segments", _rfm_sql())
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff("ref_date", "last_order")
+            .cast("double")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    edges = base.agg(
+        *[
+            F.expr(f"percentile(recency_days, {p})").alias(f"r{i}")
+            for i, p in enumerate(_RFM_PS, 1)
+        ],
+        *[
+            F.expr(f"percentile(frequency * 1.0, {p})").alias(f"f{i}")
+            for i, p in enumerate(_RFM_PS, 1)
+        ],
+        *[
+            F.expr(f"percentile(monetary, {p})").alias(f"m{i}")
+            for i, p in enumerate(_RFM_PS, 1)
+        ],
+    )
+
+    def bucket(col, prefix):
+        b = F.lit(1)
+        for i in range(1, 5):
+            b = b + (F.col(col) > F.col(f"{prefix}{i}")).cast("int")
+        return b
+
+    scored = base.join(F.broadcast(edges)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(6) - bucket("recency_days", "r")).alias("r_score"),
+        bucket("frequency", "f").alias("f_score"),
+        bucket("monetary", "m").alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 3, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.round("monetary", 2).alias("monetary"),
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        segment.alias("segment"),
+    ).orderBy("custkey")

@@ -998,3 +998,76 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_rank",
         F.col("b2").cast("bigint").alias("negative_id"),
     ).orderBy("anchor_id", "neg_rank")
+
+
+# --------------------------------------------------------------------------
+# graph_triangle_count — per-node triangle counts over the UNDIRECTED
+# knn graph (knn edges symmetrized to canonical a<b pairs): the local
+# clustering signal that separates tight duplicate/boilerplate
+# neighborhoods (many triangles) from chain-like topical neighbors
+# (few). Standard distributed shape: with edges held a<b, a triangle
+# (a<b<c) is found exactly once by joining E(a,b) ⋈ E(b,c) on the
+# middle node and probing E(a,c) — two equi-join shuffles over the
+# EDGE list only (≤ K·|V| rows; the wedge fan-out is bounded by the
+# knn degree), then an explode to credit each corner.
+# --------------------------------------------------------------------------
+def _triangle_sql() -> str:
+    knn_body = _knn_graph_sql().replace("ORDER BY src, rank", "")
+    return f"""
+WITH knn AS MATERIALIZED ({knn_body}),
+edges AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, neighbor) AS a,
+                  GREATEST(src, neighbor) AS b
+  FROM knn
+),
+tris AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS vec_id FROM tris
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@register("graph_triangle_count", _triangle_sql())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select(
+            F.least("src", "neighbor").alias("a"),
+            F.greatest("src", "neighbor").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("ta"),
+            F.col("e1.b").alias("tb"),
+            F.col("e2.b").alias("tc"),
+        )
+    )
+    return (
+        tris.select(
+            F.explode(F.array("ta", "tb", "tc")).alias("vec_id")
+        )
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .orderBy("vec_id")
+    )
