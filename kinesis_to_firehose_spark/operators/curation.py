@@ -1732,3 +1732,100 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "block_id")
     )
+
+
+# --------------------------------------------------------------------------
+# collocations_pmi — collocation mining: bigrams ranked by pointwise
+# mutual information PMI = ln(N · c(w1,w2) / (c(w1) · c(w2))) with a
+# minimum-count support filter (PMI is noise without it — hapax pairs
+# max it out). Surfaces multiword units ("new york") a tokenizer
+# should learn as merges; the standard first signal for BPE-merge /
+# phrase-vocabulary induction. Reuses the bigram-LM count tables:
+# everything after the bigram explode is vocab²-bounded.
+# PMI is one ln() over an integer ratio per surviving bigram —
+# rounded at the edge, no float accumulation anywhere.
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 25
+PMI_TOP_K = 50
+
+PMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL} AS t FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i + 1])) AS w2
+  FROM toks
+),
+cb AS (
+  SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+uni AS (
+  SELECT term, COUNT(*) AS cu
+  FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni)
+SELECT w1, w2, CAST(cb.c AS BIGINT) AS pair_count,
+       ROUND(ln(tot.n * cb.c * 1.0 / (u1.cu * u2.cu)), 6) AS pmi,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ln(tot.n * cb.c * 1.0 / (u1.cu * u2.cu)) DESC, w1, w2
+       ) AS BIGINT) AS rk
+FROM cb
+JOIN uni u1 ON u1.term = cb.w1
+JOIN uni u2 ON u2.term = cb.w2
+CROSS JOIN tot
+QUALIFY rk <= {PMI_TOP_K}
+ORDER BY rk
+"""
+
+
+@register("collocations_pmi", PMI_SQL)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _exploded_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    cb = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= PMI_MIN_COUNT)
+    )
+    uni = toks.groupBy(F.col("tok").alias("term")).agg(
+        F.count("*").alias("cu")
+    )
+    tot = uni.agg(F.sum("cu").cast("bigint").alias("n"))
+    pmi = F.log(
+        F.col("n") * F.col("c") * F.lit(1.0) / (F.col("cu1") * F.col("cu2"))
+    )
+    wr = W.orderBy(F.desc("pmi_raw"), "w1", "w2")
+    return (
+        cb.join(
+            F.broadcast(uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))),
+            "w2",
+        )
+        .join(F.broadcast(tot))
+        .withColumn("pmi_raw", pmi)
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= PMI_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("pair_count"),
+            F.round("pmi_raw", 6).alias("pmi"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

@@ -1071,3 +1071,68 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# label_knn_accuracy — embedding-quality QA with the labels the table
+# already carries: leave-one-out 1-NN label agreement per class (each
+# vector's knn rank-1 neighbor votes; agreement rate ≈ how well the
+# embedding space separates the labels — the cheapest useful probe
+# before training anything). Rides the existing knn plan; the label
+# joins are key-joins on vec_id.
+# --------------------------------------------------------------------------
+def _label_knn_sql() -> str:
+    knn_body = _knn_graph_sql().replace("ORDER BY src, rank", "")
+    return f"""
+WITH knn AS MATERIALIZED ({knn_body}),
+nn1 AS (SELECT src, neighbor FROM knn WHERE rank = 1),
+votes AS (
+  SELECT a.label AS label,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS hit
+  FROM nn1
+  JOIN embeddings a ON a.vec_id = nn1.src
+  JOIN embeddings b ON b.vec_id = nn1.neighbor
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(hit) AS BIGINT) AS n_correct,
+       ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS accuracy
+FROM votes
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("label_knn_accuracy", _label_knn_sql())
+def label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nn1 = knn_graph(spark, sf_dir).filter(F.col("rank") == 1).select(
+        "src", "neighbor"
+    )
+    labels = load(spark, "embeddings", sf_dir).select("vec_id", "label")
+    votes = (
+        nn1.join(
+            labels.select(
+                F.col("vec_id").alias("src"), F.col("label").alias("label")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor",
+        )
+        .select(
+            "label",
+            (F.col("label") == F.col("nb_label")).cast("int").alias("hit"),
+        )
+    )
+    return (
+        votes.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("hit").cast("bigint").alias("n_correct"),
+            F.round(F.sum("hit") / F.count("*"), 4).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -177,6 +177,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "heavy_hitters_mg",      # 1-row total-count threshold scalar
         "contrastive_pairs",     # 1-row corpus-size scalar for the mod draw
         "rfm_segments",          # 1-row ref-date + quintile-edge scalars
+        "collocations_pmi",      # 1-row corpus token count for PMI
     }
     STREAMING = {
         "firehose_sink",
