@@ -721,3 +721,44 @@ def rank_topk_batch(batch_df: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("hour", "user_id", "n", "rank")
     )
+
+
+def run_pipeline_replay(
+    spark: SparkSession,
+    replay_dir: str,
+    output_root: str,
+    checkpoint_dir: str,
+    dead_letter_dir: str | None = None,
+    transport_factory=None,
+):
+    """The full reference pipeline fronted by the REAL connector
+    surface: format("kinesis_replay") (shard-parallel reads, per-shard
+    sequence-number offsets) → JSON payload decode → decode/enhance →
+    Firehose-protocol sink. This is the closest local analogue of the
+    production wiring (KCL shard consumer → ProcessMessage → Firehose,
+    main.go:49-56): swap the replay directory for the AWS transport
+    and nothing downstream changes."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    raw = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay_dir)
+        .load()
+    )
+    events = raw.select(
+        F.from_json(F.col("data"), EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+    delivery = decoded_stream(events)
+    sink = firehose_foreach_batch(
+        output_root,
+        dead_letter_dir=dead_letter_dir,
+        transport_factory=transport_factory,
+    )
+    return (
+        delivery.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -101,3 +101,53 @@ def test_stream_delivers_increments_and_resumes(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_full_pipeline_through_replay_connector(spark, tmp_path):
+    """The reference pipeline fronted by the connector: events →
+    replay shards → format("kinesis_replay") stream → decode/enhance →
+    Firehose sink; per-stream delivered counts equal the batch
+    ground truth, and a checkpointed restart re-delivers nothing."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.firehose import read_delivered
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        run_pipeline_replay,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "stream")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ev = load(spark, "events", sf).select(
+        "user_id",
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).alias("data"),
+    )
+    write_replay_slices(
+        d, [(str(r["user_id"]), r["data"]) for r in ev.collect()], n_shards=N_SHARDS
+    )
+    expected = {
+        r["event_type"]: r["n"]
+        for r in load(spark, "events", sf)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    q = run_pipeline_replay(spark, d, out, ck)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = {s: len(read_delivered(out, s)) for s in expected}
+    assert got == expected
+
+    # restart from the checkpoint with no new data: exactly-once
+    q2 = run_pipeline_replay(spark, d, out, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    got2 = {s: len(read_delivered(out, s)) for s in expected}
+    assert got2 == expected
