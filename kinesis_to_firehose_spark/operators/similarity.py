@@ -1136,3 +1136,116 @@ def label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# label_centroid_stats — the second embedding-QA probe: per-label
+# CLASS CENTROIDS (exact-decimal per-dimension mean — order-
+# independent at any parallelism) and each vector's cosine to its own
+# class centroid, aggregated to per-label cohesion stats (mean/min
+# cosine + count of vectors at or below 0 — candidates for label
+# noise). Complements label_knn_accuracy: knn agreement is local,
+# centroid cohesion is global.
+# Scale shape: one posexplode (×dims) into a (label, dim) aggregate —
+# the centroid table is labels × dims, trivially broadcast; the
+# rescore is a narrow map over the corpus. Determinism: dim sums in
+# DECIMAL(20,8) of 8dp-rounded components; centroid dims and cosines
+# re-rounded; the per-label mean divides an exact DECIMAL(18,6) sum.
+# --------------------------------------------------------------------------
+CENTROID_OUTLIER_TAU = 0.0
+
+
+def _label_centroid_sql() -> str:
+    dot_c = dot_expr("e.embedding", "t.c", "duck")
+    nrm_e = norm_expr("e.embedding", "duck")
+    nrm_c = norm_expr("c", "duck")
+    return f"""
+WITH ex AS (
+  SELECT label, vec_id,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cd AS (
+  SELECT label, dim,
+         SUM(CAST(ROUND(x::DOUBLE, 8) AS DECIMAL(20,8))) AS s,
+         COUNT(*) AS n
+  FROM ex GROUP BY label, dim
+),
+cent AS (
+  SELECT label, list(ROUND(CAST(s AS DOUBLE) / n, 8) ORDER BY dim) AS c
+  FROM cd GROUP BY label
+),
+centn AS (SELECT label, c, {nrm_c} AS cnrm FROM cent),
+scored AS (
+  SELECT e.label, e.vec_id,
+         ROUND({dot_c} / ({nrm_e} * t.cnrm), 6) AS cos
+  FROM embeddings e JOIN centn t USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_cos,
+       MIN(cos) AS min_cos,
+       CAST(SUM(CASE WHEN cos <= {CENTROID_OUTLIER_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM scored
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("label_centroid_stats", _label_centroid_sql())
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    ex = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select("label", "vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    cd = ex.groupBy("label", "dim").agg(
+        F.sum(
+            F.round(F.col("x").cast("double"), 8).cast("decimal(20,8)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cent = (
+        cd.select(
+            "label",
+            F.struct(
+                "dim",
+                F.round(F.col("s").cast("double") / F.col("n"), 8).alias(
+                    "cval"
+                ),
+            ).alias("dc"),
+        )
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(dc)), s -> s.cval)")
+            .alias("c")
+        )
+        .withColumn("cnrm", F.expr(norm_expr("c", "spark")))
+    )
+    cos = F.round(
+        F.expr(dot_expr("embedding", "c", "spark"))
+        / (F.expr(norm_expr("embedding", "spark")) * F.col("cnrm")),
+        6,
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", cos.alias("cos")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_cos"),
+            F.min("cos").alias("min_cos"),
+            F.sum(
+                (F.col("cos") <= CENTROID_OUTLIER_TAU).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
