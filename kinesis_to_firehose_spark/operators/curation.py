@@ -1106,7 +1106,10 @@ def _hybrid_sql() -> str:
         norm_expr,
     )
 
-    n_q = len(BM25_QUERIES)
+    # anchor on the ACTUAL query-id set, not a count-derived range —
+    # a non-contiguous BM25_QUERIES key would silently mis-align the
+    # two arms otherwise
+    q_ids = ", ".join(str(q) for q in sorted(BM25_QUERIES))
     cos = f"({dot_expr('q.embedding', 'c.embedding', 'duck')} / (q.nrm * c.nrm))"
     return f"""
 WITH {_BM25_CORE_CTES},
@@ -1126,7 +1129,7 @@ sem_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
          ROUND({cos}, 6) AS cosine
   FROM normed q
-  JOIN normed c ON q.vec_id < {n_q} AND c.vec_id != q.vec_id
+  JOIN normed c ON q.vec_id IN ({q_ids}) AND c.vec_id != q.vec_id
 ),
 sem AS (
   SELECT query_id, doc_id,
@@ -1165,7 +1168,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed_embeddings,
     )
 
-    n_q = len(BM25_QUERIES)
     # lexical list: BM25 dscore ranking, top FUSE_N per query
     wl = W.partitionBy("query_id").orderBy(F.desc("dscore"), "doc_id")
     lex = (
@@ -1177,7 +1179,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantic list: anchor = the query doc's own vector (vec_id ≡
     # doc_id), broadcast against the corpus
     n = normed_embeddings(spark, sf_dir)
-    q = n.filter(F.col("vec_id") < n_q).select(
+    # the actual key set, mirroring the oracle's IN list
+    q = n.filter(F.col("vec_id").isin(*BM25_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -1504,8 +1507,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 BIGRAM_LAMBDA = 0.7
 
-BIGRAM_SQL = rf"""
-WITH toks AS (
+# Shared bigram count-table CTE chain (bg explode + bigram/start/
+# unigram/total counts) — the single source of truth for every
+# bigram-based op (LM scoring, PMI collocations): a tokenizer or
+# windowing tweak lands in one place.
+_BIGRAM_CORE_CTES = rf"""toks AS (
   SELECT doc_id, {TOK_SQL} AS t FROM documents
 ),
 bg AS (
@@ -1523,7 +1529,10 @@ uni AS (
   FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
   GROUP BY term
 ),
-tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni)
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni)"""
+
+BIGRAM_SQL = rf"""
+WITH {_BIGRAM_CORE_CTES}
 SELECT bg.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND(AVG(ln({BIGRAM_LAMBDA} * cb.c * 1.0 / cs.cstart
@@ -1539,8 +1548,12 @@ ORDER BY bg.doc_id
 """
 
 
-@register("bigram_logprob_score", BIGRAM_SQL)
-def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bigram_counts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(bg, cb, cs, uni, tot) — the bigram explode plus its four
+    count tables, the DataFrame twin of _BIGRAM_CORE_CTES, shared by
+    bigram_logprob_score and collocations_pmi."""
     toks = _exploded_tokens(spark, sf_dir)
     w = W.partitionBy("doc_id").orderBy("pos")
     bg = (
@@ -1557,6 +1570,12 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cu")
     )
     tot = uni.agg(F.sum("cu").cast("bigint").alias("n"))
+    return bg, cb, cs, uni, tot
+
+
+@register("bigram_logprob_score", BIGRAM_SQL)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg, cb, cs, uni, tot = _bigram_counts(spark, sf_dir)
     p = (
         F.lit(BIGRAM_LAMBDA) * F.col("c") / F.col("cstart")
         + F.lit(1 - BIGRAM_LAMBDA) * F.col("cu") / F.col("n")
@@ -1749,34 +1768,16 @@ PMI_MIN_COUNT = 25
 PMI_TOP_K = 50
 
 PMI_SQL = rf"""
-WITH toks AS (
-  SELECT doc_id, {TOK_SQL} AS t FROM documents
-),
-bg AS (
-  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-                               i -> t[i])) AS w1,
-         unnest(list_transform(generate_series(1, len(t) - 1),
-                               i -> t[i + 1])) AS w2
-  FROM toks
-),
-cb AS (
-  SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
-  HAVING COUNT(*) >= {PMI_MIN_COUNT}
-),
-uni AS (
-  SELECT term, COUNT(*) AS cu
-  FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
-  GROUP BY term
-),
-tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni)
-SELECT w1, w2, CAST(cb.c AS BIGINT) AS pair_count,
-       ROUND(ln(tot.n * cb.c * 1.0 / (u1.cu * u2.cu)), 6) AS pmi,
+WITH {_BIGRAM_CORE_CTES},
+cbf AS (SELECT * FROM cb WHERE c >= {PMI_MIN_COUNT})
+SELECT w1, w2, CAST(cbf.c AS BIGINT) AS pair_count,
+       ROUND(ln(tot.n * cbf.c * 1.0 / (u1.cu * u2.cu)), 6) AS pmi,
        CAST(ROW_NUMBER() OVER (
-         ORDER BY ln(tot.n * cb.c * 1.0 / (u1.cu * u2.cu)) DESC, w1, w2
+         ORDER BY ln(tot.n * cbf.c * 1.0 / (u1.cu * u2.cu)) DESC, w1, w2
        ) AS BIGINT) AS rk
-FROM cb
-JOIN uni u1 ON u1.term = cb.w1
-JOIN uni u2 ON u2.term = cb.w2
+FROM cbf
+JOIN uni u1 ON u1.term = cbf.w1
+JOIN uni u2 ON u2.term = cbf.w2
 CROSS JOIN tot
 QUALIFY rk <= {PMI_TOP_K}
 ORDER BY rk
@@ -1785,24 +1786,8 @@ ORDER BY rk
 
 @register("collocations_pmi", PMI_SQL)
 def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _exploded_tokens(spark, sf_dir)
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.select(
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-    )
-    cb = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= PMI_MIN_COUNT)
-    )
-    uni = toks.groupBy(F.col("tok").alias("term")).agg(
-        F.count("*").alias("cu")
-    )
-    tot = uni.agg(F.sum("cu").cast("bigint").alias("n"))
+    _, cb_all, _, uni, tot = _bigram_counts(spark, sf_dir)
+    cb = cb_all.filter(F.col("c") >= PMI_MIN_COUNT)
     pmi = F.log(
         F.col("n") * F.col("c") * F.lit(1.0) / (F.col("cu1") * F.col("cu2"))
     )

@@ -834,12 +834,49 @@ def snapshot_diff(
     stays proportional to the change, not the snapshot."""
     from pyspark.sql import functions as F
 
+    import os
+
     meta, vn = _resolve_version(path, v_new)
     _, vo = _resolve_version(path, v_old)
     key = meta["key"]
     changed = _diff_pid_files(path, meta, vo, vn)
     if not changed:
-        return spark.createDataFrame([], f"{key} long, change string")
+        # empty diff must still carry the store's REAL key type (the
+        # key column is whatever write_snapshot was given, not
+        # necessarily a bigint) so unions across version pairs line up
+        if meta.get("layout") == "manifest":
+            rels = [
+                r
+                for rl in _read_manifest(path, vn)["entries"].values()
+                for r in rl
+            ]
+            probe = (
+                os.path.join(path, "data", rels[0]) if rels else None
+            )
+        else:
+            root = os.path.join(path, f"v={vn}")
+            probe = None
+            for d in sorted(os.listdir(root)):
+                full = os.path.join(root, d)
+                if d.startswith("_pid=") and os.path.isdir(full):
+                    fs = [f for f in os.listdir(full) if f.endswith(".parquet")]
+                    if fs:
+                        probe = os.path.join(full, sorted(fs)[0])
+                        break
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if probe is None:
+            key_field = StructField(key, StringType())
+        else:
+            # schema-only footer read; no data scan
+            key_field = next(
+                f for f in spark.read.parquet(probe).schema.fields
+                if f.name == key
+            )
+        return spark.createDataFrame(
+            [],
+            StructType([key_field, StructField("change", StringType())]),
+        )
     old_files = [f for o, _ in changed.values() for f in o]
     new_files = [f for _, n in changed.values() for f in n]
 

@@ -19,8 +19,11 @@ connector contract:
   dicts, JSON-checkpointed by Structured Streaming exactly like
   Kinesis sequence-number checkpoints in the KCL lease table — a
   restart resumes from the committed offset with no re-delivery;
-- `latestOffset` scans only file SIZES/line counts on the driver;
-  record bytes are read only in `read()` on executors.
+- `latestOffset` scans only the bytes APPENDED since the previous
+  poll (offsets carry byte positions; the driver seeks, never
+  rescans history) and offers only \\n-terminated records, so a
+  producer caught mid-append can never tear a record; full record
+  parsing happens only in `read()` on executors.
 
 Layout: `<path>/shard-<i>.jsonl`, one record per line; the line
 number IS the sequence number. `write_replay_slices` is the producer
@@ -91,35 +94,58 @@ def _shard_files(path: str) -> list[str]:
     )
 
 
-def _line_count(fp: str) -> int:
-    n = 0
-    with open(fp) as f:
-        for _ in f:
-            n += 1
-    return n
+def _scan_complete(
+    fp: str, from_line: int, from_byte: int
+) -> tuple[int, int]:
+    """Advance (line, byte) over COMPLETE records only, starting at a
+    known line boundary: a trailing line without its \\n (a producer
+    mid-append, buffered flush split mid-record) is NOT counted — it
+    will be picked up by a later scan once terminated. Seeking to
+    from_byte means each poll scans only the delta since the last
+    offset, never the whole log."""
+    lines, byte = from_line, from_byte
+    with open(fp, "rb") as f:
+        f.seek(from_byte)
+        for raw in f:
+            if not raw.endswith(b"\n"):
+                break  # torn tail: not yet a complete record
+            lines += 1
+            byte += len(raw)
+    return lines, byte
 
 
-def _read_lines(
-    fp: str, shard_id: str, start: int, end: int
+def _read_slice(
+    fp: str, shard_id: str, start_line: int, start_byte: int, end_byte: int
 ) -> Iterator[tuple]:
-    with open(fp) as f:
-        for seq, line in enumerate(f):
-            if seq >= end:
-                break
-            if seq >= start:
-                rec = json.loads(line)
-                yield (shard_id, seq, rec["pk"], rec["data"])
+    """Executor-side record read of one shard's [start_byte, end_byte)
+    range — a seek plus one bounded read, O(slice) regardless of how
+    much history precedes it. Both bounds come from _scan_complete, so
+    they sit on record boundaries by construction."""
+    if end_byte <= start_byte:
+        return
+    with open(fp, "rb") as f:
+        f.seek(start_byte)
+        data = f.read(end_byte - start_byte)
+    for i, raw in enumerate(data.splitlines()):
+        rec = json.loads(raw)
+        yield (shard_id, start_line + i, rec["pk"], rec["data"])
 
 
 @dataclass
 class ShardSlice(InputPartition):
-    """One shard's [start, end) sequence range — the unit of executor
-    parallelism for both batch and stream reads."""
+    """One shard's [start, end) slice — line numbers carry the
+    sequence-number semantics, byte positions make the executor read
+    a seek + bounded read. The unit of parallelism for both batch and
+    stream reads."""
 
     file_path: str
     shard_id: str
-    start: int
-    end: int
+    start_line: int
+    start_byte: int
+    end_byte: int
+
+
+_IDLE_SLICE = ShardSlice("", "", 0, 0, 0)
 
 
 class KinesisReplayBatchReader(DataSourceReader):
@@ -127,78 +153,90 @@ class KinesisReplayBatchReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self) -> list[ShardSlice]:
-        return [
-            ShardSlice(
-                os.path.join(self.path, f),
-                f[: -len(".jsonl")],
-                0,
-                _line_count(os.path.join(self.path, f)),
-            )
-            for f in _shard_files(self.path)
-        ]
+        out = []
+        for f in _shard_files(self.path):
+            fp = os.path.join(self.path, f)
+            _, end_byte = _scan_complete(fp, 0, 0)
+            out.append(ShardSlice(fp, f[: -len(".jsonl")], 0, 0, end_byte))
+        return out or [_IDLE_SLICE]
 
     def read(self, partition: ShardSlice) -> Iterator[tuple]:
-        yield from _read_lines(
+        if not partition.file_path:
+            return
+        yield from _read_slice(
             partition.file_path,
             partition.shard_id,
-            partition.start,
-            partition.end,
+            partition.start_line,
+            partition.start_byte,
+            partition.end_byte,
         )
 
 
 class KinesisReplayStreamReader(DataSourceStreamReader):
-    """Micro-batch reader: offsets are {shard_id: next_seq} dicts —
-    the Spark-checkpoint analogue of KCL's per-shard sequence-number
-    checkpoints. latestOffset() touches only line counts; record
-    parsing happens in read() on executors."""
+    """Micro-batch reader: offsets are {shard_id: [next_line,
+    next_byte]} dicts — the Spark-checkpoint analogue of KCL's
+    per-shard sequence-number checkpoints. Each latestOffset() poll
+    seeks to the previous position and scans only NEW bytes (O(delta)
+    per trigger, not O(log)); only \\n-terminated records are ever
+    offered, so a producer caught mid-append can't tear a record. A
+    not-yet-created or empty stream directory idles (plans empty
+    batches) instead of failing — shards are discovered as their logs
+    appear, like a consumer started before the stream exists."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        # driver-side poll cache: {shard: (line, byte)}. Purely an
+        # optimization — losing it (reader restart) just means one
+        # full rescan; offsets in the checkpoint stay authoritative.
+        self._pos: dict[str, tuple[int, int]] = {}
+
+    def _shards(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return _shard_files(self.path)
 
     def initialOffset(self) -> dict:
-        return {f[: -len(".jsonl")]: 0 for f in _shard_files(self.path)}
+        return {f[: -len(".jsonl")]: [0, 0] for f in self._shards()}
 
     def latestOffset(self) -> dict:
-        return {
-            f[: -len(".jsonl")]: _line_count(os.path.join(self.path, f))
-            for f in _shard_files(self.path)
-        }
+        out = {}
+        for f in self._shards():
+            shard = f[: -len(".jsonl")]
+            line, byte = self._pos.get(shard, (0, 0))
+            line, byte = _scan_complete(
+                os.path.join(self.path, f), line, byte
+            )
+            self._pos[shard] = (line, byte)
+            out[shard] = [line, byte]
+        return out
 
     def partitions(self, start: dict, end: dict) -> list[ShardSlice]:
         out = []
-        for shard, hi in end.items():
-            lo = start.get(shard, 0)
-            if hi > lo:
+        for shard, (end_line, end_byte) in end.items():
+            start_line, start_byte = start.get(shard, [0, 0])
+            if end_line > start_line:
                 out.append(
                     ShardSlice(
                         os.path.join(self.path, f"{shard}.jsonl"),
                         shard,
-                        lo,
-                        hi,
+                        start_line,
+                        start_byte,
+                        end_byte,
                     )
                 )
-        # Spark requires ≥1 partition per batch; an empty batch still
-        # planned (no new data on any shard) gets one empty slice
-        if not out:
-            any_shard = next(iter(end), None)
-            if any_shard is None:
-                raise ValueError(f"no shard logs under {self.path}")
-            out.append(
-                ShardSlice(
-                    os.path.join(self.path, f"{any_shard}.jsonl"),
-                    any_shard,
-                    0,
-                    0,
-                )
-            )
-        return out
+        # Spark requires ≥1 partition per batch; no new data (or no
+        # shards yet) plans one no-op slice and the stream idles
+        return out or [_IDLE_SLICE]
 
     def read(self, partition: ShardSlice) -> Iterator[tuple]:
-        yield from _read_lines(
+        if not partition.file_path:
+            return
+        yield from _read_slice(
             partition.file_path,
             partition.shard_id,
-            partition.start,
-            partition.end,
+            partition.start_line,
+            partition.start_byte,
+            partition.end_byte,
         )
 
     def commit(self, end: dict) -> None:

@@ -151,3 +151,71 @@ def test_full_pipeline_through_replay_connector(spark, tmp_path):
     q2.awaitTermination()
     got2 = {s: len(read_delivered(out, s)) for s in expected}
     assert got2 == expected
+
+
+def test_torn_tail_line_is_deferred_until_terminated(spark, tmp_path):
+    """A producer caught mid-append (no trailing newline) must not
+    surface the torn record; once the newline lands, the record
+    arrives whole in the next batch."""
+    import json
+    import os
+
+    d = str(tmp_path / "stream")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    write_replay_slices(d, [("k1", "complete-1")], n_shards=1)
+    # simulate a mid-append flush: half a JSON line, no newline
+    torn = json.dumps({"pk": "k2", "data": "torn-record"})
+    fp = os.path.join(d, "shard-0.jsonl")
+    with open(fp, "a") as f:
+        f.write(torn[: len(torn) // 2])
+    register_replay_source(spark)
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        _drain(q)
+        got = {r["data"] for r in spark.read.parquet(out).collect()}
+        assert got == {"complete-1"}  # torn record withheld, no crash
+        # producer finishes the append
+        with open(fp, "a") as f:
+            f.write(torn[len(torn) // 2 :] + "\n")
+        _drain(q)
+        got = {r["data"] for r in spark.read.parquet(out).collect()}
+        assert got == {"complete-1", "torn-record"}
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_consumer_first_stream_idles_until_shards_appear(spark, tmp_path):
+    """A stream started before the producer creates the directory must
+    idle (not fail) and pick up records once shards appear."""
+    d = str(tmp_path / "not-yet")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    register_replay_source(spark)
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        _drain(q)  # no dir at all: idles, no exception
+        assert q.isActive
+        write_replay_slices(d, _records(0, 20), n_shards=2)
+        _drain(q)
+        assert spark.read.parquet(out).count() == 20
+    finally:
+        q.stop()
+        q.awaitTermination()
