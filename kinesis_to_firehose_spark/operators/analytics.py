@@ -3337,3 +3337,117 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("bigint").alias("m_score"),
         segment.alias("segment"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# fk_integrity_audit — referential-integrity audit across the
+# schema's FK edges (orders.custkey → customer, lineitem.orderkey →
+# orders, lineitem.partkey → part, lineitem.suppkey → supplier,
+# customer/supplier.nationkey → nation, nation.regionkey → region):
+# one row per edge with child cardinality and orphan count (child
+# keys with no parent). The ingestion gate a warehouse runs before
+# trusting joins — a broken upstream export shows up here first.
+# Scale shape: each edge is a LEFT ANTI join (the cheapest join
+# Spark has — no payload, early-out per probe); parents that are
+# dimension-sized broadcast, fact-fact edges shuffle on the key.
+# The per-edge 1-row summaries union into one result.
+# --------------------------------------------------------------------------
+_FK_EDGES = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+FK_AUDIT_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk_edge,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE c.{ckey} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pkey} = c.{ckey}))
+            AS BIGINT) AS n_orphans"""
+    for name, child, ckey, parent, pkey in _FK_EDGES
+) + "\nORDER BY fk_edge"
+
+
+@register("fk_integrity_audit", FK_AUDIT_SQL)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        c = load(spark, child, sf_dir).select(ckey)
+        p = load(spark, parent, sf_dir).select(pkey)
+        orphans = (
+            c.filter(F.col(ckey).isNotNull())
+            .join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        total = c.agg(F.count("*").cast("bigint").alias("n_child_rows"))
+        row = (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transitions over each
+# user's time-ordered event stream: counts and conditional
+# probabilities P(next_type | type). The behavioral fingerprint
+# behind next-action prediction and bot detection (a scripted client
+# has a near-deterministic row; organic traffic doesn't).
+# Scale shape: one user shuffle for the lag pairing (same window as
+# sequence_detect), then a (from, to)-cell aggregate — the matrix is
+# |types|², trivially small; the row-sum join is a broadcast.
+# --------------------------------------------------------------------------
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+rows_ AS (
+  SELECT from_type, SUM(n) AS row_n FROM cells GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       ROUND(c.n * 1.0 / r.row_n, 6) AS p
+FROM cells c JOIN rows_ r USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@register("event_transition_matrix", TRANSITION_SQL)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    rows = cells.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(F.broadcast(rows), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

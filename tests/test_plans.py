@@ -178,6 +178,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "contrastive_pairs",     # 1-row corpus-size scalar for the mod draw
         "rfm_segments",          # 1-row ref-date + quintile-edge scalars
         "collocations_pmi",      # 1-row corpus token count for PMI
+        "fk_integrity_audit",    # per-edge 1-row total × orphan summaries
     }
     STREAMING = {
         "firehose_sink",
