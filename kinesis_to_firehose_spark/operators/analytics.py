@@ -3451,3 +3451,210 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# session_paths — top navigation paths: the first three event types of
+# every session (same 6h-gap sessionization as `sessionize`), counted
+# across all sessions. The product-analytics staple ("what do users do
+# first") that needs sessionize + within-session ordering, not just
+# event counts. One user shuffle for the session windows (shared
+# ordering with sessionize), a path-level aggregate (≤ |types|³ cells),
+# and a top-20 over that tiny table.
+# --------------------------------------------------------------------------
+PATH_TOP_K = 20
+
+SESSION_PATHS_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE
+           WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+                OR LAG(ts) OVER w IS NULL
+           THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+),
+heads AS (
+  SELECT user_id, session_id, event_type,
+         LEAD(event_type, 1) OVER ws AS t2,
+         LEAD(event_type, 2) OVER ws AS t3,
+         ROW_NUMBER() OVER ws AS rn
+  FROM sessions
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT concat_ws('>', event_type, t2, t3) AS path
+  FROM heads WHERE rn = 1
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS BIGINT) AS rk
+FROM paths
+GROUP BY path
+QUALIFY rk <= {PATH_TOP_K}
+ORDER BY rk
+"""
+
+
+@register("session_paths", SESSION_PATHS_SQL)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > SESSION_GAP_S),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    heads = (
+        sessions.select(
+            "event_type",
+            F.lead("event_type", 1).over(ws).alias("t2"),
+            F.lead("event_type", 2).over(ws).alias("t3"),
+            F.row_number().over(ws).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path"))
+    )
+    wr = W.orderBy(F.desc("n_sessions"), "path")
+    return (
+        heads.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= PATH_TOP_K)
+        .orderBy("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# time_weighted_avg — TWAP per event-type series: each reading holds
+# until the next one, so the mean weights each value by its holding
+# interval (the hypertable/financial time_weight aggregate; a plain
+# AVG over-counts burst periods). Determinism: per-row products
+# value×dt are rounded and summed as DECIMAL (order-independent);
+# interval seconds are exact integers from epoch diffs.
+# Scale shape: one series shuffle + one lead() + one aggregate.
+# --------------------------------------------------------------------------
+TWA_SQL = """
+WITH iv AS (
+  SELECT event_type, value,
+         CAST(FLOOR(epoch(LEAD(ts) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ))) - FLOOR(epoch(ts)) AS BIGINT) AS dt
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt) AS BIGINT) AS total_seconds,
+       ROUND(CAST(SUM(CAST(ROUND(value * dt, 4) AS DECIMAL(28,4)))
+                  AS DOUBLE) / SUM(dt), 6) AS twa
+FROM iv
+WHERE dt IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("time_weighted_avg", TWA_SQL)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    iv = e.select(
+        "event_type",
+        "value",
+        (
+            F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("total_seconds"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value") * F.col("dt"), 4).cast(
+                        "decimal(28,4)"
+                    )
+                ).cast("double")
+                / F.sum("dt"),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_backlog — interval accounting by EVENT-IZING intervals: an
+# order is "open" from o_orderdate until its last lineitem ships;
+# instead of joining every month against every open interval (a range
+# join over the fact table), each order emits a +1 delta at its open
+# month and a -1 at its close month, and the backlog is the running
+# sum over the tiny month axis. The standard O(n) trick for
+# concurrent-intervals questions (active sessions, open tickets,
+# inventory) at any scale — the only global window runs over ~80
+# month rows.
+# --------------------------------------------------------------------------
+BACKLOG_SQL = """
+WITH closes AS (
+  SELECT l_orderkey AS orderkey, MAX(l_shipdate) AS close_date
+  FROM lineitem GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month, 1 AS delta
+  FROM orders o JOIN closes c ON c.orderkey = o.o_orderkey
+  UNION ALL
+  SELECT date_trunc('month', c.close_date) AS month, -1 AS delta
+  FROM orders o JOIN closes c ON c.orderkey = o.o_orderkey
+)
+SELECT CAST(EXTRACT(year FROM month) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM month) AS BIGINT) AS mo,
+       CAST(SUM(SUM(delta)) OVER (
+         ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS open_orders
+FROM deltas
+GROUP BY month
+ORDER BY yr, mo
+"""
+
+
+@register("orders_backlog", BACKLOG_SQL)
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load(spark, "lineitem", sf_dir)
+    closes = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    spans = o.join(closes, o["o_orderkey"] == closes["orderkey"])
+    opens = spans.select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.lit(1).alias("delta"),
+    )
+    shuts = spans.select(
+        F.date_trunc("month", "close_date").alias("month"),
+        F.lit(-1).alias("delta"),
+    )
+    monthly = (
+        opens.unionByName(shuts)
+        .groupBy("month")
+        .agg(F.sum("delta").alias("d"))
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    return monthly.select(
+        F.year("month").cast("bigint").alias("yr"),
+        F.month("month").cast("bigint").alias("mo"),
+        F.sum("d").over(w).cast("bigint").alias("open_orders"),
+    ).orderBy("yr", "mo")
