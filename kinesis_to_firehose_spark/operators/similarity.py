@@ -1249,3 +1249,198 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (pq_quantize / ann_pq_topk) — the memory-side
+# half of billion-scale ANN (IVF-PQ): split the 64-dim vector into
+# M=8 subspaces of 8 dims, quantize each subvector to its nearest of
+# K=16 per-subspace centroids (codes: 8 bytes per vector instead of
+# 256 — a 32× memory cut), and answer queries with ASYMMETRIC
+# distance (ADC): the query precomputes its M×K distance table (tiny,
+# broadcast), and each candidate's distance is just M table lookups
+# summed — no float vector math per candidate at query time.
+# Centroids are deterministic seed subvectors (vec_id < K), the same
+# convention as the seed-IVF op; swap in Lloyd-trained subspace
+# centroids exactly like ann_ivf_trained does for full vectors.
+# Determinism: subspace L2 distances fold in fixed dim order (same
+# IEEE sequence both engines), are rounded to 8dp before argmin with
+# centroid-id tie-break; ADC sums 8dp-rounded lookups as
+# DECIMAL(20,8) — exact, order-independent.
+# Scale shape: quantization is a narrow map over a broadcast M×K
+# centroid table; search shuffles only (candidate, subspace, code)
+# lookup rows and aggregates per (query, candidate).
+# --------------------------------------------------------------------------
+PQ_M = 8        # subspaces
+PQ_DSUB = 8     # dims per subspace (M * DSUB = 64)
+PQ_K = 16       # centroids per subspace
+PQ_TOP_K = 10
+
+
+def l2sq_expr(a: str, b: str, engine: str) -> str:
+    """Squared L2 over two equal-length arrays; fixed fold order."""
+    if engine == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+        f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_PQ_SUBS_SQL = f"""subs AS (
+  SELECT vec_id, m.m AS m,
+         list_slice(embedding, m.m * {PQ_DSUB} + 1,
+                    m.m * {PQ_DSUB} + {PQ_DSUB}) AS sv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+),
+cents AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < {PQ_K}
+),
+dists AS (
+  SELECT s.vec_id, s.m, c.cid,
+         ROUND({l2sq_expr('s.sv', 'c.cv', 'duck')}, 8) AS d
+  FROM subs s JOIN cents c USING (m)
+),
+codes AS (
+  SELECT vec_id, m, cid AS code
+  FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, m ORDER BY d, cid
+           ) AS rk
+    FROM dists
+  ) WHERE rk = 1
+)"""
+
+PQ_QUANTIZE_SQL = f"""
+WITH {_PQ_SUBS_SQL}
+SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY m) AS codes
+FROM codes
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("embedding", m * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return e.select(
+        "vec_id", F.explode(sub_structs).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code): nearest per-subspace centroid ids."""
+    subs = _pq_subs(spark, sf_dir)
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d = F.round(F.expr(l2sq_expr("sv", "cv", "spark")), 8)
+    wk = W.partitionBy("vec_id", "m").orderBy("d", "cid")
+    return (
+        subs.join(F.broadcast(cents), "m")
+        .select("vec_id", "m", "cid", d.alias("d"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+
+
+@register("pq_quantize", PQ_QUANTIZE_SQL)
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = _pq_codes(spark, sf_dir)
+    return (
+        codes.select(
+            "vec_id",
+            F.struct("m", F.col("code").cast("bigint").alias("c")).alias("mc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(mc)), s -> s.c)")
+            .alias("codes")
+        )
+        .orderBy("vec_id")
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH {_PQ_SUBS_SQL},
+qtab AS (
+  SELECT s.vec_id AS query_id, s.m, c.cid,
+         ROUND({l2sq_expr('s.sv', 'c.cv', 'duck')}, 8) AS d
+  FROM subs s JOIN cents c USING (m)
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT q.query_id, k.vec_id AS candidate_id,
+         CAST(SUM(CAST(q.d AS DECIMAL(20,8))) AS DOUBLE) AS dist
+  FROM codes k
+  JOIN qtab q ON q.m = k.m AND q.cid = k.code
+  WHERE k.vec_id >= {N_QUERIES}
+  GROUP BY q.query_id, k.vec_id
+)
+SELECT query_id, candidate_id, ROUND(dist, 6) AS adc_dist,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY dist, candidate_id
+       ) AS BIGINT) AS rk
+FROM adc
+QUALIFY rk <= {PQ_TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("ann_pq_topk", ANN_PQ_SQL)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subs = _pq_subs(spark, sf_dir)
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d = F.round(F.expr(l2sq_expr("sv", "cv", "spark")), 8)
+    qtab = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            d.alias("d"),
+        )
+    )
+    codes = _pq_codes(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+        .agg(
+            F.sum(F.col("d").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("dist")
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy("dist", "candidate_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round("dist", 6).alias("adc_dist"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )

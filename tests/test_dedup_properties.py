@@ -659,3 +659,54 @@ def test_gated_minhash_equals_plain_below_cap(spark, planted):
         tuple(r) for r in minhash_lsh_pairs_gated(df, cap=10_000).collect()
     }
     assert plain == gated
+
+
+def test_pq_codes_bounded_and_adc_recall(spark):
+    """PQ codes stay in [0, PQ_K); ADC top-10 recall vs exact-L2
+    top-10 clears a floor (untrained seed centroids trade recall for
+    a 32x memory cut; the floor pins the implementation, a trained
+    codebook or ADC+rescore raises it)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from kinesis_to_firehose_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_TOP_K,
+        ann_pq_topk,
+        l2sq_expr,
+        pq_quantize,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    codes = pq_quantize(spark, sf).collect()
+    for r in codes:
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])
+
+    e = load(spark, "embeddings", sf).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("ce")
+    )
+    wk = W.partitionBy("query_id").orderBy("dist", "candidate_id")
+    exact = (
+        c.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.expr(l2sq_expr("qe", "ce", "spark")).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PQ_TOP_K)
+    )
+    ex = {(r["query_id"], r["candidate_id"]) for r in exact.collect()}
+    pq = {
+        (r["query_id"], r["candidate_id"])
+        for r in ann_pq_topk(spark, sf).collect()
+    }
+    assert len(ex & pq) / len(ex) >= 0.25
