@@ -362,9 +362,10 @@ ORDER BY user_id, session_id
 """
 
 
-@register("sessionize", SESSIONIZE_SQL)
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, "events", sf_dir)
+def _session_ids(e: DataFrame) -> DataFrame:
+    """events + a per-user `session_id` column (6h-gap rule): the ONE
+    Spark-side session derivation, shared by sessionize and
+    session_paths so a gap-rule change can't desynchronize them."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
@@ -372,10 +373,15 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("ts").cast("double") - prev_ts.cast("double")) > SESSION_GAP_S),
         F.lit(1),
     ).otherwise(F.lit(0))
-    sessions = e.withColumn("new_session", new_session).withColumn(
+    return e.withColumn("new_session", new_session).withColumn(
         "session_id",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+
+
+@register("sessionize", SESSIONIZE_SQL)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = _session_ids(load(spark, "events", sf_dir))
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
@@ -3505,18 +3511,7 @@ ORDER BY rk
 
 @register("session_paths", SESSION_PATHS_SQL)
 def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, "events", sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull()
-        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > SESSION_GAP_S),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sessions = e.withColumn("new_session", new_session).withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    sessions = _session_ids(load(spark, "events", sf_dir))
     ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
     heads = (
         sessions.select(

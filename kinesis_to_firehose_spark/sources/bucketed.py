@@ -458,6 +458,9 @@ def write_snapshot(
     buckets[str(version)] = n_key_files
     new_meta = {
         "key": key,
+        # recorded so empty reads (e.g. an empty snapshot_diff) can
+        # reconstruct the key's exact type without probing a footer
+        "key_type": snapshot.schema[key].dataType.simpleString(),
         "n_key_files": n_key_files,
         "version": version,
         "layout": layout,
@@ -844,6 +847,27 @@ def snapshot_diff(
         # empty diff must still carry the store's REAL key type (the
         # key column is whatever write_snapshot was given, not
         # necessarily a bigint) so unions across version pairs line up
+        from pyspark.sql.types import (
+            StringType,
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        if meta.get("key_type"):
+            # recorded at write time: no probe needed, works even for
+            # a store whose committed version holds zero part files
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(
+                            key, _parse_datatype_string(meta["key_type"])
+                        ),
+                        StructField("change", StringType()),
+                    ]
+                ),
+            )
         if meta.get("layout") == "manifest":
             rels = [
                 r

@@ -210,10 +210,33 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
             out[shard] = [line, byte]
         return out
 
+    def _coerce(self, shard: str, off) -> tuple[int, int]:
+        """Accept both offset formats: [line, byte] (current) and a
+        bare line count (pre-byte-offset checkpoints) — an upgraded
+        reader must still resume a checkpoint the old one wrote. The
+        legacy form pays one bounded scan to recover the byte
+        position of that line."""
+        if isinstance(off, (list, tuple)):
+            return int(off[0]), int(off[1])
+        line = int(off)
+        byte = 0
+        fp = os.path.join(self.path, f"{shard}.jsonl")
+        if line > 0 and os.path.exists(fp):
+            with open(fp, "rb") as f:
+                for _ in range(line):
+                    raw = f.readline()
+                    if not raw:
+                        break
+                    byte += len(raw)
+        return line, byte
+
     def partitions(self, start: dict, end: dict) -> list[ShardSlice]:
         out = []
-        for shard, (end_line, end_byte) in end.items():
-            start_line, start_byte = start.get(shard, [0, 0])
+        for shard, end_off in end.items():
+            end_line, end_byte = self._coerce(shard, end_off)
+            start_line, start_byte = self._coerce(
+                shard, start.get(shard, [0, 0])
+            )
             if end_line > start_line:
                 out.append(
                     ShardSlice(

@@ -219,3 +219,24 @@ def test_consumer_first_stream_idles_until_shards_appear(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_stream_reader_accepts_legacy_int_offsets(spark, tmp_path):
+    """Pre-byte-offset checkpoints stored bare line counts; the
+    upgraded reader must resume them (coercing the legacy form to a
+    [line, byte] slice) rather than failing on unpack."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        KinesisReplayStreamReader,
+    )
+
+    d = str(tmp_path / "stream")
+    write_replay_slices(d, [(f"k", f"p{i}") for i in range(10)], n_shards=1)
+    r = KinesisReplayStreamReader({"path": d})
+    latest = r.latestOffset()
+    parts = r.partitions({"shard-0": 4}, latest)  # legacy int start
+    rows = [row for p in parts for row in r.read(p)]
+    assert sorted(row[1] for row in rows) == list(range(4, 10))
+    # legacy int END offsets (an uncommitted replayed batch) coerce too
+    parts = r.partitions({"shard-0": 0}, {"shard-0": 7})
+    rows = [row for p in parts for row in r.read(p)]
+    assert sorted(row[1] for row in rows) == list(range(0, 7))

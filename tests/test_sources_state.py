@@ -1075,3 +1075,20 @@ def test_snapshot_diff_is_partition_skipping_and_exact(spark, tmp_path, layout):
     v3 = B._read_meta(path)["version"]
     got3 = {r["user_id"]: r["change"] for r in B.snapshot_diff(spark, path, v2, v3).collect()}
     assert got3 == {5: "deleted"}
+
+
+def test_snapshot_diff_empty_result_keeps_key_type(spark, tmp_path):
+    """An empty diff (identical versions) must carry the store's real
+    key type — here a STRING key — from the recorded meta, so unions
+    with non-empty diffs line up."""
+    import kinesis_to_firehose_spark.sources.bucketed as B
+
+    path = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(8)], "sku string, value double"
+    )
+    B.write_snapshot(spark, df, path, key="sku", n_key_files=2, keep_versions=2)
+    v1 = B._read_meta(path)["version"]
+    out = B.snapshot_diff(spark, path, v1, v1)
+    assert out.count() == 0
+    assert dict(out.dtypes)["sku"] == "string"
