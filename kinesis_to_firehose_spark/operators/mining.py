@@ -1,0 +1,397 @@
+"""Pattern-mining and statistical-modeling operators.
+
+Four ops beyond the reference surface (graveyard/kinesis-to-firehose
+has no analytics at all — these extend the 100 TB mandate's
+training-data/analytics breadth):
+
+- assoc_rules: market-basket association rules (support / confidence /
+  lift) over per-user-day event baskets.
+- trend_ols: per-nation ordinary-least-squares trend of monthly order
+  revenue, from EXACT decimal sufficient statistics (the column_corr
+  trick) so the result is order-independent and parity-stable.
+- char_entropy: per-document character-distribution entropy over a
+  fixed alphabet — a gibberish/compressibility quality signal
+  (Gopher/C4-style), computed as a fixed scalar expression chain, no
+  aggregation over floats.
+- source_overlap: source-to-source word-bigram-shingle Jaccard overlap
+  matrix — corpus provenance auditing (which crawls duplicate each
+  other) with a join whose fan-out is bounded by #sources², never by
+  corpus size.
+
+Scale notes per op are on the op docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_to_firehose_spark.operators.dedup import TOK_EXPR, TOK_SQL
+from kinesis_to_firehose_spark.registry import register
+from kinesis_to_firehose_spark.sources.tables import load
+
+# --------------------------------------------------------------------------
+# assoc_rules — association-rule mining over event baskets.
+#
+# Basket = the DISTINCT set of event_types one user fires in one UTC
+# day. For every ordered pair (antecedent → consequent) of co-occurring
+# types: support = P(a ∧ c), confidence = P(c | a), lift =
+# P(a ∧ c) / (P(a)·P(c)).
+#
+# Scale shape: the basket table is one DISTINCT (shuffle on
+# user/day/type); the pair count self-joins ON THE BASKET KEY
+# (user_id, day), so per-basket fan-out is bounded by the event-type
+# vocabulary squared — independent of corpus size. Item counts and the
+# basket total are vocabulary-sized / scalar and broadcast into the
+# final rule projection. All ratios are exact-integer divisions
+# evaluated in one fixed scalar expression per row.
+# --------------------------------------------------------------------------
+ASSOC_SQL = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+tot AS (
+  SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)
+),
+item AS (
+  SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type
+),
+pair AS (
+  SELECT b1.event_type AS antecedent, b2.event_type AS consequent,
+         COUNT(*) AS n_ab
+  FROM b b1 JOIN b b2 USING (user_id, day)
+  WHERE b1.event_type <> b2.event_type
+  GROUP BY b1.event_type, b2.event_type
+)
+SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(n_ab * 1.0 / tot.n_baskets, 6) AS support,
+       ROUND(n_ab * 1.0 / ia.n, 6) AS confidence,
+       ROUND(n_ab * 1.0 * tot.n_baskets / (ia.n * ic.n), 6) AS lift
+FROM pair
+JOIN item ia ON ia.event_type = pair.antecedent
+JOIN item ic ON ic.event_type = pair.consequent
+CROSS JOIN tot
+ORDER BY antecedent, consequent
+"""
+
+
+@register("assoc_rules", ASSOC_SQL)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    b = e.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    tot = b.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    item = b.groupBy("event_type").agg(F.count("*").alias("n"))
+    b1 = b.alias("b1")
+    b2 = b.alias("b2")
+    pair = (
+        b1.join(b2, ["user_id", "day"])
+        .filter(F.col("b1.event_type") != F.col("b2.event_type"))
+        .groupBy(
+            F.col("b1.event_type").alias("antecedent"),
+            F.col("b2.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("antecedent"), F.col("n").alias("n_a")
+    )
+    ic = item.select(
+        F.col("event_type").alias("consequent"), F.col("n").alias("n_c")
+    )
+    return (
+        pair.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .join(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab")
+                * 1.0
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# --------------------------------------------------------------------------
+# trend_ols — per-nation OLS trend (slope / intercept / R²) of monthly
+# order revenue over the month index x = (year-1992)*12 + (month-1).
+#
+# Determinism: double sums are partial-aggregation-order dependent, so
+# both levels of aggregation run on EXACT types — monthly revenue is a
+# DECIMAL(18,2) sum, and the five sufficient statistics (Σx, Σy, Σxy,
+# Σx², Σy²) are integer/decimal sums over the ≤ ~100 monthly points
+# per nation. Slope/intercept/R² are then one fixed scalar IEEE
+# expression from the exact stats — identical in Spark and DuckDB at
+# any parallelism (same approach as column_corr / q9; see
+# analytics.py:1802).
+#
+# Scale shape: orders⋈customer shuffles once on custkey (both sides
+# scale, no broadcast hint — AQE decides); nation is a 25-row
+# broadcast; the monthly rollup collapses to (#nations × #months) rows
+# before the per-nation regression aggregate, so the second pass is
+# over a vanishing row count.
+# --------------------------------------------------------------------------
+_X_SQL = "(CAST(year(o_orderdate) AS BIGINT) - 1992) * 12 + month(o_orderdate) - 1"
+
+TREND_SQL = f"""
+WITH monthly AS (
+  SELECT n_name AS nation,
+         {_X_SQL} AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, {_X_SQL}
+),
+stats AS (
+  SELECT nation,
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(CAST(x * x AS BIGINT)) AS sxx,
+         SUM(y) AS sy,
+         SUM(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(38,2))) AS sxy,
+         SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+  FROM monthly GROUP BY nation
+)
+SELECT nation, CAST(n AS BIGINT) AS n_months,
+       ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)
+         AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+             / n, 4) AS intercept,
+       ROUND(((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+              * (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r2
+FROM stats
+ORDER BY nation
+"""
+
+
+@register("trend_ols", TREND_SQL)
+def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = F.broadcast(load(spark, "nation", sf_dir))
+    x = (
+        (F.year("o_orderdate").cast("bigint") - F.lit(1992)) * 12
+        + F.month("o_orderdate")
+        - 1
+    )
+    monthly = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    stats = monthly.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("bigint")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("x").cast("decimal(10,0)") * F.col("y")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov_n = F.col("n") * sxyd - F.col("sx") * syd
+    var_x = F.col("n") * sxxd - sxd * F.col("sx")
+    var_y = F.col("n") * syyd - syd * F.col("sy")
+    slope = cov_n / var_x
+    return stats.select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(slope, 4).alias("slope"),
+        F.round((syd - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# char_entropy — per-document character-distribution Shannon entropy
+# over the fixed alphabet [a-z ] plus an "other" bucket. Low entropy
+# flags repetitive/gibberish text (the compressibility proxy used by
+# C4/Gopher-style cleaners alongside the ratio rules in text_quality).
+#
+# Determinism: per-char counts come from the exact
+# len(text) - len(replace(text, ch)) trick; the entropy is then a
+# FIXED left-associated chain of 28 scalar -(p·log2 p) terms — no
+# float aggregation at all, so no partial-agg order to disagree on.
+# One narrow projection over the scan; zero shuffles, zero explodes
+# (contrast: an explode-chars + groupBy approach shuffles one row per
+# CHARACTER — at 100 TB that's the whole corpus through the exchange).
+# --------------------------------------------------------------------------
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _entropy_sql() -> str:
+    cnt = [
+        f"(len(t) - len(replace(t, '{ch}', '')))" for ch in _ALPHABET
+    ]
+    other = f"(len(t) - ({' + '.join(cnt)}))"
+    terms = [
+        f"CASE WHEN {c} > 0 THEN -({c} * 1.0 / len(t)) * log2({c} * 1.0 / len(t)) ELSE 0.0 END"
+        for c in [*cnt, other]
+    ]
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    return f"""
+WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+       ROUND({chain}, 4) AS entropy
+FROM norm WHERE len(t) > 0
+ORDER BY doc_id
+"""
+
+
+@register("char_entropy", _entropy_sql())
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    t = F.lower(F.col("text"))
+    n = F.length(t)
+    cnts = [n - F.length(F.replace(t, F.lit(ch))) for ch in _ALPHABET]
+    other = n - sum(cnts[1:], cnts[0])
+    chain = None
+    for c in [*cnts, other]:
+        p = c * 1.0 / n
+        term = F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        chain = term if chain is None else chain + term
+    return (
+        d.filter(n > 0)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_chars"),
+            F.round(chain, 4).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# source_overlap — source×source word-bigram-shingle Jaccard matrix:
+# which document sources (crawls/feeds) duplicate each other's
+# content. The provenance-level complement of the per-doc dedup ops.
+#
+# Scale shape: the key move is collapsing to DISTINCT (source, shingle)
+# BEFORE the self-join — per-shingle join fan-out is then bounded by
+# #sources² (here 20² = 400), independent of how many documents share
+# the shingle, so there is no hot-shingle blow-up (contrast
+# dedup_ngram_jaccard, which needs a DF cap because its key is the
+# doc). One explode + distinct shuffle, one equi-join on shingle, and
+# a #sources²-row aggregate; per-source set sizes broadcast into the
+# final Jaccard projection.
+# --------------------------------------------------------------------------
+SOURCE_OVERLAP_SQL = f"""
+WITH toks_t AS (
+  SELECT source, {TOK_SQL} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+  FROM toks_t
+),
+size_s AS (
+  SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+       ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN size_s sa ON sa.source = inter.source_a
+JOIN size_s sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("source_overlap", SOURCE_OVERLAP_SQL)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, "documents", sf_dir)
+    # bigram shingles built per document (lead within doc), then
+    # collapsed to distinct per source
+    toks = d.select(
+        "source", "doc_id", F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.select(
+            "source",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias(
+                "shingle"
+            ),
+            F.lead("tok", 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select("source", "shingle")
+        .distinct()
+    )
+    size_s = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = size_s.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    sb = size_s.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+            F.round(F.col("n_inter") * 1.0 / union, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -50,6 +50,7 @@ def all_ops() -> dict[str, Op]:
         curation,
         dedup,
         logpipe,
+        mining,
         multimodal,
         similarity,
         skew,
