@@ -1444,3 +1444,222 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# mmr_rerank — Maximal Marginal Relevance diverse re-ranking: take the
+# brute-force top-MMR_C candidates per query and greedily select MMR_K
+# of them maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the
+# standard redundancy-killer between retrieval and a context window
+# (Carbonell & Goldstein '98). No Spark built-in exists; the greedy
+# loop is a FIXED-K sequence, so both engines run the same K unrolled
+# argmax stages (the pagerank trick) — fully declarative, no Python
+# kernel, no recursion.
+#
+# Determinism: rel and pair sims are fold-order-exact cosines rounded
+# to 6dp at creation; each stage score is one fixed scalar expression
+# (CAST(λ) doubles) re-rounded to 6dp, ties → lower candidate_id, so
+# both engines walk identical selection trajectories.
+#
+# Scale shape: the candidate pool is top-C per query (C=20) — every
+# later stage joins tables bounded by #queries·C rows keyed on
+# query_id, and the pair-sim table by #queries·C²; corpus size only
+# enters through the initial (already-proven) top-C scan. cand/ps are
+# localCheckpoint-ed so the K stages don't replay the corpus scan K
+# times.
+# --------------------------------------------------------------------------
+MMR_C = 20
+MMR_K = 5
+# λ/(1-λ) as exact decimals: the stage score is computed entirely in
+# decimal (double rel/sim re-quantized to DECIMAL(8,6), which both
+# engines convert identically) and rounded as a decimal — half-away
+# ties agree across engines, where double ROUND half-boundaries do
+# not (observed: one 6dp boundary hit flipped a step-1 score).
+_LAM = "CAST(0.7 AS DECIMAL(2,1))"
+_OML = "CAST(0.3 AS DECIMAL(2,1))"  # 1 - λ
+_SC1_SQL = f"CAST(ROUND({_LAM} * CAST(rel AS DECIMAL(8,6)), 6) AS DOUBLE)"
+_SCN_SQL = (
+    f"CAST(ROUND({_LAM} * CAST(rel AS DECIMAL(8,6)) - "
+    f"{_OML} * CAST(maxsim AS DECIMAL(8,6)), 6) AS DOUBLE)"
+)
+_MMR_PAIR_SQL = f"({dot_expr('na.embedding', 'nb.embedding', 'duck')} / (na.nrm * nb.nrm))"
+
+
+def _mmr_sql() -> str:
+    parts = [
+        f"""cand0 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         ROUND({_COS_SQL.replace('q_emb', 'q.embedding').replace('c_emb', 'c.embedding').replace('q_nrm', 'q.nrm').replace('c_nrm', 'c.nrm')}, 6) AS rel
+  FROM normed q
+  JOIN normed c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)""",
+        f"""cand AS MATERIALIZED (
+  SELECT query_id, cid, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+    FROM cand0)
+  WHERE rk <= {MMR_C}
+)""",
+        f"""ps AS MATERIALIZED (
+  SELECT x.query_id, x.cid AS a_id, y.cid AS b_id,
+         ROUND({_MMR_PAIR_SQL}, 6) AS sim
+  FROM cand x
+  JOIN cand y ON x.query_id = y.query_id AND x.cid <> y.cid
+  JOIN normed na ON na.vec_id = x.cid
+  JOIN normed nb ON nb.vec_id = y.cid
+)""",
+        f"""s1 AS (
+  SELECT query_id, cid, rel, {_SC1_SQL} AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+    FROM cand)
+  WHERE rk = 1
+)""",
+        "sel1 AS (SELECT query_id, cid FROM s1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        parts.append(f"""m{i} AS (
+  SELECT c.query_id, c.cid, c.rel, MAX(p.sim) AS maxsim
+  FROM cand c
+  JOIN ps p ON p.query_id = c.query_id AND p.a_id = c.cid
+  JOIN sel{p} s ON s.query_id = p.query_id AND s.cid = p.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{p} d
+                    WHERE d.query_id = c.query_id AND d.cid = c.cid)
+  GROUP BY c.query_id, c.cid, c.rel
+)""")
+        parts.append(f"""s{i} AS (
+  SELECT query_id, cid, rel, score FROM (
+    SELECT query_id, cid, rel,
+           {_SCN_SQL} AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {_SCN_SQL} DESC, cid
+           ) AS rn
+    FROM m{i})
+  WHERE rn = 1
+)""")
+        parts.append(
+            f"sel{i} AS (SELECT * FROM sel{p} "
+            f"UNION ALL SELECT query_id, cid FROM s{i})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, cid AS candidate_id, rel AS relevance, score AS mmr_score, "
+        f"CAST({i} AS BIGINT) AS step FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"{NORMED_CTE},\n" + ",\n".join(parts) + f"""
+SELECT * FROM ({union})
+ORDER BY query_id, step
+"""
+
+
+@register("mmr_rerank", _mmr_sql())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam = F.lit(0.7).cast("decimal(2,1)")
+    oml = F.lit(0.3).cast("decimal(2,1)")
+    n = normed_embeddings(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = n.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "cid", F.round(F.expr(_COS), 6).alias("rel")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("rel"), "cid")
+    cand = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MMR_C)
+        .select("query_id", "cid", "rel")
+        .localCheckpoint(eager=True)
+    )
+    na = n.select(
+        F.col("vec_id").alias("a_vid"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    nb = n.select(
+        F.col("vec_id").alias("b_vid"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    x = cand.select("query_id", F.col("cid").alias("a_id"))
+    y = cand.select("query_id", F.col("cid").alias("b_id"))
+    pair_cos = f"({dot_expr('a_emb', 'b_emb', 'spark')} / (a_nrm * b_nrm))"
+    ps = (
+        x.join(y, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .join(na, F.col("a_vid") == F.col("a_id"))
+        .join(nb, F.col("b_vid") == F.col("b_id"))
+        .select(
+            "query_id", "a_id", "b_id",
+            F.round(F.expr(pair_cos), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s1 = (
+        cand.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id", "cid", "rel",
+            F.round(lam * F.col("rel").cast("decimal(8,6)"), 6)
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    sel = s1.select("query_id", "cid")
+    steps = [s1.withColumn("step", F.lit(1).cast("bigint"))]
+    psr = ps.select(
+        F.col("query_id").alias("p_qid"), "a_id", "b_id", "sim"
+    )
+    for i in range(2, MMR_K + 1):
+        m = (
+            cand.join(sel, ["query_id", "cid"], "left_anti")
+            .join(
+                psr,
+                (F.col("query_id") == F.col("p_qid"))
+                & (F.col("cid") == F.col("a_id")),
+            )
+            .join(
+                sel.select(
+                    F.col("query_id").alias("s_qid"),
+                    F.col("cid").alias("s_cid"),
+                ),
+                (F.col("query_id") == F.col("s_qid"))
+                & (F.col("b_id") == F.col("s_cid")),
+            )
+            .groupBy("query_id", "cid", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        score = F.round(
+            lam * F.col("rel").cast("decimal(8,6)")
+            - oml * F.col("maxsim").cast("decimal(8,6)"),
+            6,
+        ).cast("double")
+        ws = W.partitionBy("query_id").orderBy(F.desc("score"), "cid")
+        si = (
+            m.withColumn("score", score)
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cid", "rel", "score")
+        )
+        steps.append(si.withColumn("step", F.lit(i).cast("bigint")))
+        sel = sel.unionAll(si.select("query_id", "cid")).localCheckpoint(
+            eager=True
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.select(
+        "query_id",
+        F.col("cid").alias("candidate_id"),
+        F.col("rel").alias("relevance"),
+        F.col("score").alias("mmr_score"),
+        "step",
+    ).orderBy("query_id", "step")
