@@ -395,3 +395,125 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# bootstrap_ci — Poisson-bootstrap confidence interval for mean order
+# value in 1995: each row enters replicate b with a DETERMINISTIC
+# Poisson(1)-distributed weight drawn from md5(orderkey, b) through a
+# fixed inverse-CDF CASE chain (no RNG; the standard
+# bootstrap-at-scale trick — resampling n rows with replacement ≈
+# per-row independent Poisson(1) weights, so no shuffle of the data,
+# just a ×B narrow flatmap feeding one partial-aggregating groupBy
+# whose shuffle is B rows of partial sums, not B copies of the data).
+#
+# Determinism: weights are integers, weighted sums run in
+# DECIMAL(18,2), each replicate mean is one exact-input double
+# division, and the CI bounds are ROW_NUMBER picks over those exact
+# means — no float aggregation anywhere.
+# --------------------------------------------------------------------------
+N_BOOT = 32
+# Cumulative Poisson(1) CDF: P(X<=k) for k=0..4; weights cap at 5.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _pois_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+_U_SQL = (
+    "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || "
+    "CAST(b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+)
+_U_SPARK = (
+    "conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':', "
+    "CAST(b AS STRING))), 1, 8), 16, 10) / 4294967296.0"
+)
+
+BOOTSTRAP_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders WHERE year(o_orderdate) = 1995
+),
+reps AS (
+  SELECT b, o_orderkey, y, {_pois_w_sql(_U_SQL)} AS w
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, {N_BOOT - 1})) AS b)
+),
+boot AS (
+  SELECT b,
+         CAST(SUM(w * y) AS DOUBLE) / SUM(w) AS mean_b
+  FROM reps GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM boot
+),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu
+  FROM base
+)
+SELECT n_rows,
+       CAST({N_BOOT} AS BIGINT) AS n_boot,
+       ROUND(mu, 4) AS point_mean,
+       ROUND((SELECT mean_b FROM ranked WHERE rn = 2), 4) AS ci_lo,
+       ROUND((SELECT mean_b FROM ranked WHERE rn = {N_BOOT - 1}), 4) AS ci_hi
+FROM point
+"""
+
+
+@register("bootstrap_ci", BOOTSTRAP_SQL)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, "orders", sf_dir)
+    base = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("y")
+    )
+    reps = base.select(
+        "o_orderkey",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("b"),
+    )
+    u = F.expr(_U_SPARK)
+    w = F.lit(5)
+    for k, c in reversed(list(enumerate(_POIS_CDF))):
+        w = F.when(u < F.lit(c), F.lit(k)).otherwise(w)
+    boot = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("y")).cast("double")
+                / F.sum("w")
+            ).alias("mean_b")
+        )
+    )
+    ranked = boot.withColumn(
+        "rn", F.row_number().over(W.orderBy("mean_b", "b"))
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.round("mean_b", 4).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rn") == N_BOOT - 1).select(
+        F.round("mean_b", 4).alias("ci_hi")
+    )
+    point = base.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum("y").cast("double") / F.count("*"), 4
+        ).alias("point_mean"),
+    ).withColumn("n_boot", F.lit(N_BOOT).cast("bigint"))
+    return (
+        point.join(F.broadcast(lo))
+        .join(F.broadcast(hi))
+        .select("n_rows", "n_boot", "point_mean", "ci_lo", "ci_hi")
+    )
