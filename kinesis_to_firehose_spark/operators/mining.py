@@ -517,3 +517,165 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(hi))
         .select("n_rows", "n_boot", "point_mean", "ci_lo", "ci_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# weighted_quantile — EXACT weighted quantiles (p50/p90 of extended
+# price weighted by quantity, per return flag). The importance-weighted
+# analogue of percentile_by_group — the primitive behind weighted data
+# mixes ("what price level covers half the shipped VOLUME").
+#
+# Exactness: cumulative weights ride a RANGE window (peers collapse
+# together, so within-tie row order can't matter), weights/values stay
+# DECIMAL end-to-end, and each quantile is MIN(v | cumw ≥ p·totw) with
+# p·totw an exact decimal product. One shuffle on the group key; the
+# per-group totals broadcast back.
+# --------------------------------------------------------------------------
+WQ_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+         CAST(l_quantity AS DECIMAL(12,2)) AS w
+  FROM lineitem
+),
+tot AS (SELECT grp, SUM(w) AS tw FROM base GROUP BY grp),
+cum AS (
+  SELECT grp, v,
+         SUM(w) OVER (PARTITION BY grp ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM base
+)
+SELECT c.grp,
+       CAST(t.tw AS DOUBLE) AS total_weight,
+       CAST(MIN(CASE WHEN c.cw >= CAST(0.5 AS DECIMAL(2,1)) * t.tw
+                     THEN c.v END) AS DOUBLE) AS wq50,
+       CAST(MIN(CASE WHEN c.cw >= CAST(0.9 AS DECIMAL(2,1)) * t.tw
+                     THEN c.v END) AS DOUBLE) AS wq90
+FROM cum c JOIN tot t ON t.grp = c.grp
+GROUP BY c.grp, t.tw
+ORDER BY c.grp
+"""
+
+
+@register("weighted_quantile", WQ_SQL)
+def weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, "lineitem", sf_dir)
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("w"),
+    )
+    tot = base.groupBy("grp").agg(F.sum("w").alias("tw"))
+    wr = (
+        W.partitionBy("grp")
+        .orderBy("v")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = base.withColumn("cw", F.sum("w").over(wr))
+    half = F.lit(0.5).cast("decimal(2,1)")
+    nine = F.lit(0.9).cast("decimal(2,1)")
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "tw")
+        .agg(
+            F.min(
+                F.when(F.col("cw") >= half * F.col("tw"), F.col("v"))
+            ).cast("double").alias("wq50"),
+            F.min(
+                F.when(F.col("cw") >= nine * F.col("tw"), F.col("v"))
+            ).cast("double").alias("wq90"),
+        )
+        .select(
+            "grp",
+            F.col("tw").cast("double").alias("total_weight"),
+            "wq50",
+            "wq90",
+        )
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# quantile_normalize — cross-source score calibration: map each doc's
+# WITHIN-SOURCE rank of a quality score (n_chars here) onto the GLOBAL
+# score distribution, so sources with skewed score scales become
+# comparable before mix-weighting (the classic quantile-normalization
+# step from expression analysis, applied to corpus curation).
+#
+# Determinism via pure integer arithmetic: within-source rank r of
+# n_src rows maps to global position 1 + ((r-1)·(N-1)) DIV (n_src-1)
+# — no float percentile anywhere — then ONE equi-join on the global
+# position. Two rank shuffles (per-source, global) + one equi-join;
+# nothing quadratic, no range join.
+# --------------------------------------------------------------------------
+QNORM_SQL = """
+WITH ranked_src AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+),
+ranked_glob AS (
+  SELECT n_chars AS g_val,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pos
+  FROM documents
+),
+n_tot AS (SELECT COUNT(*) AS n FROM documents),
+mapped AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN n_src = 1 THEN 1
+              ELSE 1 + CAST(((r - 1) * (n.n - 1)) // (n_src - 1) AS BIGINT)
+         END AS pos
+  FROM ranked_src CROSS JOIN n_tot n
+)
+SELECT m.doc_id, m.source,
+       CAST(m.n_chars AS BIGINT) AS n_chars,
+       CAST(g.g_val AS BIGINT) AS norm_chars
+FROM mapped m JOIN ranked_glob g USING (pos)
+ORDER BY m.doc_id
+"""
+
+
+@register("quantile_normalize", QNORM_SQL)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, "documents", sf_dir)
+    ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked_src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(W.partitionBy("source")).alias("n_src"),
+    )
+    wg = W.orderBy("n_chars", "doc_id")
+    ranked_glob = d.select(
+        F.col("n_chars").alias("g_val"),
+        F.row_number().over(wg).cast("bigint").alias("pos"),
+    )
+    n_tot = d.agg(F.count("*").alias("n"))
+    # integer division matches SQL's (a / b) with BIGINT cast: both
+    # engines truncate the exact integer quotient
+    pos = F.when(F.col("n_src") == 1, F.lit(1).cast("bigint")).otherwise(
+        1
+        + F.floor(
+            ((F.col("r") - 1) * (F.col("n") - 1)) / (F.col("n_src") - 1)
+        ).cast("bigint")
+    )
+    mapped = ranked_src.join(F.broadcast(n_tot)).select(
+        "doc_id", "source", "n_chars", pos.alias("pos")
+    )
+    return (
+        mapped.join(ranked_glob, "pos")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("g_val").cast("bigint").alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -179,6 +179,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "rfm_segments",          # 1-row ref-date + quintile-edge scalars
         "collocations_pmi",      # 1-row corpus token count for PMI
         "fk_integrity_audit",    # per-edge 1-row total × orphan summaries
+        "assoc_rules",           # 1-row basket-total scalar
+        "bootstrap_ci",          # 1-row point/ci_lo/ci_hi scalar crosses
     }
     STREAMING = {
         "firehose_sink",
