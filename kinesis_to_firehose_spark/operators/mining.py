@@ -679,3 +679,82 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# skyline_pareto — 2-D skyline (Pareto front) query: parts not
+# DOMINATED on (retail price ↓, size ↑) — no other part is both
+# cheaper and larger. The classic multi-criteria shortlist operator
+# (Börzsönyi et al., "The Skyline Operator", ICDE '01).
+#
+# Spark-first shape: a point survives iff its price is strictly below
+# the MINIMUM price of all strictly-larger sizes. That threshold
+# depends ONLY on the point's size, so the corpus first collapses to
+# per-size minima (one partial-aggregating groupBy on the size DOMAIN
+# — ≤50 rows regardless of corpus size), the cummin-from-the-large-end
+# window runs over that tiny domain table, and the thresholds
+# broadcast back as an equi-join. NOT the naive O(n²) dominance
+# self-join, and no global-sort window over the data (a bare
+# unpartitioned window would drag the whole corpus to one task).
+# Exact integers/decimals only, so no float ordering hazards.
+#
+# Dominance here: B dominates A iff B.size > A.size AND
+# B.price < A.price (strict on both; equal-size/equal-price points
+# coexist on the front).
+# --------------------------------------------------------------------------
+SKYLINE_SQL = """
+WITH pts AS (
+  SELECT p_partkey, p_size,
+         CAST(p_retailprice AS DECIMAL(12,2)) AS price
+  FROM part
+),
+scanned AS (
+  SELECT p_partkey, p_size, price,
+         MIN(price) OVER (ORDER BY p_size DESC
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_larger
+  FROM pts
+)
+SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+       CAST(price AS DOUBLE) AS price
+FROM scanned
+WHERE best_larger IS NULL OR price < best_larger
+ORDER BY p_size DESC, p_partkey
+"""
+
+
+@register("skyline_pareto", SKYLINE_SQL)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    p = load(spark, "part", sf_dir)
+    pts = p.select(
+        "p_partkey",
+        "p_size",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+    )
+    # collapse to the size DOMAIN before any window: ≤50 rows
+    per_size = pts.groupBy("p_size").agg(F.min("price").alias("mp"))
+    # RANGE .. 1 PRECEDING over size DESC = min price among all
+    # STRICTLY larger sizes (peers with equal size excluded); runs
+    # over the domain table only
+    wr = (
+        W.orderBy(F.col("p_size").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    thresholds = per_size.select(
+        "p_size", F.min("mp").over(wr).alias("best_larger")
+    )
+    scanned = pts.join(F.broadcast(thresholds), "p_size")
+    return (
+        scanned.filter(
+            F.col("best_larger").isNull()
+            | (F.col("price") < F.col("best_larger"))
+        )
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            F.col("price").cast("double").alias("price"),
+        )
+        .orderBy(F.col("p_size").desc(), "p_partkey")
+    )
