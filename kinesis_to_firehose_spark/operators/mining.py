@@ -1,7 +1,7 @@
 """Pattern-mining and statistical-modeling operators.
 
-Four ops beyond the reference surface (graveyard/kinesis-to-firehose
-has no analytics at all — these extend the 100 TB mandate's
+Beyond the reference surface (graveyard/kinesis-to-firehose has no
+analytics at all — these extend the 100 TB mandate's
 training-data/analytics breadth):
 
 - assoc_rules: market-basket association rules (support / confidence /
@@ -17,6 +17,14 @@ training-data/analytics breadth):
   matrix — corpus provenance auditing (which crawls duplicate each
   other) with a join whose fan-out is bounded by #sources², never by
   corpus size.
+- bootstrap_ci: deterministic Poisson-bootstrap confidence interval
+  (md5-driven integer weights; no data resampling shuffle).
+- weighted_quantile: exact weighted quantiles per group via
+  RANGE-window cumulative decimal weights.
+- quantile_normalize: cross-source score calibration with pure-integer
+  position arithmetic and one equi-join.
+- skyline_pareto: 2-D skyline via domain collapse + broadcast
+  thresholds (no dominance self-join, no global-sort window).
 
 Scale notes per op are on the op docstrings.
 """

@@ -1663,3 +1663,58 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("mmr_score"),
         "step",
     ).orderBy("query_id", "step")
+
+
+# --------------------------------------------------------------------------
+# mutual_knn — reciprocal-nearest-neighbor filter over the knn graph:
+# keep only edges where BOTH endpoints rank each other in their top-K
+# (a ∈ knn(b) ∧ b ∈ knn(a)). Mutual-kNN is the standard
+# high-precision matching primitive (translation mining, robust dedup
+# candidates, cluster seeding) — one-directional knn edges are noisy
+# near hubs; reciprocity kills hub edges.
+#
+# Shape: the knn edge list (≤ K·|V| rows) self-joins on the REVERSED
+# (src, neighbor) key — an equi-join between two edge-list-sized
+# tables, nothing touches the corpus again (the Spark side
+# localCheckpoints the knn result so the LSH band join isn't replayed
+# for the second reference). Cosine is symmetric bit-for-bit (per-dim
+# products commute inside the same fold), so one edge's score is
+# reported for the pair.
+# --------------------------------------------------------------------------
+MUTUAL_KNN_SQL = f"""
+WITH knn AS MATERIALIZED (
+{_knn_graph_sql().replace("ORDER BY src, rank", "")}
+)
+SELECT k1.src AS vec_id_1, k1.neighbor AS vec_id_2, k1.cosine,
+       k1.rank AS rank_ab, k2.rank AS rank_ba
+FROM knn k1
+JOIN knn k2 ON k2.src = k1.neighbor AND k2.neighbor = k1.src
+WHERE k1.src < k1.neighbor
+ORDER BY vec_id_1, vec_id_2
+"""
+
+
+@register("mutual_knn", MUTUAL_KNN_SQL)
+def mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = knn_graph(spark, sf_dir).localCheckpoint(eager=True)
+    k2 = knn.select(
+        F.col("src").alias("r_src"),
+        F.col("neighbor").alias("r_neighbor"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        knn.join(
+            k2,
+            (F.col("r_src") == F.col("neighbor"))
+            & (F.col("r_neighbor") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("neighbor"))
+        .select(
+            F.col("src").alias("vec_id_1"),
+            F.col("neighbor").alias("vec_id_2"),
+            "cosine",
+            F.col("rank").alias("rank_ab"),
+            "rank_ba",
+        )
+        .orderBy("vec_id_1", "vec_id_2")
+    )
