@@ -766,3 +766,106 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("p_size").desc(), "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# attribution_last_touch — marketing-style last-touch revenue
+# attribution: each purchase credits the user's MOST RECENT preceding
+# click/view within a 2-hour horizon (else 'unattributed'), rolled up
+# to (channel, n_purchases, total_value).
+#
+# Spark-first shape: NO join at all — touches and purchases ride one
+# per-user window pass (carry-forward last non-null touch via
+# last(..., ignorenulls) over an explicit ROWS frame; ts+event_id
+# ordering makes the carried value deterministic under ties), then one
+# channel rollup. The naive formulation is a per-purchase range join
+# against all preceding touches (state × horizon blow-up); the
+# carry-forward window is O(n) with a single user-key shuffle.
+# Purchase values are summed as DECIMAL so partial-agg order can't
+# perturb totals.
+# --------------------------------------------------------------------------
+ATTR_HORIZON_MIN = 120
+
+ATTR_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END
+           AS touch_type,
+         CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts,
+         CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6))
+         END AS purchase_value
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, purchase_value,
+         LAST_VALUE(touch_type IGNORE NULLS) OVER w AS lt_type,
+         LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS lt_ts
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+attributed AS (
+  SELECT CASE WHEN lt_ts IS NOT NULL
+                   AND ts - lt_ts <= INTERVAL {ATTR_HORIZON_MIN} MINUTE
+              THEN lt_type ELSE 'unattributed' END AS channel,
+         purchase_value
+  FROM carried WHERE purchase_value IS NOT NULL
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(purchase_value) AS DOUBLE) AS total_value
+FROM attributed GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("attribution_last_touch", ATTR_SQL)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, "events", sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    flagged = e.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(18,6)"),
+        ).alias("purchase_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = flagged.select(
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.last("touch_type", ignorenulls=True).over(w).alias("lt_type"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    in_horizon = F.col("lt_ts").isNotNull() & (
+        F.col("ts").cast("long") - F.col("lt_ts").cast("long")
+        <= ATTR_HORIZON_MIN * 60
+    )
+    return (
+        carried.filter(F.col("purchase_value").isNotNull())
+        .select(
+            F.when(in_horizon, F.col("lt_type"))
+            .otherwise("unattributed")
+            .alias("channel"),
+            "purchase_value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("purchase_value").cast("double").alias("total_value"),
+        )
+        .orderBy("channel")
+    )

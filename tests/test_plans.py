@@ -181,6 +181,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "fk_integrity_audit",    # per-edge 1-row total × orphan summaries
         "assoc_rules",           # 1-row basket-total scalar
         "bootstrap_ci",          # 1-row point/ci_lo/ci_hi scalar crosses
+        "quantile_normalize",    # 1-row global-count scalar
     }
     STREAMING = {
         "firehose_sink",
