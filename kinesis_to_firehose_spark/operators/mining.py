@@ -706,9 +706,10 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unpartitioned window would drag the whole corpus to one task).
 # Exact integers/decimals only, so no float ordering hazards.
 #
-# Dominance here: B dominates A iff B.size > A.size AND
-# B.price < A.price (strict on both; equal-size/equal-price points
-# coexist on the front).
+# Dominance here (standard weak Pareto dominance): B dominates A iff
+# B.size > A.size AND B.price <= A.price — strictly better on one
+# axis, no worse on the other; equal-SIZE points coexist on the
+# front.
 # --------------------------------------------------------------------------
 SKYLINE_SQL = """
 WITH pts AS (

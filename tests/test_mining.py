@@ -1,0 +1,165 @@
+"""Property tests for the mining/statistics ops (SURVEY.md §5c):
+invariants the oracle hash can't express — dominance soundness,
+monotonicity, conservation, greedy-trajectory laws."""
+
+from __future__ import annotations
+
+from kinesis_to_firehose_spark.registry import all_ops
+
+SF = "/root/testdata/sf0.01"
+OPS = all_ops()
+
+
+def test_assoc_rules_symmetries(spark):
+    rows = OPS["assoc_rules"].fn(spark, SF).collect()
+    by_pair = {(r.antecedent, r.consequent): r for r in rows}
+    for (a, c), r in by_pair.items():
+        rev = by_pair[(c, a)]
+        # co-occurrence count and lift are direction-free
+        assert r.n_ab == rev.n_ab
+        assert abs(r.lift - rev.lift) < 1e-9
+        # support = n_ab/total ≤ confidence = n_ab/n_a (n_a ≤ total)
+        assert r.support <= r.confidence + 1e-12
+
+
+def test_weighted_quantile_is_exact(spark):
+    import duckdb
+
+    rows = OPS["weighted_quantile"].fn(spark, SF).collect()
+    con = duckdb.connect()
+    base = con.sql(
+        f"""SELECT l_returnflag g, l_extendedprice v, l_quantity w
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).df()
+    for r in rows:
+        sub = base[base.g == r.grp]
+        tot = sub.w.sum()
+        # weight strictly below wq50 < half; through wq50 >= half
+        assert sub[sub.v < r.wq50].w.sum() < 0.5 * tot + 1e-6
+        assert sub[sub.v <= r.wq50].w.sum() >= 0.5 * tot - 1e-6
+        assert sub[sub.v < r.wq90].w.sum() < 0.9 * tot + 1e-6
+        assert sub[sub.v <= r.wq90].w.sum() >= 0.9 * tot - 1e-6
+
+
+def test_skyline_dominance_sound_and_complete(spark):
+    import duckdb
+
+    front = {
+        (r.p_partkey, r.p_size, r.price)
+        for r in OPS["skyline_pareto"].fn(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    pts = [
+        tuple(t)
+        for t in con.sql(
+            f"""SELECT p_partkey, p_size, CAST(p_retailprice AS DOUBLE)
+                FROM read_parquet('{SF}/part.parquet')"""
+        ).fetchall()
+    ]
+
+    def dominated(p, q):  # q dominates p: strictly larger, no pricier
+        return q[1] > p[1] and q[2] <= p[2]
+
+    front_keys = {k for k, _, _ in front}
+    for p in pts:
+        is_dom = any(dominated(p, q) for q in pts)
+        assert (p[0] not in front_keys) == is_dom, p
+
+
+def test_quantile_normalize_monotone_and_valued(spark):
+    rows = OPS["quantile_normalize"].fn(spark, SF).collect()
+    global_vals = sorted(r.n_chars for r in rows)
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r.norm_chars in set(global_vals)
+        by_source.setdefault(r.source, []).append(r)
+    for src_rows in by_source.values():
+        # normalization preserves within-source order of the raw score
+        src_rows.sort(key=lambda r: (r.n_chars, r.doc_id))
+        norms = [r.norm_chars for r in src_rows]
+        assert norms == sorted(norms)
+
+
+def test_bootstrap_ci_brackets_point(spark):
+    r = OPS["bootstrap_ci"].fn(spark, SF).collect()[0]
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    assert r.n_boot == 32 and r.n_rows > 0
+
+
+def test_mmr_trajectory_laws(spark):
+    rows = OPS["mmr_rerank"].fn(spark, SF).collect()
+    brute = OPS["ann_bruteforce_topk"].fn(spark, SF).collect()
+    top1 = {r.query_id: r.candidate_id for r in brute if r.rk == 1}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, sel in by_q.items():
+        sel.sort(key=lambda r: r.step)
+        # step 1 is pure relevance → must equal brute-force rank 1
+        assert sel[0].candidate_id == top1[q]
+        # no candidate selected twice
+        ids = [r.candidate_id for r in sel]
+        assert len(ids) == len(set(ids)) == 5
+        # greedy marginal score is non-increasing (pool shrinks,
+        # max-sim penalty only grows)
+        scores = [r.mmr_score for r in sel]
+        assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+
+
+def test_mutual_knn_is_reciprocal_subset(spark):
+    knn = OPS["knn_graph"].fn(spark, SF).collect()
+    edges = {(r.src, r.neighbor): r.rank for r in knn}
+    mutual = OPS["mutual_knn"].fn(spark, SF).collect()
+    assert mutual, "planted near-dups must produce mutual pairs"
+    for r in mutual:
+        assert edges[(r.vec_id_1, r.vec_id_2)] == r.rank_ab
+        assert edges[(r.vec_id_2, r.vec_id_1)] == r.rank_ba
+    # completeness: every reciprocal knn pair appears
+    got = {(r.vec_id_1, r.vec_id_2) for r in mutual}
+    for (a, b) in edges:
+        if a < b and (b, a) in edges:
+            assert (a, b) in got
+
+
+def test_attribution_conserves_revenue(spark):
+    import duckdb
+
+    rows = OPS["attribution_last_touch"].fn(spark, SF).collect()
+    total = sum(r.total_value for r in rows)
+    n = sum(r.n_purchases for r in rows)
+    con = duckdb.connect()
+    want_n, want_v = con.sql(
+        f"""SELECT COUNT(*), SUM(CAST(value AS DECIMAL(18,6)))
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type = 'purchase'"""
+    ).fetchall()[0]
+    assert n == want_n
+    assert abs(total - float(want_v)) < 1e-6
+    assert {r.channel for r in rows} <= {"click", "view", "unattributed"}
+
+
+def test_char_entropy_bounds(spark):
+    import math
+
+    rows = OPS["char_entropy"].fn(spark, SF).collect()
+    hi = math.log2(28)  # 27-char alphabet + other bucket
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy <= hi + 1e-9
+
+
+def test_source_overlap_jaccard_bounds(spark):
+    rows = OPS["source_overlap"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_inter <= r.n_union
+        assert abs(r.jaccard - round(r.n_inter / r.n_union, 6)) < 1e-9
+
+
+def test_trend_ols_r2_bounds_and_fit(spark):
+    rows = OPS["trend_ols"].fn(spark, SF).collect()
+    assert len(rows) == 25  # one per nation
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+        assert r.n_months > 2
