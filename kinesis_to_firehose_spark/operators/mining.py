@@ -870,3 +870,237 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# item_cooccurrence — co-purchase affinity ("parts bought together"):
+# for every pair of parts appearing in the same order, co-count and
+# cosine affinity n_ab/√(n_a·n_b), top-3 partners per part. The
+# item-item collaborative-filtering primitive.
+#
+# Scale shape: the pair explode self-joins ON THE BASKET KEY
+# (l_orderkey), so fan-out per order is (items-per-order)² — bounded
+# by basket size (~4 for TPC-H), NEVER by catalog or corpus size; the
+# pair aggregate shuffles on (a,b); per-item totals are catalog-sized
+# and broadcast into the affinity projection; ranking is a window over
+# rows already collapsed to one per pair. Affinity = exact integer
+# counts through one fixed scalar sqrt expression, rounded 6dp.
+# --------------------------------------------------------------------------
+COOC_TOP_K = 3
+COOC_MIN_N = 2  # ignore singleton co-occurrences (noise floor)
+
+COOC_SQL = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item AS (
+  SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY l_partkey
+),
+pair AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS c, COUNT(*) AS n_ab
+  FROM b x JOIN b y USING (l_orderkey)
+  WHERE x.l_partkey <> y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING COUNT(*) >= {COOC_MIN_N}
+),
+scored AS (
+  SELECT a, c, n_ab,
+         ROUND(n_ab / sqrt(CAST(ia.n AS DOUBLE) * ic.n), 6) AS affinity
+  FROM pair
+  JOIN item ia ON ia.l_partkey = pair.a
+  JOIN item ic ON ic.l_partkey = pair.c
+),
+ranked AS (
+  SELECT a AS partkey, c AS partner, CAST(n_ab AS BIGINT) AS n_ab, affinity,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a ORDER BY affinity DESC, c) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT partkey, partner, n_ab, affinity, rk
+FROM ranked WHERE rk <= {COOC_TOP_K}
+ORDER BY partkey, rk
+"""
+
+
+@register("item_cooccurrence", COOC_SQL)
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, "lineitem", sf_dir)
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    x = b.select("l_orderkey", F.col("l_partkey").alias("a"))
+    y = b.select("l_orderkey", F.col("l_partkey").alias("c"))
+    pair = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("a") != F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= COOC_MIN_N)
+    )
+    ia = item.select(F.col("l_partkey").alias("a"), F.col("n").alias("n_a"))
+    ic = item.select(F.col("l_partkey").alias("c"), F.col("n").alias("n_c"))
+    scored = (
+        pair.join(ia, "a")
+        .join(ic, "c")
+        .select(
+            "a",
+            "c",
+            "n_ab",
+            F.round(
+                F.col("n_ab")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_c")),
+                6,
+            ).alias("affinity"),
+        )
+    )
+    wk = W.partitionBy("a").orderBy(F.desc("affinity"), "c")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= COOC_TOP_K)
+        .select(
+            F.col("a").alias("partkey"),
+            F.col("c").alias("partner"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            "affinity",
+            "rk",
+        )
+        .orderBy("partkey", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# autocorrelation — lag-1/lag-2 autocorrelation of each event type's
+# DAILY value-sum series (the burstiness / short-memory diagnostic
+# behind alerting thresholds and seasonality checks).
+#
+# Estimator: r_k = Σ_{t≤n-k}(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)², expanded
+# to sufficient statistics so no mean subtraction happens row-wise:
+#   num_k·n² = n²·Σy_t·y_{t+k} − n·sy·(A_k+B_k) + (n−k)·sy²
+#   den·n²   = n·(n·syy − sy²)
+# with A_k/B_k the head/tail partial sums. Every statistic is an EXACT
+# DECIMAL aggregate (product operands widen to DECIMAL(19,6) so
+# DuckDB promotes to int128 storage before multiplying — a bare
+# (18,6)×(18,6) overflows its int64 lanes); the ratio is one fixed
+# scalar double
+# expression — the trend_ols discipline applied to time series.
+#
+# Scale shape: one groupBy collapses the corpus to (type, day) rows;
+# lead windows + the stats aggregate run over that tiny series table.
+# --------------------------------------------------------------------------
+ACF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT event_type, y,
+         LEAD(y, 1) OVER w AS y1,
+         LEAD(y, 2) OVER w AS y2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(y) AS sy,
+         SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                  AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y1 AS DECIMAL(19,6))
+                  AS DECIMAL(38,12))) AS cxy1,
+         SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS a1,
+         SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y2 AS DECIMAL(19,6))
+                  AS DECIMAL(38,12))) AS cxy2,
+         SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS a2
+  FROM lagged GROUP BY event_type
+),
+shifted AS (
+  SELECT s.event_type, s.n, s.sy, s.syy, s.cxy1, s.cxy2, s.a1, s.a2,
+         s.sy - f.first_y AS b1_full,
+         s.sy - f.first_y - f.second_y AS b2_full
+  FROM stats s JOIN (
+    SELECT event_type,
+           MAX(CASE WHEN rn = 1 THEN y END) AS first_y,
+           MAX(CASE WHEN rn = 2 THEN y END) AS second_y
+    FROM (SELECT event_type, y,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS rn
+          FROM daily)
+    WHERE rn <= 2 GROUP BY event_type
+  ) f USING (event_type)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * n * CAST(cxy1 AS DOUBLE)
+              - n * CAST(sy AS DOUBLE) * (CAST(a1 AS DOUBLE) + CAST(b1_full AS DOUBLE))
+              + (n - 1) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * (n * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r1,
+       ROUND((n * n * CAST(cxy2 AS DOUBLE)
+              - n * CAST(sy AS DOUBLE) * (CAST(a2 AS DOUBLE) + CAST(b2_full AS DOUBLE))
+              + (n - 2) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * (n * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM shifted
+ORDER BY event_type
+"""
+
+
+@register("autocorrelation", ACF_SQL)
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("y")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    stats = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias("syy"),
+        F.sum((F.col("y") * F.col("y1")).cast("decimal(38,12)")).alias(
+            "cxy1"
+        ),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y"))).alias("a1"),
+        F.sum((F.col("y") * F.col("y2")).cast("decimal(38,12)")).alias(
+            "cxy2"
+        ),
+        F.sum(F.when(F.col("y2").isNotNull(), F.col("y"))).alias("a2"),
+        F.max(F.when(F.col("rn") == 1, F.col("y"))).alias("first_y"),
+        F.max(F.when(F.col("rn") == 2, F.col("y"))).alias("second_y"),
+    )
+    nd = F.col("n")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    b1 = (F.col("sy") - F.col("first_y")).cast("double")
+    b2 = (F.col("sy") - F.col("first_y") - F.col("second_y")).cast("double")
+    den = nd * (nd * syy - sy * sy)
+    r1 = (
+        nd * nd * F.col("cxy1").cast("double")
+        - nd * sy * (F.col("a1").cast("double") + b1)
+        + (nd - 1) * sy * sy
+    ) / den
+    r2 = (
+        nd * nd * F.col("cxy2").cast("double")
+        - nd * sy * (F.col("a2").cast("double") + b2)
+        + (nd - 2) * sy * sy
+    ) / den
+    return stats.select(
+        "event_type",
+        nd.cast("bigint").alias("n_days"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("event_type")
