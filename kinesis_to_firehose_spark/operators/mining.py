@@ -1104,3 +1104,39 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 6).alias("r1"),
         F.round(r2, 6).alias("r2"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# hll_partition_merge — mergeable-sketch rollup: per-day HLL sketches
+# of distinct users, merged upward to one weekly estimate per event
+# type WITHOUT re-touching the raw data (hll_sketch_agg →
+# hll_union_agg, Spark 3.5+ Datasketches). THE 100 TB cardinality
+# pattern: daily partitions aggregate once into kilobyte sketches;
+# every later rollup (weekly/monthly/global, late-arriving partition
+# re-merge) is sketch-union over tiny state — contrast approx_distinct
+# which must rescan raw events for each new grain.
+#
+# No DuckDB oracle: sketch binaries are engine-specific (rows-only
+# gate). tests/test_mining.py pins the law that matters: the merged
+# weekly estimate equals the estimate computed directly from raw data
+# at weekly grain (identical sketch algorithm ⇒ identical estimate),
+# and tracks exact distinct counts within HLL error bounds.
+# --------------------------------------------------------------------------
+@register("hll_partition_merge", None)
+def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        daily.groupBy("event_type", "week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("bigint")
+            .alias("approx_users"),
+        )
+        .orderBy("event_type", "week")
+    )

@@ -163,3 +163,35 @@ def test_trend_ols_r2_bounds_and_fit(spark):
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0 + 1e-9
         assert r.n_months > 2
+
+
+def test_hll_merge_consistency(spark):
+    """Merged daily sketches must equal the direct weekly sketch
+    (same algorithm, union is lossless over sketch state), and track
+    exact distinct counts within HLL error."""
+    from pyspark.sql import functions as F
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    merged = {
+        (r.event_type, r.week): r.approx_users
+        for r in OPS["hll_partition_merge"].fn(spark, SF).collect()
+    }
+    e = load(spark, "events", SF)
+    direct = {
+        (r.event_type, r.week): (r.direct, r.exact)
+        for r in e.groupBy(
+            "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+        )
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+            .cast("bigint")
+            .alias("direct"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k, approx in merged.items():
+        d, exact = direct[k]
+        assert approx == d, k  # lossless merge
+        assert abs(approx - exact) <= max(3, 0.05 * exact), k
