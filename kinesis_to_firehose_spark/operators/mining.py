@@ -1140,3 +1140,163 @@ def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+# --------------------------------------------------------------------------
+# seasonality_index — classical ratio-to-trend seasonality: each
+# month-of-year's index = (mean monthly revenue for that calendar
+# month) / (overall monthly mean), per region. Index > 1 = seasonal
+# peak. The decomposition primitive behind demand normalization.
+#
+# Exactness: both numerator and denominator derive from ONE exact
+# decimal monthly-revenue table (region × month grain ≪ corpus); the
+# index is a single double division of exact sums — no float
+# aggregation. Shapes: one orders⋈customer⋈nation⋈region shuffle
+# (dims broadcast), then two tiny aggregates over the monthly table.
+# --------------------------------------------------------------------------
+SEASON_SQL = """
+WITH monthly AS (
+  SELECT r_name AS region,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mon,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name, year(o_orderdate), month(o_orderdate)
+),
+per_mon AS (
+  SELECT region, mon, SUM(rev) AS mon_rev, COUNT(*) AS n_mon
+  FROM monthly GROUP BY region, mon
+),
+overall AS (
+  SELECT region, SUM(rev) AS tot_rev, COUNT(*) AS n_all
+  FROM monthly GROUP BY region
+)
+SELECT p.region, p.mon AS month,
+       CAST(p.n_mon AS BIGINT) AS n_years,
+       ROUND((CAST(p.mon_rev AS DOUBLE) / p.n_mon)
+             / (CAST(o.tot_rev AS DOUBLE) / o.n_all), 6) AS index
+FROM per_mon p JOIN overall o ON o.region = p.region
+ORDER BY p.region, p.mon
+"""
+
+
+@register("seasonality_index", SEASON_SQL)
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = F.broadcast(load(spark, "nation", sf_dir))
+    r = F.broadcast(load(spark, "region", sf_dir))
+    monthly = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mon"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    per_mon = monthly.groupBy("region", "mon").agg(
+        F.sum("rev").alias("mon_rev"), F.count("*").alias("n_mon")
+    )
+    overall = monthly.groupBy("region").agg(
+        F.sum("rev").alias("tot_rev"), F.count("*").alias("n_all")
+    )
+    return (
+        per_mon.join(F.broadcast(overall), "region")
+        .select(
+            "region",
+            F.col("mon").alias("month"),
+            F.col("n_mon").cast("bigint").alias("n_years"),
+            F.round(
+                (F.col("mon_rev").cast("double") / F.col("n_mon"))
+                / (F.col("tot_rev").cast("double") / F.col("n_all")),
+                6,
+            ).alias("index"),
+        )
+        .orderBy("region", "month")
+    )
+
+
+# --------------------------------------------------------------------------
+# revenue_gini — Gini concentration of order revenue across customers,
+# per nation ("how head-heavy is demand"). Exact rank formulation:
+# G = (2·Σᵢ i·yᵢ) / (n·Σy) − (n+1)/n over customers sorted by spend
+# (ties broken by custkey → the i·yᵢ sum is deterministic).
+#
+# Exactness: per-customer spend is an exact decimal sum; i·yᵢ rides a
+# DECIMAL(38,2) product-sum (rank ≤ 10⁹ fits the headroom); the final
+# G is one fixed scalar double expression. Shapes: one custkey
+# aggregate, one PER-NATION window (rank within nation, never a
+# global sort), one per-nation aggregate.
+# --------------------------------------------------------------------------
+GINI_SQL = """
+WITH spend AS (
+  SELECT c_nationkey, o_custkey AS cust,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_nationkey, o_custkey
+),
+ranked AS (
+  SELECT c_nationkey, y,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY y, cust) AS i
+  FROM spend
+),
+stats AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n,
+         SUM(y) AS sy,
+         SUM(CAST(CAST(i AS DECIMAL(12,0)) * y AS DECIMAL(38,2))) AS siy
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n_name AS nation, CAST(n AS BIGINT) AS n_customers,
+       ROUND(2.0 * CAST(siy AS DOUBLE) / (n * CAST(sy AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini
+FROM stats JOIN nation ON n_nationkey = c_nationkey
+ORDER BY nation
+"""
+
+
+@register("revenue_gini", GINI_SQL)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = F.broadcast(load(spark, "nation", sf_dir))
+    spend = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", F.col("o_custkey").alias("cust"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy("y", "cust")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    stats = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("i").cast("decimal(12,0)") * F.col("y")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("siy"),
+    )
+    gini = F.round(
+        2.0 * F.col("siy").cast("double")
+        / (F.col("n") * F.col("sy").cast("double"))
+        - (F.col("n") + 1.0) / F.col("n"),
+        6,
+    )
+    return (
+        stats.join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            gini.alias("gini"),
+        )
+        .orderBy("nation")
+    )
