@@ -807,7 +807,8 @@ carried AS (
 ),
 attributed AS (
   SELECT CASE WHEN lt_ts IS NOT NULL
-                   AND ts - lt_ts <= INTERVAL {ATTR_HORIZON_MIN} MINUTE
+                   AND epoch_us(ts) - epoch_us(lt_ts)
+                       <= {ATTR_HORIZON_MIN}::BIGINT * 60 * 1000000
               THEN lt_type ELSE 'unattributed' END AS channel,
          purchase_value
   FROM carried WHERE purchase_value IS NOT NULL
@@ -851,9 +852,12 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("touch_type", ignorenulls=True).over(w).alias("lt_type"),
         F.last("touch_ts", ignorenulls=True).over(w).alias("lt_ts"),
     )
+    # microsecond-exact horizon test: cast("long") truncates to whole
+    # seconds and flips purchases sitting exactly on the 2h boundary
+    # (caught by the sf0.1 parity sweep)
     in_horizon = F.col("lt_ts").isNotNull() & (
-        F.col("ts").cast("long") - F.col("lt_ts").cast("long")
-        <= ATTR_HORIZON_MIN * 60
+        F.unix_micros("ts") - F.unix_micros("lt_ts")
+        <= ATTR_HORIZON_MIN * 60 * 1_000_000
     )
     return (
         carried.filter(F.col("purchase_value").isNotNull())
