@@ -1304,3 +1304,93 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# cusum_changepoint — one-sided CUSUM drift detection per event type's
+# daily count series: S_t = max(0, S_{t-1} + (x_t − μ − k)) flags
+# sustained upward shifts. The recursion is NOT window-expressible —
+# but the classic prefix identity S_t = P_t − min_{j≤t} P_j (with
+# P_t = Σ_{i≤t}(x_i − μ − k)) turns it into one cumulative sum plus
+# one running min: two RANGE/ROWS windows per series, fully
+# declarative, exact.
+#
+# Exactness: x_t are integer counts; μ is exact only as a ratio, so
+# the deviation is scaled by n — work on n·P terms: all integers,
+# zero float anywhere until the final report. Allowance k = μ/4
+# (scaled: n·k = sx/4 exact via 4n·P arithmetic). Alarm when scaled
+# S_t > h·σ-free threshold: we report the raw statistic instead
+# (s_scaled / (4n) as double) with its per-series max flag.
+# Shapes: groupBy to (type, day), two windows, one broadcast of the
+# per-type (n, sx) stats.
+# --------------------------------------------------------------------------
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx
+  FROM daily GROUP BY event_type
+),
+pref AS (
+  SELECT d.event_type, d.day,
+         -- 4n-scaled deviation: 4n·(x−μ−k) = 4n·x − 5·sx (μ=sx/n, k=μ/4)
+         SUM(4 * s.n * d.x - 5 * s.sx)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         s.n, s.sx
+  FROM daily d JOIN stats s USING (event_type)
+),
+cusum AS (
+  SELECT event_type, day, n,
+         p - LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   0) AS s_scaled
+  FROM pref
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       ROUND(CAST(s_scaled AS DOUBLE) / (4 * n), 6) AS cusum_stat,
+       CASE WHEN s_scaled > 0 THEN 1 ELSE 0 END AS drifting
+FROM cusum
+ORDER BY event_type, day
+"""
+
+
+@register("cusum_changepoint", CUSUM_SQL)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.sum(4 * F.col("n") * F.col("x") - 5 * F.col("sx"))
+        .over(wc)
+        .alias("p"),
+    )
+    s_scaled = F.col("p") - F.least(F.min("p").over(wc), F.lit(0))
+    return (
+        pref.withColumn("s_scaled", s_scaled)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.round(
+                F.col("s_scaled").cast("double") / (4 * F.col("n")), 6
+            ).alias("cusum_stat"),
+            F.when(F.col("s_scaled") > 0, 1).otherwise(0).alias("drifting"),
+        )
+        .orderBy("event_type", "day")
+    )
