@@ -1394,3 +1394,149 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# skew_report — join-key skew diagnostics for the keys the engine
+# actually shuffles on (lineitem.l_orderkey, lineitem.l_partkey,
+# events.user_id): per key-column, the frequency distribution of key
+# counts — max, exact p50/p99 of per-key multiplicity, and the mass
+# share of the hottest key and hottest 1% of keys. THE pre-flight for
+# salting / AQE-skew-join decisions (operators/skew.py consumes
+# exactly this signal).
+#
+# Exactness: everything is integer counts; quantiles are
+# MIN(cnt | cumulative keys ≥ q·n_keys) over a per-column RANGE window
+# on the (cnt, key-count) HISTOGRAM — the window runs over
+# distinct-multiplicity rows (≤ max multiplicity, tiny), never over
+# keys. Shares are exact-integer ratios rounded 6dp.
+# Shapes per column: one key groupBy (the same shuffle a join would
+# do), one multiplicity histogram groupBy (collapses to ≤ max-cnt
+# rows), windows over that tiny table.
+# --------------------------------------------------------------------------
+def _skew_col_sql(table: str, col: str) -> str:
+    return f"""
+  SELECT '{table}.{col}' AS key_col, cnt, COUNT(*) AS k, SUM(cnt) AS mass
+  FROM (SELECT {col}, COUNT(*) AS cnt FROM {table} GROUP BY {col})
+  GROUP BY cnt
+"""
+
+
+SKEW_KEYS = [("lineitem", "l_orderkey"), ("lineitem", "l_partkey"), ("events", "user_id")]
+
+SKEW_SQL = f"""
+WITH hist AS (
+{" UNION ALL ".join(_skew_col_sql(t, c) for t, c in SKEW_KEYS)}
+),
+tot AS (
+  SELECT key_col, SUM(k) AS n_keys, SUM(mass) AS n_rows, MAX(cnt) AS max_cnt
+  FROM hist GROUP BY key_col
+),
+cum AS (
+  SELECT key_col, cnt, k, mass,
+         SUM(k) OVER (PARTITION BY key_col ORDER BY cnt
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ck,
+         SUM(mass) OVER (PARTITION BY key_col ORDER BY cnt DESC
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hot_mass
+  FROM hist
+)
+SELECT c.key_col,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(t.max_cnt AS BIGINT) AS max_multiplicity,
+       CAST(MIN(CASE WHEN 2 * c.ck >= t.n_keys THEN c.cnt END) AS BIGINT)
+         AS p50_multiplicity,
+       CAST(MIN(CASE WHEN 100 * c.ck >= 99 * t.n_keys THEN c.cnt END)
+            AS BIGINT) AS p99_multiplicity,
+       ROUND(CAST(t.max_cnt AS DOUBLE) / t.n_rows, 6) AS top_key_share,
+       ROUND(CAST(MIN(CASE WHEN 100 * (t.n_keys - c.ck + c.k) >= t.n_keys
+                           THEN c.hot_mass END) AS DOUBLE) / t.n_rows, 6)
+         AS hot1pct_share
+FROM cum c JOIN tot t USING (key_col)
+GROUP BY c.key_col, t.n_keys, t.n_rows, t.max_cnt
+ORDER BY c.key_col
+"""
+
+
+@register("skew_report", SKEW_SQL)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql.window import Window as W
+
+    hists = []
+    for table, col in SKEW_KEYS:
+        t = load(spark, table, sf_dir)
+        keyed = t.groupBy(F.col(col).alias("key")).agg(
+            F.count("*").alias("cnt")
+        )
+        hists.append(
+            keyed.groupBy("cnt").agg(
+                F.count("*").alias("k"), F.sum("cnt").alias("mass")
+            ).select(F.lit(f"{table}.{col}").alias("key_col"), "cnt", "k", "mass")
+        )
+    hist = reduce(lambda a, b: a.unionAll(b), hists)
+    tot = hist.groupBy("key_col").agg(
+        F.sum("k").alias("n_keys"),
+        F.sum("mass").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w_asc = (
+        W.partitionBy("key_col")
+        .orderBy("cnt")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_desc = (
+        W.partitionBy("key_col")
+        .orderBy(F.col("cnt").desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "key_col",
+        "cnt",
+        "k",
+        "mass",
+        F.sum("k").over(w_asc).alias("ck"),
+        F.sum("mass").over(w_desc).alias("hot_mass"),
+    )
+    j = cum.join(F.broadcast(tot), "key_col")
+    return (
+        j.groupBy("key_col", "n_keys", "n_rows", "max_cnt")
+        .agg(
+            F.min(
+                F.when(2 * F.col("ck") >= F.col("n_keys"), F.col("cnt"))
+            ).alias("p50"),
+            F.min(
+                F.when(
+                    100 * F.col("ck") >= 99 * F.col("n_keys"), F.col("cnt")
+                )
+            ).alias("p99"),
+            # smallest hot-tail mass whose key population still covers
+            # >= 1% of keys = the hottest-1%-of-keys mass (full tie
+            # group included)
+            F.min(
+                F.when(
+                    100 * (F.col("n_keys") - F.col("ck") + F.col("k"))
+                    >= F.col("n_keys"),
+                    F.col("hot_mass"),
+                )
+            ).alias("hot_mass_1pct"),
+        )
+        .select(
+            "key_col",
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("max_cnt").cast("bigint").alias("max_multiplicity"),
+            F.col("p50").cast("bigint").alias("p50_multiplicity"),
+            F.col("p99").cast("bigint").alias("p99_multiplicity"),
+            F.round(
+                F.col("max_cnt").cast("double") / F.col("n_rows"), 6
+            ).alias("top_key_share"),
+            F.round(
+                F.col("hot_mass_1pct").cast("double") / F.col("n_rows"), 6
+            ).alias("hot1pct_share"),
+        )
+        .orderBy("key_col")
+    )
