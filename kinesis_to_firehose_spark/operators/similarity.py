@@ -1718,3 +1718,122 @@ def mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id_1", "vec_id_2")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_drift — distribution-drift monitor between two cohorts
+# (vec_id parity proxies deploy-window A vs B): per label, the L2
+# distance between cohort centroids plus the cohort count ratio. The
+# embedding-space analogue of feature-drift dashboards — a centroid
+# that moves signals upstream encoder/data change before task metrics
+# do.
+#
+# Determinism: centroids reuse label_centroid_stats' exact-decimal
+# per-dimension accumulation (8dp-rounded components into
+# DECIMAL(20,8) sums — order-free at any parallelism), and the
+# distance folds (a_i−b_i)² in the same sequential order in both
+# engines. Scale shape: one posexplode into a (label, cohort, dim)
+# aggregate — the centroid table is labels × 2 × dims and the join
+# that pairs cohorts is label-keyed over that tiny table; nothing
+# quadratic, corpus touched once.
+# --------------------------------------------------------------------------
+def _drift_dist(a: str, b: str, engine: str) -> str:
+    if engine == "spark":
+        return (
+            f"sqrt(aggregate(zip_with({a}, {b}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+        f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+DRIFT_SQL = f"""
+WITH ex AS (
+  SELECT label, vec_id % 2 AS cohort,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cd AS (
+  SELECT label, cohort, dim,
+         SUM(CAST(ROUND(x::DOUBLE, 8) AS DECIMAL(20,8))) AS s,
+         COUNT(*) AS n
+  FROM ex GROUP BY label, cohort, dim
+),
+cent AS (
+  SELECT label, cohort,
+         list(ROUND(CAST(s AS DOUBLE) / n, 8) ORDER BY dim) AS c,
+         MAX(n) AS n_vecs
+  FROM cd GROUP BY label, cohort
+)
+SELECT a.label,
+       CAST(a.n_vecs AS BIGINT) AS n_a,
+       CAST(b.n_vecs AS BIGINT) AS n_b,
+       ROUND({_drift_dist('a.c', 'b.c', 'duck')}, 6) AS centroid_l2,
+       ROUND(b.n_vecs * 1.0 / a.n_vecs, 6) AS count_ratio
+FROM cent a JOIN cent b ON a.label = b.label
+WHERE a.cohort = 0 AND b.cohort = 1
+ORDER BY a.label
+"""
+
+
+@register("embedding_drift", DRIFT_SQL)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select("label", "cohort", (F.col("pos") + 1).alias("dim"), "x")
+    cd = ex.groupBy("label", "cohort", "dim").agg(
+        F.sum(
+            F.round(F.col("x").cast("double"), 8).cast("decimal(20,8)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cent = (
+        cd.select(
+            "label",
+            "cohort",
+            F.struct(
+                "dim",
+                F.round(F.col("s").cast("double") / F.col("n"), 8).alias(
+                    "cval"
+                ),
+            ).alias("dc"),
+            "n",
+        )
+        .groupBy("label", "cohort")
+        .agg(
+            F.expr("transform(array_sort(collect_list(dc)), s -> s.cval)")
+            .alias("c"),
+            F.max("n").alias("n_vecs"),
+        )
+    )
+    a = cent.filter(F.col("cohort") == 0).select(
+        "label", F.col("c").alias("ca"), F.col("n_vecs").alias("n_a")
+    )
+    b = cent.filter(F.col("cohort") == 1).select(
+        "label", F.col("c").alias("cb"), F.col("n_vecs").alias("n_b")
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.expr(_drift_dist("ca", "cb", "spark")), 6
+            ).alias("centroid_l2"),
+            F.round(F.col("n_b") * 1.0 / F.col("n_a"), 6).alias(
+                "count_ratio"
+            ),
+        )
+        .orderBy("label")
+    )
