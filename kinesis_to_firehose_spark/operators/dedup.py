@@ -74,9 +74,16 @@ SIMHASH_CHUNKS = 4  # 4 chunks of 15 bits ⇒ hamming ≤ 3 has an equal chunk
 HAMMING_TAU = 3
 
 
-def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, len_bucket, shingle) — one row per DISTINCT
-    word-bigram shingle per doc.
+def exploded_shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    carry: tuple[str, ...] = ("lang", "len_bucket"),
+) -> DataFrame:
+    """(doc_id, *carry, shingle) — one row per DISTINCT word-bigram
+    shingle per doc. `carry` names extra document columns to thread
+    through (the derived "len_bucket" is recognized specially); this
+    is THE shared shingle core — source_overlap and the dedup family
+    both build on it so the tokenize/lead/distinct logic can't drift.
 
     Built with posexplode + window lead instead of array HOFs: Spark
     collapses projections and would otherwise inline the regex
@@ -85,10 +92,15 @@ def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the per-doc window — the shape that scales.
     """
     d = load(spark, "documents", sf_dir)
+    carried = [
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket")
+        if c == "len_bucket"
+        else F.col(c)
+        for c in carry
+    ]
     toks = d.select(
         "doc_id",
-        "lang",
-        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        *carried,
         F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok"),
     )
     w = W.partitionBy("doc_id").orderBy("pos")
@@ -97,8 +109,7 @@ def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nxt").isNotNull())
         .select(
             "doc_id",
-            "lang",
-            "len_bucket",
+            *carry,
             F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("shingle"),
         )
         .distinct()

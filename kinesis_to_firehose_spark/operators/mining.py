@@ -223,7 +223,6 @@ def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sxy"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
     )
-    nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
     sxyd = F.col("sxy").cast("double")
     syd = F.col("sy").cast("double")
@@ -233,14 +232,21 @@ def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_x = F.col("n") * sxxd - sxd * F.col("sx")
     var_y = F.col("n") * syyd - syd * F.col("sy")
     slope = cov_n / var_x
+    # degenerate series (one month, or zero variance) divide by zero:
+    # Spark doubles yield NaN/Inf where DuckDB yields NULL — emit NULL
+    # explicitly so both engines agree
+    guard_x = var_x != 0
+    guard_xy = guard_x & (var_y != 0)
     return stats.select(
         "nation",
         F.col("n").cast("bigint").alias("n_months"),
-        F.round(slope, 4).alias("slope"),
-        F.round((syd - slope * F.col("sx")) / F.col("n"), 4).alias(
-            "intercept"
-        ),
-        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+        F.when(guard_x, F.round(slope, 4)).alias("slope"),
+        F.when(
+            guard_x,
+            F.round((syd - slope * F.col("sx")) / F.col("n"), 4),
+        ).alias("intercept"),
+        F.when(guard_xy, F.round((cov_n * cov_n) / (var_x * var_y), 6))
+        .alias("r2"),
     ).orderBy("nation")
 
 
@@ -351,24 +357,13 @@ ORDER BY source_a, source_b
 
 @register("source_overlap", SOURCE_OVERLAP_SQL)
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from kinesis_to_firehose_spark.operators.dedup import exploded_shingles
 
-    d = load(spark, "documents", sf_dir)
-    # bigram shingles built per document (lead within doc), then
-    # collapsed to distinct per source
-    toks = d.select(
-        "source", "doc_id", F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
+    # shared tokenize/lead/distinct shingle core (dedup.py), carrying
+    # source instead of the dedup blocking keys, then collapsed to
+    # distinct per source
     sh = (
-        toks.select(
-            "source",
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias(
-                "shingle"
-            ),
-            F.lead("tok", 1).over(w).alias("nxt"),
-        )
-        .filter(F.col("nxt").isNotNull())
+        exploded_shingles(spark, sf_dir, carry=("source",))
         .select("source", "shingle")
         .distinct()
     )
@@ -508,11 +503,14 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = boot.withColumn(
         "rn", F.row_number().over(W.orderBy("mean_b", "b"))
     )
-    lo = ranked.filter(F.col("rn") == 2).select(
-        F.round("mean_b", 4).alias("ci_lo")
+    # aggregate (not filter+select) so an empty replicate table still
+    # yields ONE row with NULL bounds — matching the oracle's scalar
+    # subqueries when the filtered base is empty
+    lo = ranked.filter(F.col("rn") == 2).agg(
+        F.round(F.min("mean_b"), 4).alias("ci_lo")
     )
-    hi = ranked.filter(F.col("rn") == N_BOOT - 1).select(
-        F.round("mean_b", 4).alias("ci_hi")
+    hi = ranked.filter(F.col("rn") == N_BOOT - 1).agg(
+        F.round(F.min("mean_b"), 4).alias("ci_hi")
     )
     point = base.agg(
         F.count("*").cast("bigint").alias("n_rows"),
@@ -660,19 +658,36 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("r"),
         F.count("*").over(W.partitionBy("source")).alias("n_src"),
     )
-    wg = W.orderBy("n_chars", "doc_id")
-    ranked_glob = d.select(
-        F.col("n_chars").alias("g_val"),
-        F.row_number().over(wg).cast("bigint").alias("pos"),
+    # distributed global rank: collapse to the n_chars DOMAIN for the
+    # cross-value offsets (tiny window), rank within each value by
+    # doc_id (partitioned window) — no unpartitioned ROW_NUMBER
+    # dragging the corpus to one task
+    val_counts = d.groupBy("n_chars").agg(F.count("*").alias("vc"))
+    w_dom = (
+        W.orderBy("n_chars")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = val_counts.select(
+        "n_chars", (F.sum("vc").over(w_dom) - F.col("vc")).alias("before")
+    )
+    ranked_glob = (
+        d.join(F.broadcast(offsets), "n_chars")
+        .select(
+            F.col("n_chars").alias("g_val"),
+            (F.col("before") + F.row_number().over(
+                W.partitionBy("n_chars").orderBy("doc_id")
+            ))
+            .cast("bigint")
+            .alias("pos"),
+        )
     )
     n_tot = d.agg(F.count("*").alias("n"))
-    # integer division matches SQL's (a / b) with BIGINT cast: both
-    # engines truncate the exact integer quotient
+    # exact integer floor-division on BOTH engines (Spark `div`,
+    # DuckDB `//`): a double-division floor goes off-by-one once the
+    # product exceeds 2^53
     pos = F.when(F.col("n_src") == 1, F.lit(1).cast("bigint")).otherwise(
         1
-        + F.floor(
-            ((F.col("r") - 1) * (F.col("n") - 1)) / (F.col("n_src") - 1)
-        ).cast("bigint")
+        + F.expr("((r - 1) * (n - 1)) div (n_src - 1)").cast("bigint")
     )
     mapped = ranked_src.join(F.broadcast(n_tot)).select(
         "doc_id", "source", "n_chars", pos.alias("pos")
@@ -1102,11 +1117,14 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - nd * sy * (F.col("a2").cast("double") + b2)
         + (nd - 2) * sy * sy
     ) / den
+    # constant series make den = 0: NULL (both engines) instead of
+    # Spark's NaN-vs-DuckDB-NULL divergence
+    guard = nd * (nd * syy - sy * sy) != 0
     return stats.select(
         "event_type",
         nd.cast("bigint").alias("n_days"),
-        F.round(r1, 6).alias("r1"),
-        F.round(r2, 6).alias("r2"),
+        F.when(guard, F.round(r1, 6)).alias("r1"),
+        F.when(guard, F.round(r2, 6)).alias("r2"),
     ).orderBy("event_type")
 
 
