@@ -1837,3 +1837,228 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_ivfpq_topk — the composed IVFADC index (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011): an IVF
+# coarse quantizer routes each vector to a cell, PQ encodes the
+# RESIDUAL (vector − cell centroid) with a global M-subspace codebook,
+# and queries probe their N_PROBE nearest cells scoring candidates by
+# asymmetric distance (per-probed-cell residual distance tables, M
+# lookups per candidate). This is the canonical billion-scale ANN
+# layout — ann_ivf_topk and ann_pq_topk are its two halves.
+#
+# Conventions: coarse centroids are the seed vectors (vec_id <
+# N_CENTROIDS, as in ann_ivf_topk); the residual codebook seeds are
+# the next PQ_K vectors' residuals (vec_id ∈ [N_CENTROIDS,
+# N_CENTROIDS+PQ_K) — past the centroids, whose own residuals are
+# degenerate zeros). Candidates are vec_id >= N_QUERIES (the
+# ann_pq_topk convention).
+#
+# Determinism: residuals are exact IEEE double subtractions in fixed
+# dim order; subspace L2 distances fold in fixed order and are
+# rounded to 8dp before argmin with centroid-id tie-break; ADC sums
+# the 8dp lookups as DECIMAL(20,8) — order-independent — and final
+# ranks break ties on candidate_id.
+#
+# Scale shape: assignment and residual encode are narrow maps over
+# broadcast centroid tables (coarse K + M×K codewords); the only
+# per-candidate search cost is the (cell, m, code) equi-join against
+# the broadcast query tables and a map-side-combined (query,
+# candidate) aggregate — no full-vector float math at query time, no
+# corpus shuffle beyond the code table itself.
+# --------------------------------------------------------------------------
+_RESID_SPARK = (
+    "zip_with(embedding, c_emb, (x, y) -> "
+    "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+)
+
+
+def _resid_duck(vec: str, cent: str) -> str:
+    return (
+        f"list_transform(range(1, len({vec}) + 1), "
+        f"i -> {vec}[i]::DOUBLE - {cent}[i]::DOUBLE)"
+    )
+
+
+_SUBS_M_SQL = (
+    f"CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m"
+)
+
+IVFPQ_SQL = f"""
+{NORMED_CTE},
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding, nrm FROM normed
+  WHERE vec_id < {N_CENTROIDS}
+),
+ranked_cells AS (
+  SELECT v.vec_id, c.centroid_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({_ASSIGN_COS_SQL}, 6) DESC, c.centroid_id
+         ) AS rk
+  FROM normed v, centroids c
+),
+assignment AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE rk = 1
+),
+resid AS (
+  SELECT v.vec_id, a.cell, {_resid_duck('v.embedding', 'c.embedding')} AS r
+  FROM embeddings v
+  JOIN assignment a ON a.vec_id = v.vec_id
+  JOIN centroids c ON c.centroid_id = a.cell
+),
+rsubs AS (
+  SELECT vec_id, cell, m.m AS m,
+         list_slice(r, m.m * {PQ_DSUB} + 1,
+                    m.m * {PQ_DSUB} + {PQ_DSUB}) AS sv
+  FROM resid
+  {_SUBS_M_SQL}
+),
+rcents AS (
+  SELECT m, vec_id - {N_CENTROIDS} AS cid, sv AS cv
+  FROM rsubs
+  WHERE vec_id >= {N_CENTROIDS} AND vec_id < {N_CENTROIDS + PQ_K}
+),
+codes AS (
+  SELECT vec_id, cell, m, cid AS code
+  FROM (
+    SELECT s.vec_id, s.cell, s.m, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND({l2sq_expr('s.sv', 'c.cv', 'duck')}, 8), c.cid
+           ) AS rk
+    FROM rsubs s JOIN rcents c USING (m)
+    WHERE s.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+qres AS (
+  SELECT p.vec_id AS query_id, p.cell,
+         {_resid_duck('v.embedding', 'c.embedding')} AS r
+  FROM ranked_cells p
+  JOIN embeddings v ON v.vec_id = p.vec_id
+  JOIN centroids c ON c.centroid_id = p.cell
+  WHERE p.vec_id < {N_QUERIES} AND p.rk <= {N_PROBE}
+),
+qtab AS (
+  SELECT s.query_id, s.cell, s.m, c.cid AS code,
+         ROUND({l2sq_expr('s.sv', 'c.cv', 'duck')}, 8) AS d
+  FROM (
+    SELECT query_id, cell, m.m AS m,
+           list_slice(r, m.m * {PQ_DSUB} + 1,
+                      m.m * {PQ_DSUB} + {PQ_DSUB}) AS sv
+    FROM qres
+    {_SUBS_M_SQL}
+  ) s
+  JOIN rcents c USING (m)
+),
+adc AS (
+  SELECT q.query_id, k.vec_id AS candidate_id, k.cell,
+         CAST(SUM(CAST(q.d AS DECIMAL(20,8))) AS DOUBLE) AS dist
+  FROM codes k
+  JOIN qtab q ON q.cell = k.cell AND q.m = k.m AND q.code = k.code
+  GROUP BY q.query_id, k.vec_id, k.cell
+)
+SELECT query_id, candidate_id, cell, ROUND(dist, 6) AS adc_dist,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY dist, candidate_id
+       ) AS BIGINT) AS rk
+FROM adc
+QUALIFY rk <= {PQ_TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+def _slice_resid_subs(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Explode a residual column ``r`` into (keys..., m, sv) subspace
+    slices — the PQ_M-way fan-out is a pure narrow map."""
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("r", m * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(*keys, F.explode(sub_structs).alias("s")).select(
+        *keys, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+@register("ann_ivfpq_topk", IVFPQ_SQL)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normed_embeddings(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    ranked = _ranked_cells(n, cents)
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cent_emb = cents.select(F.col("centroid_id").alias("cell"), "c_emb")
+
+    assignment = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+    resid = (
+        e.join(assignment, "vec_id")
+        .join(F.broadcast(cent_emb), "cell")
+        .select("vec_id", "cell", F.expr(_RESID_SPARK).alias("r"))
+    )
+    rsubs = _slice_resid_subs(resid, ["vec_id", "cell"])
+    rcents = rsubs.filter(
+        (F.col("vec_id") >= N_CENTROIDS)
+        & (F.col("vec_id") < N_CENTROIDS + PQ_K)
+    ).select(
+        "m",
+        (F.col("vec_id") - N_CENTROIDS).alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+
+    d = F.round(F.expr(l2sq_expr("sv", "cv", "spark")), 8)
+    wk = W.partitionBy("vec_id", "m").orderBy("d", "cid")
+    codes = (
+        rsubs.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(rcents), "m")
+        .select("vec_id", "cell", "m", "cid", d.alias("d"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell", "m", F.col("cid").alias("code"))
+    )
+
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    qres = (
+        probes.join(
+            e.withColumnRenamed("vec_id", "query_id"), "query_id"
+        )
+        .join(F.broadcast(cent_emb), "cell")
+        .select("query_id", "cell", F.expr(_RESID_SPARK).alias("r"))
+    )
+    qsubs = _slice_resid_subs(qres, ["query_id", "cell"])
+    qtab = qsubs.join(F.broadcast(rcents), "m").select(
+        "query_id", "cell", "m", F.col("cid").alias("code"), d.alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["cell", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"), "cell")
+        .agg(
+            F.sum(F.col("d").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("dist")
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy("dist", "candidate_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(wq).cast("bigint"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            "candidate_id",
+            "cell",
+            F.round("dist", 6).alias("adc_dist"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )

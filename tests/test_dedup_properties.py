@@ -710,3 +710,65 @@ def test_pq_codes_bounded_and_adc_recall(spark):
         for r in ann_pq_topk(spark, sf).collect()
     }
     assert len(ex & pq) / len(ex) >= 0.25
+
+
+def test_ivfpq_cells_consistent_and_recall(spark):
+    """IVFADC composition: every result row's cell is the candidate's
+    coarse rank-1 assignment (candidates are only ever scored inside
+    their own IVF cell), each query returns exactly PQ_TOP_K rows,
+    and ADC-over-probed-cells top-10 recall vs exact-L2 top-10 clears
+    a floor (2-probe IVF pruning + untrained residual codebook)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from kinesis_to_firehose_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        PQ_TOP_K,
+        _assign_cells,
+        ann_ivfpq_topk,
+        l2sq_expr,
+        normed_embeddings,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    res = ann_ivfpq_topk(spark, sf).collect()
+    per_query = {}
+    for r in res:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert set(per_query) == set(range(N_QUERIES))
+    assert all(len(v) == PQ_TOP_K for v in per_query.values())
+
+    n = normed_embeddings(spark, sf)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cells = {
+        r["vec_id"]: r["cell"] for r in _assign_cells(n, cents).collect()
+    }
+    assert all(r["cell"] == cells[r["candidate_id"]] for r in res)
+
+    e = load(spark, "embeddings", sf).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("ce")
+    )
+    wk = W.partitionBy("query_id").orderBy("dist", "candidate_id")
+    exact = (
+        c.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.expr(l2sq_expr("qe", "ce", "spark")).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PQ_TOP_K)
+    )
+    ex = {(r["query_id"], r["candidate_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["candidate_id"]) for r in res}
+    assert len(ex & got) / len(ex) >= 0.2
