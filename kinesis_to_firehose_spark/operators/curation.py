@@ -1814,3 +1814,135 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# keyness_terms — per-source distinctive vocabulary by chi-square
+# keyness (the corpus-linguistics standard: Dunning '93 / Rayson &
+# Garside 2000 use LL; the 2x2 chi-square here shares the same
+# contingency table): for each (source, term), a = term occurrences in
+# the source, b = occurrences elsewhere, c/d = the complements, chi2 =
+# N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)); keep only over-represented
+# terms (ad > bc) and report the top-5 per source. The per-source
+# "what makes this crawl different" signal that drives source
+# triage / mixture decisions in a training-data pipeline.
+#
+# Determinism: counts are exact integers; products ad/bc (< 2^53 at
+# any realistic count) are exact doubles, the over-representation
+# gate compares them as BIGINTs, and the chi2 expression is one fixed
+# parse tree of IEEE ops — identical doubles both engines, rounded to
+# 6dp, ties broken on term.
+#
+# Scale shape: one token explode collapses straight into a map-side-
+# combined (source, term) count; everything after runs on vocabulary-
+# sized tables (term totals: vocab rows; source totals + grand total:
+# broadcast). The top-5 window partitions the vocab×sources table by
+# source — the corpus is never shuffled, only counted.
+# --------------------------------------------------------------------------
+KEYNESS_TOP = 5
+
+KEYNESS_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest({TOK_SQL}) AS term FROM documents
+),
+st AS (
+  SELECT source, term, COUNT(*)::BIGINT AS a
+  FROM toks GROUP BY source, term
+),
+tt AS (
+  SELECT term, SUM(a)::BIGINT AS t FROM st GROUP BY term
+),
+stot AS (
+  SELECT source, SUM(a)::BIGINT AS s FROM st GROUP BY source
+),
+tot AS (
+  SELECT SUM(a)::BIGINT AS n FROM st
+),
+cells AS (
+  SELECT st.source, st.term, st.a,
+         tt.t - st.a AS b,
+         stot.s - st.a AS c,
+         tot.n - tt.t - stot.s + st.a AS d,
+         tot.n AS n
+  FROM st
+  JOIN tt USING (term)
+  JOIN stot USING (source)
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT source, term, a, b,
+         ROUND(
+           (n::DOUBLE *
+            ((a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE) *
+             (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)))
+           / ((a + b)::DOUBLE * (c + d)::DOUBLE *
+              (a + c)::DOUBLE * (b + d)::DOUBLE),
+           6) AS chi2
+  FROM cells
+  WHERE a * d > b * c
+)
+SELECT source, term, a AS n_source, b AS n_rest, chi2,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY source ORDER BY chi2 DESC, term
+       ) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {KEYNESS_TOP}
+ORDER BY source, rk
+"""
+
+_CHI2_EXPR = (
+    "(CAST(n AS DOUBLE) * "
+    "((CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - "
+    "CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * "
+    "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - "
+    "CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))) "
+    "/ (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * "
+    "CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
+)
+
+
+@register("keyness_terms", KEYNESS_SQL)
+def keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select("source", F.explode(F.expr(TOK_EXPR)).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("a"))
+    tt = st.groupBy("term").agg(F.sum("a").alias("t"))
+    stot = st.groupBy("source").agg(F.sum("a").alias("s"))
+    tot = st.agg(F.sum("a").alias("n"))
+    cells = (
+        st.join(tt, "term")
+        .join(F.broadcast(stot), "source")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("t") - F.col("a")).alias("b"),
+            (F.col("s") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("t") - F.col("s") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    scored = cells.filter(
+        F.col("a") * F.col("d") > F.col("b") * F.col("c")
+    ).select(
+        "source",
+        "term",
+        "a",
+        "b",
+        F.round(F.expr(_CHI2_EXPR), 6).alias("chi2"),
+    )
+    wk = W.partitionBy("source").orderBy(F.desc("chi2"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= KEYNESS_TOP)
+        .select(
+            "source",
+            "term",
+            F.col("a").alias("n_source"),
+            F.col("b").alias("n_rest"),
+            "chi2",
+            "rk",
+        )
+        .orderBy("source", "rk")
+    )

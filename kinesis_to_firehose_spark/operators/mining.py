@@ -1558,3 +1558,95 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+# --------------------------------------------------------------------------
+# dp_noisy_release — differentially-private histogram release of the
+# per-(event_type, day) event counts under the TRUNCATED two-sided
+# geometric mechanism (the discrete Laplace of Ghosh-Roughgarden-
+# Sundararajan '09, the integer-native DP noise used by production
+# count releases): noise Z ∈ [-8, 8] with P(Z=z) ∝ α^|z|, α = 1/2
+# (ε = ln 2 per unit sensitivity; the ±8 truncation clips ~0.4% tail
+# mass — the standard practical compromise, documented not hidden).
+#
+# Randomness is a KEYED PRF, not an RNG: u32 = first 8 md5 hex chars
+# of 'dp:'||type||':'||day — the reproducible-pipeline pattern where
+# a secret-seeded PRF replaces ambient randomness (md5 stands in for
+# the keyed PRF here). Noise is then a 17-branch inverse-CDF CASE
+# chain over EXACT integer thresholds (floor(cdf·2^32), computed with
+# rational arithmetic offline) — both engines compare the same
+# integers, so the release is bit-identical. A production release
+# would project only (event_type, day, n_released); n_true/noise stay
+# in the output so the gate and tests can see the mechanism.
+#
+# Scale shape: one map-side-combined groupBy to cell granularity;
+# noise is a narrow expression over the cells table (≤ types × days
+# rows). The corpus is never shuffled, only counted.
+# --------------------------------------------------------------------------
+# floor(CDF(z) * 2^32) for z = -8..8 (exact, generated with Fraction).
+_DP_THRESHOLDS = (
+    (-8, 5607006), (-7, 16821020), (-6, 39249048), (-5, 84105103),
+    (-4, 173817214), (-3, 353241435), (-2, 712089878), (-1, 1429786763),
+    (0, 2865180532), (1, 3582877417), (2, 3941725860), (3, 4121150081),
+    (4, 4210862192), (5, 4255718247), (6, 4278146275), (7, 4289360289),
+)  # ELSE 8
+
+
+def _dp_noise_sql(u32: str) -> str:
+    cases = " ".join(
+        f"WHEN {u32} < {t} THEN {z}" for z, t in _DP_THRESHOLDS
+    )
+    return f"CASE {cases} ELSE 8 END"
+
+
+_DP_U_DUCK = (
+    "(('0x' || substr(md5('dp:' || event_type || ':' || day), 1, 8))"
+    "::BIGINT)"
+)
+_DP_U_SPARK = (
+    "CAST(conv(substring(md5(concat('dp:', event_type, ':', day)), "
+    "1, 8), 16, 10) AS BIGINT)"
+)
+
+DP_RELEASE_SQL = f"""
+WITH cells AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*)::BIGINT AS n_true
+  FROM events
+  GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+noised AS (
+  SELECT event_type, day, n_true,
+         CAST({_dp_noise_sql(_DP_U_DUCK)} AS BIGINT) AS noise
+  FROM cells
+)
+SELECT event_type, day, n_true, noise,
+       GREATEST(CAST(0 AS BIGINT), n_true + noise) AS n_released
+FROM noised
+ORDER BY event_type, day
+"""
+
+
+@register("dp_noisy_release", DP_RELEASE_SQL)
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    cells = (
+        ev.select(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_true"))
+    )
+    noised = cells.withColumn(
+        "noise",
+        F.expr(_dp_noise_sql(_DP_U_SPARK)).cast("bigint"),
+    )
+    return noised.select(
+        "event_type",
+        "day",
+        "n_true",
+        "noise",
+        F.greatest(
+            F.lit(0).cast("bigint"), F.col("n_true") + F.col("noise")
+        ).alias("n_released"),
+    ).orderBy("event_type", "day")

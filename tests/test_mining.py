@@ -195,3 +195,57 @@ def test_hll_merge_consistency(spark):
         d, exact = direct[k]
         assert approx == d, k  # lossless merge
         assert abs(approx - exact) <= max(3, 0.05 * exact), k
+
+
+def test_dp_release_mechanism_properties(spark):
+    """DP release: noise stays in the truncated support [-8, 8], the
+    released count is the clipped sum, the empirical noise mean sits
+    near 0 (symmetric mechanism), and the keyed-PRF noise is
+    reproducible run-over-run."""
+    sf = "/root/testdata/sf0.01"
+    op = all_ops()["dp_noisy_release"]
+    rows = op.fn(spark, sf).collect()
+    assert len(rows) > 50
+    for r in rows:
+        assert -8 <= r["noise"] <= 8
+        assert r["n_released"] == max(0, r["n_true"] + r["noise"])
+    mean_noise = sum(r["noise"] for r in rows) / len(rows)
+    # Var of the truncated two-sided geometric ~ 5.8; sem ~ sqrt(5.8/n).
+    assert abs(mean_noise) < 1.0
+    again = op.fn(spark, sf).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_keyness_terms_are_overrepresented(spark):
+    """Every reported keyness term has a strictly higher relative
+    frequency inside its source than outside (the ad > bc gate), and
+    ranks are dense 1..5 per source."""
+    sf = "/root/testdata/sf0.01"
+    rows = all_ops()["keyness_terms"].fn(spark, sf).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(by_source) >= 2
+    # totals per side from the documents table
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import TOK_EXPR
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    d = load(spark, "documents", sf)
+    tot = {
+        r["source"]: r["n"]
+        for r in d.select(
+            "source", F.size(F.expr(TOK_EXPR)).alias("k")
+        )
+        .groupBy("source")
+        .agg(F.sum("k").alias("n"))
+        .collect()
+    }
+    grand = sum(tot.values())
+    for src, rs in by_source.items():
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
+        for r in rs:
+            in_rate = r["n_source"] / tot[src]
+            out_rate = r["n_rest"] / (grand - tot[src])
+            assert in_rate > out_rate, (src, r["term"])
