@@ -156,6 +156,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "ann_bruteforce_topk",   # 5 query vectors × candidates
         "ann_ivf_topk",          # centroid list × vectors
         "ann_ivf_trained_topk",  # same, trained centroids
+        "ann_ivfpq_topk",        # same coarse centroid list × vectors
         "ann_lsh_topk",          # query-side fan-out
         "dedup_embedding",       # block-id grid
         "dedup_embedding_lsh",   # bucketed variant of the same kernel
@@ -182,6 +183,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "assoc_rules",           # 1-row basket-total scalar
         "bootstrap_ci",          # 1-row point/ci_lo/ci_hi scalar crosses
         "quantile_normalize",    # 1-row global-count scalar
+        "keyness_terms",         # 1-row grand-total scalar cross
     }
     STREAMING = {
         "firehose_sink",
