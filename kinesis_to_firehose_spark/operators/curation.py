@@ -1946,3 +1946,72 @@ def keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# ngram_novelty — ingest-order novelty audit: for each document, the
+# fraction of its DISTINCT word-4-grams whose first corpus appearance
+# (minimum doc_id) is this document. The complement of Lee et al.'s
+# duplicated-span signal viewed along ingest order: a falling novelty
+# curve over doc_id means later documents mostly restate earlier ones
+# (memorization risk / diminishing-returns signal for continued
+# crawling of a source).
+#
+# Scale shape: one gram explode deduped to (doc, gram), a map-side-
+# combined MIN(doc_id) per gram, and an equi-join back on gram — the
+# same inverted-index discipline as dedup_substring; no pair joins,
+# fan-out bounded by gram occurrence counts. Docs with fewer than
+# GRAM_N tokens have no grams and are excluded (documented).
+# --------------------------------------------------------------------------
+NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {GRAM_N - 1}, 0)),
+           i -> array_to_string(list_slice(t, i, i + {GRAM_N - 1}), ' ')))
+           AS gram
+  FROM toks
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS novelty
+FROM grams g
+JOIN firsts f USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register("ngram_novelty", NOVELTY_SQL)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _word_ngrams(spark, sf_dir).distinct()
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )

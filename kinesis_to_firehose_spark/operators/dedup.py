@@ -91,7 +91,15 @@ def exploded_shingles(
     doc, interpreted). Explode + lead stays in whole-stage codegen and
     the only shuffle is the per-doc window — the shape that scales.
     """
-    d = load(spark, "documents", sf_dir)
+    return shingles_from_docs(load(spark, "documents", sf_dir), carry)
+
+
+def shingles_from_docs(
+    d: DataFrame, carry: tuple[str, ...] = ("lang", "len_bucket")
+) -> DataFrame:
+    """DataFrame-level shingle core behind `exploded_shingles` — also
+    feeds the persisted dedup index (sources/dedup_index.py), where
+    the input is an arbitrary batch, not a loaded table."""
     carried = [
         (F.col("n_chars") / 64).cast("bigint").alias("len_bucket")
         if c == "len_bucket"
@@ -1290,46 +1298,69 @@ ORDER BY ne.doc_id
 """
 
 
-@register("dedup_incremental", DEDUP_INCREMENTAL_SQL)
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = exploded_shingles(spark, sf_dir).select("doc_id", "shingle")
+def doc_band_keys(docs: DataFrame, checkpoint: bool = False) -> DataFrame:
+    """(doc_id, band_idx, band_key) minhash band-index rows for an
+    arbitrary documents-shaped DataFrame — the rows the persisted
+    dedup index stores and probes (sources/dedup_index.py). Pass
+    checkpoint=True when the result is consumed more than once (e.g.
+    a self-join) so the shingle→signature chain runs once."""
+    ex = shingles_from_docs(docs, carry=()).select("doc_id", "shingle")
     hashed_v = ex.select("doc_id", F.expr(_V_SPARK).alias("v"))
-    sigs = (
-        hashed_v.groupBy("doc_id")
-        .agg(*[F.expr(e) for e in _sig_agg_spark(N_PERMS)])
-        .localCheckpoint(eager=True)
+    sigs = hashed_v.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _sig_agg_spark(N_PERMS)]
     )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.expr(f"array({_BAND_KEYS_SPARK})")).alias(
-            "band_idx0", "band_key"
-        ),
-    ).withColumn("band_idx", F.col("band_idx0") + 1)
-    is_new = F.col("doc_id") % NEW_MOD == 0
-    n_bands = bands.filter(is_new).alias("n")
-    o_bands = bands.filter(~is_new).alias("o")
+    if checkpoint:
+        sigs = sigs.localCheckpoint(eager=True)
+    return (
+        sigs.select(
+            "doc_id",
+            F.posexplode(F.expr(f"array({_BAND_KEYS_SPARK})")).alias(
+                "band_idx0", "band_key"
+            ),
+        )
+        .withColumn("band_idx", F.col("band_idx0") + 1)
+        .select("doc_id", "band_idx", "band_key")
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) normalized-text md5 fingerprints — the exact-dup
+    half of the dedup index."""
+    return docs.select("doc_id", F.md5(F.expr(NORM_EXPR)).alias("h"))
+
+
+def incremental_verdicts(
+    new_fp: DataFrame,
+    new_bands: DataFrame,
+    old_fp: DataFrame,
+    old_bands: DataFrame,
+) -> DataFrame:
+    """Shared new-vs-old verdict assembly: exact membership via the
+    fingerprint join, near candidates via the band equi-join, one
+    verdict row per new doc. Both dedup_incremental (old side computed
+    in-plan) and dedup_index_probe (old side read from the persisted
+    index) end here, so the join shapes and the verdict rule cannot
+    drift."""
     near = (
-        n_bands.join(
-            o_bands,
+        new_bands.alias("n")
+        .join(
+            old_bands.alias("o"),
             (F.col("n.band_idx") == F.col("o.band_idx"))
             & (F.col("n.band_key") == F.col("o.band_key")),
         )
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.countDistinct(F.col("o.doc_id")).alias("n_near"))
     )
-    d = load(spark, "documents", sf_dir)
-    fp = d.select("doc_id", F.md5(F.expr(NORM_EXPR)).alias("h"))
-    old_fp = fp.filter(~is_new).select("h").distinct()
-    new_exact = (
-        fp.filter(is_new)
-        .join(old_fp.withColumn("hit", F.lit(1)), "h", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("hit").isNotNull(), 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("is_exact_dup"),
-        )
+    new_exact = new_fp.join(
+        old_fp.select("h").distinct().withColumn("hit", F.lit(1)),
+        "h",
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("hit").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_exact_dup"),
     )
     return (
         new_exact.join(near, "doc_id", "left")
@@ -1346,6 +1377,48 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("dedup_incremental", DEDUP_INCREMENTAL_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    is_new = F.col("doc_id") % NEW_MOD == 0
+    bands = doc_band_keys(d, checkpoint=True)
+    fp = doc_fingerprints(d)
+    return incremental_verdicts(
+        fp.filter(is_new),
+        bands.filter(is_new),
+        fp.filter(~is_new),
+        bands.filter(~is_new),
+    )
+
+
+@register("dedup_index_probe", DEDUP_INCREMENTAL_SQL)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental's contract served from a PERSISTED index: the
+    old side's fingerprints and band keys are built once into a
+    parquet index store (sources/dedup_index.py) and the probe joins
+    the new batch against the STORED tables — per-ingest cost is
+    O(new batch) signature work + two equi-joins; the corpus is never
+    re-signatured. Same oracle as dedup_incremental (the index is an
+    implementation detail the verdicts must not observe)."""
+    import os
+    import tempfile
+
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    d = load(spark, "documents", sf_dir)
+    is_new = F.col("doc_id") % NEW_MOD == 0
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_dedup_index_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    build_dedup_index(spark, d.filter(~is_new), path)
+    return probe_dedup_index(spark, d.filter(is_new), path)
 
 
 # --------------------------------------------------------------------------

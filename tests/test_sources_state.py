@@ -1092,3 +1092,55 @@ def test_snapshot_diff_empty_result_keeps_key_type(spark, tmp_path):
     out = B.snapshot_diff(spark, path, v1, v1)
     assert out.count() == 0
     assert dict(out.dtypes)["sku"] == "string"
+
+
+def test_dedup_index_continuous_ingest(spark, tmp_path):
+    """The persisted dedup index closes the continuous-ingest loop:
+    build over the base corpus, probe batch1, APPEND batch1, probe
+    batch2 — each probe must equal a from-scratch new-vs-old verdict
+    computation over the same old side, and the probe plan must scan
+    the stored index files (the corpus is never re-signatured)."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        doc_band_keys,
+        doc_fingerprints,
+        incremental_verdicts,
+    )
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    d = load(spark, "documents", sf)
+    base = d.filter(F.col("doc_id") % 10 > 1)
+    b1 = d.filter(F.col("doc_id") % 10 == 1)
+    b2 = d.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "dedup_index")
+
+    build_dedup_index(spark, base, path)
+    probe1 = probe_dedup_index(spark, b1, path)
+    assert str(tmp_path) in physical_plan(probe1)  # reads the store
+    expect1 = incremental_verdicts(
+        doc_fingerprints(b1),
+        doc_band_keys(b1),
+        doc_fingerprints(base),
+        doc_band_keys(base, checkpoint=True),
+    )
+    assert [tuple(r) for r in probe1.collect()] == [
+        tuple(r) for r in expect1.collect()
+    ]
+
+    build_dedup_index(spark, b1, path, mode="append")
+    probe2 = probe_dedup_index(spark, b2, path)
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    expect2 = incremental_verdicts(
+        doc_fingerprints(b2),
+        doc_band_keys(b2),
+        doc_fingerprints(old),
+        doc_band_keys(old, checkpoint=True),
+    )
+    got2 = [tuple(r) for r in probe2.collect()]
+    assert got2 == [tuple(r) for r in expect2.collect()]
+    # batch2 docs sharing a fingerprint with batch1 are now caught
+    assert len(got2) == b2.count()
