@@ -917,3 +917,88 @@ def test_stats_snapshot_sink_versioned_export(spark, tmp_path):
     # retention: keep_versions=2 ⇒ version - 2 is out of the window
     with pytest.raises(Exception):
         snapshot_read(spark, store, version=meta["version"] - 2).collect()
+
+
+def test_dedup_ingest_stream_probes_and_appends(spark, tmp_path):
+    """Streaming continuous-ingest dedup: each micro-batch's verdicts
+    must equal the from-scratch new-vs-old computation against the
+    index state BEFORE that batch, the batch must append itself as the
+    next index epoch, and a replayed epoch must rewrite identical
+    results (epoch-dir overwrite + max_epoch-pinned probe)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        doc_band_keys,
+        doc_fingerprints,
+        incremental_verdicts,
+    )
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+        run_dedup_ingest_stream,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    d = load(spark, "documents", sf).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 10 > 1)
+    b1 = d.filter(F.col("doc_id") % 10 == 1)
+    b2 = d.filter(F.col("doc_id") % 10 == 0)
+
+    index = str(tmp_path / "index")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    build_dedup_index(spark, base, index, epoch=0)
+
+    b1.repartition(1).write.mode("overwrite").parquet(src)
+    q = run_dedup_ingest_stream(spark, src, index, out, ckpt)
+    q.processAllAvailable()
+    # second batch arrives after the first is fully ingested
+    b2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    def expect(new, old):
+        return [
+            tuple(r)
+            for r in incremental_verdicts(
+                doc_fingerprints(new),
+                doc_band_keys(new),
+                doc_fingerprints(old),
+                doc_band_keys(old, checkpoint=True),
+            ).collect()
+        ]
+
+    got1 = [
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/epoch=0")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    got2 = [
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/epoch=1")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got1 == expect(b1, base)
+    assert got2 == expect(b2, base.unionByName(b1))
+
+    # index now holds epochs 0 (base), 1 (b1), 2 (b2)
+    epochs = sorted(
+        e for e in os.listdir(f"{index}/fp") if e.startswith("epoch=")
+    )
+    assert epochs == ["epoch=0", "epoch=1", "epoch=2"]
+
+    # simulated epoch replay: re-probing b2 pinned at epoch 1 ignores
+    # b2's own already-appended epoch and reproduces the same verdicts
+    replay = [
+        tuple(r)
+        for r in probe_dedup_index(spark, b2, index, max_epoch=1)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert replay == got2
