@@ -3053,6 +3053,99 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# scd2_asof_join — the consumption half of the SCD2 pattern: join each
+# fact (purchase events) to the dimension VERSION in effect at fact
+# time — valid_from <= ts < valid_to, open version matches everything
+# after its valid_from. The classic warehouse point-in-time join
+# ("what state was this user in when they purchased").
+#
+# Scale shape: both sides key on user_id, so the interval predicate
+# NEVER drives the join — it rides as a residual on the user equi-join
+# (sort-merge/shuffle-hash on user_id), and pair fan-out is bounded by
+# versions-per-user × facts-per-user, not by any global range overlap.
+# This is the shape warehouses use for SCD2 joins (equi on the natural
+# key, BETWEEN residual); contrast interval_join, where no equi-key
+# exists and time-bucketing must bound the pair space.
+#
+# Each fact matches exactly ONE version: the change intervals
+# partition the user's timeline from their first event, every fact ts
+# sits at-or-after that first event, and zero-width versions (ts ties
+# in the feed) are skipped by the right-open bound.
+# --------------------------------------------------------------------------
+SCD2_ASOF_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type != prev_type
+),
+hist AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+         event_type AS state,
+         ts AS valid_from,
+         LEAD(ts) OVER w2 AS valid_to
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+facts AS (
+  SELECT user_id, event_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.event_id, f.ts, h.version, h.state, h.valid_from,
+       ROUND(f.value, 2) AS value
+FROM facts f
+JOIN hist h
+  ON f.user_id = h.user_id
+ AND f.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+ORDER BY f.user_id, f.event_id
+"""
+
+
+@register("scd2_asof_join", SCD2_ASOF_SQL)
+def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_history(spark, sf_dir).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    e = load(spark, "events", sf_dir)
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    f, h = facts.alias("f"), hist.alias("h")
+    return (
+        f.join(
+            h,
+            (F.col("f.user_id") == F.col("h.user_id"))
+            & (F.col("f.ts") >= F.col("h.valid_from"))
+            & (
+                F.col("h.valid_to").isNull()
+                | (F.col("f.ts") < F.col("h.valid_to"))
+            ),
+        )
+        .select(
+            F.col("f.user_id").alias("user_id"),
+            "event_id",
+            F.col("f.ts").alias("ts"),
+            "version",
+            "state",
+            "valid_from",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # k_anonymity_audit — training-data governance: group the event log by
 # a quasi-identifier tuple (event_type, hour-of-day, coarse value
 # bucket) and report every cell whose DISTINCT-USER count is below k —

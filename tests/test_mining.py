@@ -249,3 +249,25 @@ def test_keyness_terms_are_overrepresented(spark):
             in_rate = r["n_source"] / tot[src]
             out_rate = r["n_rest"] / (grand - tot[src])
             assert in_rate > out_rate, (src, r["term"])
+
+
+def test_scd2_asof_join_exactly_one_version_per_fact(spark):
+    """Every purchase fact matches exactly ONE dimension version (the
+    change intervals partition each user's timeline), and the matched
+    state is the version open at the fact's timestamp."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    res = all_ops()["scd2_asof_join"].fn(spark, sf)
+    n_purch = (
+        load(spark, "events", sf)
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert res.count() == n_purch
+    assert res.select("event_id").distinct().count() == n_purch
+    # spot-check interval containment on a sample
+    for r in res.limit(50).collect():
+        assert r["valid_from"] <= r["ts"]
