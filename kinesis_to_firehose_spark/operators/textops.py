@@ -614,3 +614,176 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", F.desc("priority"), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# hashing_tf_vectors / doc_tf_search — the hashing trick (feature
+# hashing, Weinberger et al. '09 / Spark MLlib HashingTF): every
+# document gets a dense HTF_DIM-dimensional term-frequency vector with
+# bucket = md5(token) mod HTF_DIM — model-free document vectors that
+# feed the SAME cosine-search machinery the embedding ops use, for
+# corpora that have no embedding column yet. doc_tf_search then runs
+# the ann_bruteforce shape over them: a fixed query-doc set broadcast
+# against the corpus, exact cosine, top-5.
+#
+# Determinism: tf counts are exact integers; cosine folds the 64
+# buckets in fixed order over exact-integer-valued doubles (products
+# of ints < 2^53), so both engines produce identical doubles; 6dp
+# round, doc_id tie-break.
+#
+# Scale shape: vectorization is one token explode into a map-side-
+# combined (doc, bucket) count folded to 64 conditional sums — one
+# shuffle at doc granularity, no vocabulary table at all (the entire
+# point of the hashing trick: memory is O(dim), not O(vocab)).
+# Search broadcasts only the fixed query side.
+# --------------------------------------------------------------------------
+HTF_DIM = 64
+HTF_QUERIES = 5  # doc_id < 5 are the query documents
+HTF_TOP_K = 5
+
+_HTF_BUCKET_SPARK = (
+    "pmod(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT), "
+    f"{HTF_DIM})"
+)
+_HTF_BUCKET_SQL = f"(('0x' || substr(md5(tok), 1, 8))::BIGINT % {HTF_DIM})"
+
+_HTF_SUM_SQL = ", ".join(
+    f"SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END)::BIGINT AS c{i}"
+    for i in range(HTF_DIM)
+)
+_HTF_LIST_SQL = "[" + ", ".join(f"c{i}" for i in range(HTF_DIM)) + "]"
+
+_HTF_CTE = f"""toks AS (
+  SELECT doc_id, unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+         AS tok
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, {_HTF_BUCKET_SQL} AS b FROM toks
+),
+vecs AS (
+  SELECT doc_id, {_HTF_SUM_SQL} FROM bucketed GROUP BY doc_id
+),
+tf AS (
+  SELECT doc_id, {_HTF_LIST_SQL} AS v FROM vecs
+)"""
+
+HTF_VECTORS_SQL = f"""
+WITH {_HTF_CTE}
+SELECT doc_id, v AS tf,
+       ROUND(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(v, x -> x::DOUBLE * x::DOUBLE)),
+         (a, b) -> a + b)), 6) AS nrm
+FROM tf
+ORDER BY doc_id
+"""
+
+
+def _htf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).select("doc_id", F.expr(_HTF_BUCKET_SPARK).alias("b"))
+    sums = [
+        F.sum(F.when(F.col("b") == i, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i in range(HTF_DIM)
+    ]
+    vecs = toks.groupBy("doc_id").agg(*sums)
+    return vecs.select(
+        "doc_id",
+        F.array(*[f"c{i}" for i in range(HTF_DIM)]).alias("tf"),
+    )
+
+
+_HTF_NORM_SPARK = (
+    "sqrt(aggregate(tf, CAST(0.0 AS DOUBLE), "
+    "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
+@register("hashing_tf_vectors", HTF_VECTORS_SQL)
+def hashing_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _htf_vectors(spark, sf_dir)
+        .select(
+            "doc_id",
+            "tf",
+            F.round(F.expr(_HTF_NORM_SPARK), 6).alias("nrm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HTF_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len(q.v) + 1), "
+    "i -> q.v[i]::DOUBLE * c.v[i]::DOUBLE)), (a, b) -> a + b)"
+)
+_HTF_NRM_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform({side}.v, x -> x::DOUBLE * x::DOUBLE)), "
+    "(a, b) -> a + b))"
+)
+
+DOC_TF_SEARCH_SQL = f"""
+WITH {_HTF_CTE},
+normed AS (
+  SELECT doc_id, v, {_HTF_NRM_SQL.format(side='tf')} AS nrm
+  FROM tf
+),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS candidate_id,
+         ROUND({_HTF_DOT_SQL} / (q.nrm * c.nrm), 6) AS cosine
+  FROM normed q
+  JOIN normed c
+    ON q.doc_id < {HTF_QUERIES} AND c.doc_id >= {HTF_QUERIES}
+   AND q.nrm > 0 AND c.nrm > 0
+)
+SELECT query_id, candidate_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+       ) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {HTF_TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("doc_tf_search", DOC_TF_SEARCH_SQL)
+def doc_tf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _htf_vectors(spark, sf_dir).select(
+        "doc_id", "tf", F.expr(_HTF_NORM_SPARK).alias("nrm")
+    )
+    q = n.filter(
+        (F.col("doc_id") < HTF_QUERIES) & (F.col("nrm") > 0)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("tf").alias("q_tf"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = n.filter(
+        (F.col("doc_id") >= HTF_QUERIES) & (F.col("nrm") > 0)
+    ).select(
+        F.col("doc_id").alias("candidate_id"),
+        F.col("tf").alias("c_tf"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = (
+        "aggregate(zip_with(q_tf, c_tf, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (q_nrm * c_nrm)"
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "candidate_id",
+        F.round(F.expr(cos), 6).alias("cosine"),
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= HTF_TOP_K)
+        .orderBy("query_id", "rk")
+    )

@@ -184,6 +184,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "bootstrap_ci",          # 1-row point/ci_lo/ci_hi scalar crosses
         "quantile_normalize",    # 1-row global-count scalar
         "keyness_terms",         # 1-row grand-total scalar cross
+        "doc_tf_search",         # 5 query docs × candidates
     }
     STREAMING = {
         "firehose_sink",
