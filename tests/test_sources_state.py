@@ -1144,3 +1144,51 @@ def test_dedup_index_continuous_ingest(spark, tmp_path):
     assert got2 == [tuple(r) for r in expect2.collect()]
     # batch2 docs sharing a fingerprint with batch1 are now caught
     assert len(got2) == b2.count()
+
+
+def test_config_from_env_reference_semantics():
+    """Env surface parity with main.go: every launch-yml var required
+    (missing/empty → error naming the var), READ_RATE_LIMIT must be an
+    int, LOG_FILE gains the timestamped .log suffix, and the resolved
+    source config feeds the connector option map."""
+    from datetime import datetime
+
+    from kinesis_to_firehose_spark.streaming.config import (
+        REQUIRED_ENV,
+        config_from_env,
+    )
+
+    full = {
+        "KINESIS_AWS_REGION": "us-west-2",
+        "KINESIS_STREAM_NAME": "logs",
+        "KINESIS_APPLICATION_NAME": "k2f",
+        "KINESIS_INITIAL_POSITION": "TRIM_HORIZON",
+        "FIREHOSE_AWS_REGION": "us-west-1",
+        "FIREHOSE_STREAM_NAME": "archive",
+        "FIREHOSE_AWS_ENDPOINT": "https://firehose.us-west-1.amazonaws.com",
+        "LOG_FILE": "/tmp/failed",
+        "READ_RATE_LIMIT": "300",
+        "_DEPLOY_ENV": "production",
+    }
+    cfg = config_from_env(full, now=datetime(2026, 8, 14, 12, 0, 5))
+    assert cfg.failed_logs_file == "/tmp/failed.2026-08-14T12:00:05.log"
+    assert cfg.source.read_rate_limit == 300
+    assert cfg.source.initial_position == "TRIM_HORIZON"
+    assert cfg.batch_count == 500 and cfg.batch_interval_s == 10.0
+    assert cfg.batch_size == 4 * 1024 * 1024
+    opts = cfg.source.reader_options()
+    assert opts["streamName"] == "logs"
+    assert opts["startingPosition"] == "trim_horizon"
+    # rate limit caps the per-shard fetch
+    assert opts["kinesis.executor.maxFetchRecordsPerShard"] == "300"
+
+    for var in REQUIRED_ENV:
+        broken = dict(full)
+        broken[var] = ""
+        with pytest.raises(ValueError, match=var):
+            config_from_env(broken)
+
+    bad = dict(full)
+    bad["READ_RATE_LIMIT"] = "fast"
+    with pytest.raises(ValueError, match="must be an int"):
+        config_from_env(bad)
