@@ -181,8 +181,7 @@ _DS_LEVEL_SQL = (
     "CASE WHEN value < 50 THEN 'warning' WHEN value < 90 THEN 'critical' END"
 )
 
-DROP_STATS_SQL = f"""
-WITH base AS (
+_DS_PRE_CTES = f"""base AS (
   SELECT date_trunc('minute', ts) AS minute,
          COALESCE({_DS_APP_SQL}, '_UNKNOWN_') AS app,
          COALESCE({_DS_LEVEL_SQL}, 'debug') AS level
@@ -191,7 +190,10 @@ WITH base AS (
 ),
 pre AS (
   SELECT minute, app, level, COUNT(*) AS n FROM base GROUP BY 1, 2, 3
-)
+)"""
+
+DROP_STATS_SQL = f"""
+WITH {_DS_PRE_CTES}
 SELECT minute, 'app' AS metric, app AS key, CAST(SUM(n) AS BIGINT) AS n
 FROM pre GROUP BY minute, app
 UNION ALL
@@ -379,3 +381,78 @@ def parse_syslog_lines(lines: DataFrame) -> DataFrame:
         F.get_json_object(payload, "$.k").try_cast("int").alias("payload_k"),
         F.get_json_object(payload, "$.title").alias("payload_title"),
     )
+
+
+# --------------------------------------------------------------------------
+# stats_alert_route — the ops half of the drop-stats loop: kvconfig.yml
+# routes log emissions whose title matches 'drop-stats' to an alert
+# gauge series with value_field total_dropped (kvconfig.yml:1-11). The
+# router is CONFIG-DRIVEN: KV_ROUTES mirrors the yml (matchers.title →
+# output series / stat_type / value_field) and route_stats applies any
+# such route table to a (title, minute, field, value) emission stream.
+# Scale shape: the emissions table is minutes-sized (drop_stats'
+# 'total' rows), so routing is a narrow filter+project per route over
+# a tiny table — the raw log is touched only by drop_stats' one
+# pre-aggregation.
+# --------------------------------------------------------------------------
+KV_ROUTES = {
+    # kvconfig.yml: dropped-logs-alert
+    "dropped-logs-alert": {
+        "title": "drop-stats",
+        "series": "kinesis-to-firehose-log-search.drop-stats",
+        "stat_type": "gauge",
+        "value_field": "total_dropped",
+    },
+}
+
+
+def route_stats(
+    emissions: DataFrame, routes: dict[str, dict[str, str]] = KV_ROUTES
+) -> DataFrame:
+    """Apply a kvconfig-style route table to metric emissions
+    (title, minute, field, value): each route keeps emissions whose
+    title matches its matcher and projects the configured value_field
+    into a (route, series, stat_type, minute, value) gauge row."""
+    parts = [
+        emissions.filter(
+            (F.col("title") == r["title"])
+            & (F.col("field") == r["value_field"])
+        ).select(
+            F.lit(name).alias("route"),
+            F.lit(r["series"]).alias("series"),
+            F.lit(r["stat_type"]).alias("stat_type"),
+            "minute",
+            F.col("value").cast("bigint").alias("value"),
+        )
+        for name, r in sorted(routes.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("route", "minute")
+
+
+ALERT_ROUTE_SQL = f"""
+WITH {_DS_PRE_CTES},
+wide AS (
+  SELECT minute, SUM(n) AS total_dropped FROM pre GROUP BY minute
+)
+SELECT 'dropped-logs-alert' AS route,
+       'kinesis-to-firehose-log-search.drop-stats' AS series,
+       'gauge' AS stat_type, minute,
+       CAST(total_dropped AS BIGINT) AS value
+FROM wide
+ORDER BY minute
+"""
+
+
+@register("stats_alert_route", ALERT_ROUTE_SQL)
+def stats_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = drop_stats(spark, sf_dir)
+    emissions = stats.filter(F.col("metric") == "total").select(
+        F.lit("drop-stats").alias("title"),
+        "minute",
+        F.col("key").alias("field"),
+        F.col("n").alias("value"),
+    )
+    return route_stats(emissions)

@@ -1192,3 +1192,43 @@ def test_config_from_env_reference_semantics():
     bad["READ_RATE_LIMIT"] = "fast"
     with pytest.raises(ValueError, match="must be an int"):
         config_from_env(bad)
+
+
+def test_route_stats_config_driven(spark):
+    """kvconfig-style router: routes select by title AND value_field,
+    multiple routes emit independent series, non-matching emissions
+    are dropped."""
+    from kinesis_to_firehose_spark.operators.logpipe import route_stats
+
+    emissions = spark.createDataFrame(
+        [
+            ("drop-stats", "m1", "total_dropped", 7),
+            ("drop-stats", "m1", "app_count", 3),
+            ("drop-stats", "m2", "total_dropped", 9),
+            ("other-title", "m1", "total_dropped", 99),
+        ],
+        "title string, minute string, field string, value long",
+    )
+    routes = {
+        "a": {
+            "title": "drop-stats",
+            "series": "s.drop",
+            "stat_type": "gauge",
+            "value_field": "total_dropped",
+        },
+        "b": {
+            "title": "drop-stats",
+            "series": "s.apps",
+            "stat_type": "gauge",
+            "value_field": "app_count",
+        },
+    }
+    got = {
+        (r["route"], r["minute"]): (r["series"], r["value"])
+        for r in route_stats(emissions, routes).collect()
+    }
+    assert got == {
+        ("a", "m1"): ("s.drop", 7),
+        ("a", "m2"): ("s.drop", 9),
+        ("b", "m1"): ("s.apps", 3),
+    }
