@@ -2062,3 +2062,98 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_int8_topk — search over the QUANTIZED representation: the 4×
+# memory cut embedding_quantize buys is only real if queries never
+# touch the float vectors, so this op ranks candidates entirely from
+# int8 codes + per-vector scales — dot(q8, c8) in exact INTEGER
+# arithmetic (≤ 64·127² ≪ 2^53), dequantized once per pair by
+# score = dot · scale_q · scale_c / 127² (the symmetric-quantization
+# identity). The standard serving path for int8 vector stores.
+#
+# Determinism: integer dots are exact; the dequant expression is one
+# fixed parse tree of IEEE ops over identical inputs; 6dp round,
+# candidate_id tie-break.
+#
+# Scale shape: identical to ann_bruteforce (broadcast query side, per-
+# query window over candidates) but the candidate scan reads 64 bytes
+# + one double per vector instead of 256 float bytes — the bandwidth
+# cut IS the point; composes with IVF/LSH pruning unchanged.
+# --------------------------------------------------------------------------
+_Q8_SPARK = (
+    "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 127.0 "
+    "/ ma, 0) AS BIGINT))"
+)
+_MA_SPARK = "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+_Q8_DOT_SPARK = (
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), "
+    "(acc, v) -> acc + v)"
+)
+
+INT8_SQL = f"""
+WITH ma AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS ma
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id, ma,
+         list_transform(embedding,
+           v -> CAST(ROUND(v::DOUBLE * 127.0 / ma, 0) AS BIGINT)) AS q
+  FROM ma
+  WHERE ma > 0
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
+         ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, len(a.q) + 1),
+             i -> a.q[i] * b.q[i])), (x, y) -> x + y) AS DOUBLE)
+           * a.ma * b.ma / 16129.0, 6) AS score
+  FROM q8 a
+  JOIN q8 b ON a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+)
+SELECT query_id, candidate_id, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score DESC, candidate_id
+       ) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("ann_int8_topk", INT8_SQL)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    q8 = (
+        e.withColumn("ma", F.expr(_MA_SPARK))
+        .filter(F.col("ma") > 0)
+        .select("vec_id", "ma", F.expr(_Q8_SPARK).alias("q"))
+    )
+    qs = q8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ma").alias("ma_q"),
+        F.col("q").alias("qa"),
+    )
+    cs = q8.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("ma").alias("ma_c"),
+        F.col("q").alias("qb"),
+    )
+    score = F.round(
+        F.expr(
+            f"CAST({_Q8_DOT_SPARK} AS DOUBLE) * ma_q * ma_c / 16129.0"
+        ),
+        6,
+    )
+    scored = cs.join(F.broadcast(qs)).select(
+        "query_id", "candidate_id", score.alias("score")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("score"), "candidate_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

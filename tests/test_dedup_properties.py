@@ -772,3 +772,45 @@ def test_ivfpq_cells_consistent_and_recall(spark):
     ex = {(r["query_id"], r["candidate_id"]) for r in exact.collect()}
     got = {(r["query_id"], r["candidate_id"]) for r in res}
     assert len(ex & got) / len(ex) >= 0.2
+
+
+def test_int8_search_matches_exact_dot(spark):
+    """Quantized serving path: int8-code ranking recovers ≥90% of the
+    exact float-dot top-10 (1/127-per-axis quantization error is far
+    smaller than typical score gaps)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from kinesis_to_firehose_spark.operators.dedup import dot_expr
+    from kinesis_to_firehose_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_int8_topk,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    e = load(spark, "embeddings", sf).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("ce")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("dot"), "candidate_id")
+    exact = (
+        c.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.expr(dot_expr("qe", "ce", "spark")).alias("dot"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    ex = {(r["query_id"], r["candidate_id"]) for r in exact.collect()}
+    got = {
+        (r["query_id"], r["candidate_id"])
+        for r in ann_int8_topk(spark, sf).collect()
+    }
+    assert len(ex & got) / len(ex) >= 0.9

@@ -185,6 +185,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "quantile_normalize",    # 1-row global-count scalar
         "keyness_terms",         # 1-row grand-total scalar cross
         "doc_tf_search",         # 5 query docs × candidates
+        "ann_int8_topk",         # 5 query vectors × candidates
     }
     STREAMING = {
         "firehose_sink",
