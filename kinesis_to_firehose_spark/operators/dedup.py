@@ -1939,3 +1939,100 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_eval — index-quality evaluation as a query: score the
+# minhash-LSH near-dup detector (est_jaccard ≥ τ over banded
+# candidates) against the exact n-gram-Jaccard pairs at the same
+# threshold — precision / recall / F1 of the sketch, computed at
+# corpus scale in one plan. The per-corpus quality dashboard that
+# tells you whether 32 perms / 8 bands is enough BEFORE you trust the
+# index (the pytest banded-recall study answers the same question on
+# planted data; this op answers it on the real corpus).
+#
+# Scale shape: both pair sets come from the already-bounded band /
+# capped-inverted-index joins; the eval itself is a full-outer join of
+# two pair lists (≪ corpus) and one 1-row aggregate.
+# --------------------------------------------------------------------------
+MINHASH_EVAL_SQL = f"""
+WITH pred AS (
+  SELECT doc_id_1, doc_id_2
+  FROM ({MINHASH_SQL})
+  WHERE est_jaccard >= {JACCARD_TAU}
+),
+truth AS (
+  SELECT doc_id_1, doc_id_2 FROM ({NGRAM_JACCARD_SQL})
+),
+j AS (
+  SELECT CASE WHEN p.doc_id_1 IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+         CASE WHEN t.doc_id_1 IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+  FROM pred p
+  FULL OUTER JOIN truth t
+    ON p.doc_id_1 = t.doc_id_1 AND p.doc_id_2 = t.doc_id_2
+),
+agg AS (
+  SELECT SUM(in_pred)::BIGINT AS n_pred,
+         SUM(in_truth)::BIGINT AS n_true,
+         SUM(in_pred * in_truth)::BIGINT AS n_hit
+  FROM j
+),
+pr AS (
+  SELECT n_pred, n_true, n_hit,
+         CASE WHEN n_pred = 0 THEN 0.0
+              ELSE n_hit::DOUBLE / n_pred::DOUBLE END AS p,
+         CASE WHEN n_true = 0 THEN 0.0
+              ELSE n_hit::DOUBLE / n_true::DOUBLE END AS r
+  FROM agg
+)
+SELECT n_pred, n_true, n_hit,
+       ROUND(p, 6) AS precision,
+       ROUND(r, 6) AS recall,
+       ROUND(CASE WHEN p + r = 0.0 THEN 0.0
+                  ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+FROM pr
+"""
+
+
+@register("dedup_minhash_eval", MINHASH_EVAL_SQL)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= JACCARD_TAU)
+        .select("doc_id_1", "doc_id_2")
+        .withColumn("in_pred", F.lit(1))
+    )
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .withColumn("in_truth", F.lit(1))
+    )
+    j = pred.join(truth, ["doc_id_1", "doc_id_2"], "full_outer").select(
+        F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+        F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+    )
+    agg = j.agg(
+        F.sum("in_pred").cast("bigint").alias("n_pred"),
+        F.sum("in_truth").cast("bigint").alias("n_true"),
+        F.sum(F.col("in_pred") * F.col("in_truth"))
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    p = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_pred").cast("double")
+    )
+    r = F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_true").cast("double")
+    )
+    pr = agg.select("n_pred", "n_true", "n_hit", p.alias("p"), r.alias("r"))
+    f1 = F.when(F.col("p") + F.col("r") == 0.0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    )
+    return pr.select(
+        "n_pred",
+        "n_true",
+        "n_hit",
+        F.round("p", 6).alias("precision"),
+        F.round("r", 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -787,3 +787,118 @@ def doc_tf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HTF_TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# lang_id_confusion — model evaluation as a first-class query: score
+# the lang-ID heuristic against the gold `lang` column and emit
+# per-class precision / recall / F1 from the confusion counts — the
+# classifier-eval harness every labeling/filtering model in a training
+# pipeline needs, run at corpus scale as one aggregation.
+#
+# Determinism: the confusion matrix is exact integer counts; P/R are
+# single divisions of exact ints cast to double; F1 is one fixed
+# expression tree over those doubles (0 when P+R = 0); 6dp round.
+#
+# Scale shape: one groupBy to the (gold, pred) matrix (≤ langs²
+# rows, map-side combined) — every metric after that runs on the tiny
+# matrix. The corpus is scanned once.
+# --------------------------------------------------------------------------
+LANG_CONF_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_HIT_COLS_SQL}
+  FROM documents
+),
+pred AS (
+  SELECT lang AS gold,
+         CASE
+           WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+           WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+           WHEN es_hits >= fr_hits THEN 'es'
+           ELSE 'fr'
+         END AS p
+  FROM scored
+),
+conf AS (
+  SELECT gold, p, COUNT(*)::BIGINT AS n FROM pred GROUP BY gold, p
+),
+golds AS (
+  SELECT gold AS cls, SUM(n)::BIGINT AS n_gold FROM conf GROUP BY gold
+),
+preds AS (
+  SELECT p AS cls, SUM(n)::BIGINT AS n_pred FROM conf GROUP BY p
+),
+tps AS (
+  SELECT gold AS cls, n AS tp FROM conf WHERE gold = p
+),
+m AS (
+  SELECT g.cls, g.n_gold,
+         COALESCE(pr.n_pred, 0)::BIGINT AS n_pred,
+         COALESCE(t.tp, 0)::BIGINT AS tp
+  FROM golds g
+  LEFT JOIN preds pr ON pr.cls = g.cls
+  LEFT JOIN tps t ON t.cls = g.cls
+),
+pr AS (
+  SELECT cls, n_gold, n_pred, tp,
+         CASE WHEN n_pred = 0 THEN 0.0
+              ELSE tp::DOUBLE / n_pred::DOUBLE END AS p,
+         CASE WHEN n_gold = 0 THEN 0.0
+              ELSE tp::DOUBLE / n_gold::DOUBLE END AS r
+  FROM m
+)
+SELECT cls AS lang, n_gold, n_pred, tp,
+       ROUND(p, 6) AS precision,
+       ROUND(r, 6) AS recall,
+       ROUND(CASE WHEN p + r = 0.0 THEN 0.0
+                  ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+FROM pr
+ORDER BY lang
+"""
+
+
+@register("lang_id_confusion", LANG_CONF_SQL)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("gold"), F.col("predicted_lang").alias("p")
+    )
+    conf = pred.groupBy("gold", "p").agg(F.count("*").alias("n"))
+    golds = conf.groupBy(F.col("gold").alias("cls")).agg(
+        F.sum("n").alias("n_gold")
+    )
+    preds = conf.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tps = conf.filter(F.col("gold") == F.col("p")).select(
+        F.col("gold").alias("cls"), F.col("n").alias("tp")
+    )
+    m = (
+        golds.join(preds, "cls", "left")
+        .join(tps, "cls", "left")
+        .select(
+            "cls",
+            "n_gold",
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    p = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    )
+    r = F.when(F.col("n_gold") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / F.col("n_gold").cast("double")
+    )
+    pr = m.select("cls", "n_gold", "n_pred", "tp", p.alias("p"), r.alias("r"))
+    f1 = F.when(F.col("p") + F.col("r") == 0.0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    )
+    return pr.select(
+        F.col("cls").alias("lang"),
+        "n_gold",
+        "n_pred",
+        "tp",
+        F.round("p", 6).alias("precision"),
+        F.round("r", 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("lang")
