@@ -902,3 +902,42 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# unpivot_quality — the UNPIVOT/melt twin of pivot_events: the wide
+# per-doc quality metrics fold to long (doc_id, metric, value) rows
+# via stack() — the shape metric stores and plotting layers ingest.
+# Pure narrow map (each input row emits 5 rows, no shuffle); the
+# oracle states the same melt as a UNION ALL.
+# --------------------------------------------------------------------------
+_UNPIVOT_METRICS = (
+    "n_chars_calc",
+    "n_tokens",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+)
+
+UNPIVOT_SQL = (
+    "WITH q AS (" + QUALITY_SQL.replace("ORDER BY doc_id", "") + ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{m}' AS metric, CAST({m} AS DOUBLE) AS value FROM q"
+        for m in _UNPIVOT_METRICS
+    )
+    + "\nORDER BY doc_id, metric"
+)
+
+
+@register("unpivot_quality", UNPIVOT_SQL)
+def unpivot_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = text_quality(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) AS (metric, value)".format(
+        n=len(_UNPIVOT_METRICS),
+        args=", ".join(
+            f"'{m}', CAST({m} AS DOUBLE)" for m in _UNPIVOT_METRICS
+        ),
+    )
+    return wide.selectExpr("doc_id", stack_expr).orderBy(
+        "doc_id", "metric"
+    )
