@@ -762,3 +762,91 @@ def run_pipeline_replay(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------
+# cusum_stream — streaming drift detection: the one-sided CUSUM
+# recursion S_t = max(0, S_{t-1} + (x_t − μ − k)) maintained as
+# per-series state across micro-batches. Input is the stream of daily
+# count rows (event_type, day, x) — the change feed a windowed
+# count aggregation emits — and the baseline (μ, k) comes from
+# REFERENCE-period stats passed in as (n, sx) per series: a drift
+# detector's baseline is trained, not inferred from the live window
+# (the batch op derives the same stats from the whole series, so
+# feeding those here reproduces it bit-for-bit — asserted in tests).
+#
+# State per series is two INTEGERS in the batch op's exact 4n-scaled
+# domain (running prefix p, running min) — zero float error
+# accumulation, footprint independent of history length. The emitted
+# statistic is the same IEEE division the batch op performs
+# (s_scaled / 4n), unrounded; callers round at the query edge.
+# ---------------------------------------------------------------------
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("p", T.LongType()),
+        T.StructField("minp", T.LongType()),
+    ]
+)
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("cusum_raw", T.DoubleType()),
+        T.StructField("drifting", T.IntegerType()),
+    ]
+)
+
+
+def cusum_stream(
+    spark: SparkSession,
+    source_dir: str,
+    ref_stats: dict[str, tuple[int, int]],
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """ref_stats: event_type -> (n, sx) reference-period stats fixing
+    μ = sx/n and allowance k = μ/4. Series without a baseline are
+    skipped (no reference → no detection)."""
+    src = (
+        spark.readStream.schema("event_type string, day string, x long")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    bstats = {k: (int(n), int(sx)) for k, (n, sx) in ref_stats.items()}
+
+    def _cusum(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        et = key[0]
+        if et not in bstats:
+            return
+        n, sx = bstats[et]
+        p, minp = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values("day")
+        days, raws, drift = [], [], []
+        for row in rows.itertuples(index=False):
+            p += 4 * n * int(row.x) - 5 * sx
+            minp = min(minp, p)
+            s = p - min(minp, 0)
+            days.append(row.day)
+            raws.append(s / (4 * n))
+            drift.append(1 if s > 0 else 0)
+        state.update((p, minp))
+        yield pd.DataFrame(
+            {
+                "event_type": [et] * len(days),
+                "day": days,
+                "cusum_raw": raws,
+                "drifting": drift,
+            }
+        )
+
+    return src.groupBy(F.col("event_type")).applyInPandasWithState(
+        _cusum,
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1002,3 +1002,86 @@ def test_dedup_ingest_stream_probes_and_appends(spark, tmp_path):
         .collect()
     ]
     assert replay == got2
+
+
+def test_cusum_stream_matches_batch(spark, tmp_path):
+    """Streaming CUSUM with the batch op's whole-series stats as the
+    reference baseline must reproduce cusum_changepoint row-for-row
+    (exact integer state carried across micro-batches; the emitted
+    raw statistic is the same IEEE division, rounded here at the
+    query edge like the batch op)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.pipeline import cusum_stream
+
+    sf = "/root/testdata/sf0.01"
+    e = load(spark, "events", sf)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+        .orderBy("day")
+    )
+    stats = {
+        r["event_type"]: (r["n"], r["sx"])
+        for r in daily.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+        .collect()
+    }
+    rows = daily.collect()
+    days = sorted({r["day"] for r in rows})
+    # three chronological slices, one file per trigger
+    src = tmp_path / "daily_src"
+    src.mkdir()
+    cut1, cut2 = days[len(days) // 3], days[2 * len(days) // 3]
+    slices = [
+        [r for r in rows if r["day"] <= cut1],
+        [r for r in rows if cut1 < r["day"] <= cut2],
+        [r for r in rows if r["day"] > cut2],
+    ]
+    import time
+
+    for i, sl in enumerate(slices):
+        pd.DataFrame(
+            {
+                "event_type": [r["event_type"] for r in sl],
+                "day": [r["day"] for r in sl],
+                "x": [r["x"] for r in sl],
+            }
+        ).to_parquet(str(src / f"slice-{i}.parquet"))
+        time.sleep(0.05)  # strictly increasing mtimes → ordered replay
+
+    emitted = []
+
+    def sink(df, batch_id):
+        emitted.append((batch_id, df.collect()))
+
+    q = (
+        cusum_stream(spark, str(src), stats)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len([b for b, r in emitted if r]) >= 3  # state crossed batches
+
+    got_rows = [r for _, rs in emitted for r in rs]
+    got_df = spark.createDataFrame(got_rows).select(
+        "event_type",
+        "day",
+        F.round("cusum_raw", 6).alias("cusum_stat"),
+        F.col("drifting").cast("int").alias("drifting"),
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    batch = sorted(
+        (r["event_type"], r["day"], r["cusum_stat"], r["drifting"])
+        for r in all_ops()["cusum_changepoint"].fn(spark, sf).collect()
+    )
+    assert got == batch
