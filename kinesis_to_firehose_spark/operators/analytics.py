@@ -3746,3 +3746,108 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("month").cast("bigint").alias("mo"),
         F.sum("d").over(w).cast("bigint").alias("open_orders"),
     ).orderBy("yr", "mo")
+
+
+# --------------------------------------------------------------------------
+# window_funnel_levels — time-constrained multi-step funnel (the
+# ClickHouse windowFunnel shape, first-anchor variant): a user's chain
+# is anchored at their FIRST click; level 2 requires a view strictly
+# after the anchor and within FUNNEL_WINDOW of it, level 3 a purchase
+# strictly after that view, still inside the anchor's window. Emits
+# the level histogram — the drop-off curve product analytics reads.
+# (True windowFunnel slides the anchor over every candidate start;
+# first-anchor is the deterministic, join-bounded variant — each step
+# is one conditional MIN, not a search.)
+#
+# Determinism/scale: every step is a user-keyed equi-join + MIN
+# aggregate on the SAME user grain (no range-driven pair space);
+# window bounds use native timestamp INTERVAL arithmetic, not
+# seconds-cast (a cast truncates to whole seconds and flips boundary
+# events — the attribution_last_touch lesson). Result is 4 rows.
+# --------------------------------------------------------------------------
+FUNNEL_WINDOW_HOURS = 24  # sized so all levels fire at the sf0.01 gate
+
+WINDOW_FUNNEL_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND t1.t1 IS NOT NULL
+    AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2
+    AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+lv AS (
+  SELECT t1.user_id,
+         CASE WHEN s3.t3 IS NOT NULL THEN 3
+              WHEN s2.t2 IS NOT NULL THEN 2
+              WHEN t1.t1 IS NOT NULL THEN 1
+              ELSE 0 END AS level
+  FROM t1
+  LEFT JOIN s2 ON t1.user_id = s2.user_id
+  LEFT JOIN s3 ON t1.user_id = s3.user_id
+)
+SELECT level, COUNT(*)::BIGINT AS n_users
+FROM lv GROUP BY level ORDER BY level
+"""
+
+
+@register("window_funnel_levels", WINDOW_FUNNEL_SQL)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    bound = f"t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"
+    t1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t1"
+        )
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .filter(
+            F.col("t1").isNotNull()
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.expr(bound))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2")) & (F.col("ts") <= F.expr(bound))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lv = (
+        t1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return (
+        lv.groupBy("level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("level")
+    )

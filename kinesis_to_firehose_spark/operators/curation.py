@@ -2015,3 +2015,105 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# fim_split — fill-in-the-middle training splits (Bavarian et al.
+# 2022, "Efficient Training of Language Models to Fill in the
+# Middle"): each document is cut into (prefix, middle, suffix) at
+# deterministic positions and tagged PSM or SPM 50/50 — the standard
+# FIM data transformation, with md5-keyed draws standing in for the
+# training RNG so the split is reproducible and engine-checkable.
+#
+# Cut arithmetic is pure integer (md5-derived BIGINTs mod bounded
+# spans, 1-based substr in both engines); the gate compares part
+# LENGTHS and md5s of the parts, not the raw strings. Pure narrow
+# map — zero shuffles.
+# --------------------------------------------------------------------------
+def _fim_h(tag: str, engine: str) -> str:
+    if engine == "spark":
+        return (
+            f"CAST(conv(substring(md5(concat('{tag}:', "
+            "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    return (
+        f"(('0x' || substr(md5('{tag}:' || CAST(doc_id AS VARCHAR)), "
+        "1, 8))::BIGINT)"
+    )
+
+
+FIM_SQL = f"""
+WITH cuts AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         1 + ({_fim_h('fim1', 'duck')} %
+              GREATEST(LENGTH(text) - 2, 1)) AS m_start,
+         {_fim_h('fim2', 'duck')} AS h2,
+         {_fim_h('fim3', 'duck')} % 2 AS m
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, text, n, m_start,
+         1 + (h2 % GREATEST(n - m_start, 1)) AS m_len,
+         CASE WHEN m = 0 THEN 'psm' ELSE 'spm' END AS mode
+  FROM cuts
+),
+parts AS (
+  SELECT doc_id, mode,
+         substr(text, 1, m_start - 1) AS p,
+         substr(text, m_start, m_len) AS mi,
+         substr(text, m_start + m_len) AS s
+  FROM spans
+)
+SELECT doc_id, mode,
+       LENGTH(p)::BIGINT AS n_prefix,
+       LENGTH(mi)::BIGINT AS n_middle,
+       LENGTH(s)::BIGINT AS n_suffix,
+       md5(p) AS prefix_md5, md5(mi) AS middle_md5, md5(s) AS suffix_md5
+FROM parts
+ORDER BY doc_id
+"""
+
+
+@register("fim_split", FIM_SQL)
+def fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    cuts = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        (
+            F.lit(1)
+            + F.expr(_fim_h("fim1", "spark"))
+            % F.greatest(F.length("text") - 2, F.lit(1))
+        ).alias("m_start"),
+        F.expr(_fim_h("fim2", "spark")).alias("h2"),
+        (F.expr(_fim_h("fim3", "spark")) % 2).alias("m"),
+    )
+    spans = cuts.select(
+        "doc_id",
+        "text",
+        "m_start",
+        (
+            F.lit(1)
+            + F.col("h2")
+            % F.greatest(F.col("n") - F.col("m_start"), F.lit(1))
+        ).alias("m_len"),
+        F.when(F.col("m") == 0, "psm").otherwise("spm").alias("mode"),
+    )
+    parts = spans.select(
+        "doc_id",
+        "mode",
+        F.expr("substr(text, 1, m_start - 1)").alias("p"),
+        F.expr("substr(text, m_start, m_len)").alias("mi"),
+        F.expr("substr(text, m_start + m_len)").alias("s"),
+    )
+    return parts.select(
+        "doc_id",
+        "mode",
+        F.length("p").cast("bigint").alias("n_prefix"),
+        F.length("mi").cast("bigint").alias("n_middle"),
+        F.length("s").cast("bigint").alias("n_suffix"),
+        F.md5("p").alias("prefix_md5"),
+        F.md5("mi").alias("middle_md5"),
+        F.md5("s").alias("suffix_md5"),
+    ).orderBy("doc_id")
