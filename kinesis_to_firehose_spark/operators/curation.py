@@ -2117,3 +2117,105 @@ def fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("mi").alias("middle_md5"),
         F.md5("s").alias("suffix_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# length_bucket_batches — pad-aware batching: group documents into
+# fixed-size training batches per language two ways — ARRIVAL order
+# (doc_id) vs LENGTH-SORTED (the standard bucketed-batching trick) —
+# and report each strategy's padding waste (Σ per batch of
+# max_len·count − Σlen, the tokens burned padding to the batch max).
+# The quantified justification for length bucketing in a training
+# dataloader, computed corpus-wide as two windows on one lang shuffle.
+#
+# Determinism: token counts are exact ints (whitespace tokenizer);
+# waste sums are exact integer aggregates; the savings ratio is one
+# double division rounded at the edge.
+# --------------------------------------------------------------------------
+BATCH_DOCS = 16
+
+LENGTH_BUCKET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({TOK_SQL}) AS n_tok FROM documents
+),
+arrival AS (
+  SELECT lang, (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                - 1) // {BATCH_DOCS} AS b, n_tok
+  FROM toks
+),
+srt AS (
+  SELECT lang, (ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_tok, doc_id)
+                - 1) // {BATCH_DOCS} AS b, n_tok
+  FROM toks
+),
+wa AS (
+  SELECT lang, SUM(mx * cnt - s) AS waste
+  FROM (
+    SELECT lang, b, MAX(n_tok) AS mx, COUNT(*) AS cnt, SUM(n_tok) AS s
+    FROM arrival GROUP BY lang, b
+  ) GROUP BY lang
+),
+ws AS (
+  SELECT lang, SUM(mx * cnt - s) AS waste
+  FROM (
+    SELECT lang, b, MAX(n_tok) AS mx, COUNT(*) AS cnt, SUM(n_tok) AS s
+    FROM srt GROUP BY lang, b
+  ) GROUP BY lang
+)
+SELECT wa.lang,
+       wa.waste::BIGINT AS waste_arrival,
+       ws.waste::BIGINT AS waste_sorted,
+       ROUND(CASE WHEN wa.waste = 0 THEN 0.0
+                  ELSE 1.0 - ws.waste::DOUBLE / wa.waste::DOUBLE END,
+             6) AS savings
+FROM wa JOIN ws ON wa.lang = ws.lang
+ORDER BY wa.lang
+"""
+
+
+def _batch_waste(toks: DataFrame, order_cols: list) -> DataFrame:
+    w = W.partitionBy("lang").orderBy(*order_cols)
+    b = F.floor((F.row_number().over(w) - 1) / BATCH_DOCS)
+    return (
+        toks.withColumn("b", b)
+        .groupBy("lang", "b")
+        .agg(
+            F.max("n_tok").alias("mx"),
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").alias("s"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("mx") * F.col("cnt") - F.col("s")).alias("waste")
+        )
+    )
+
+
+@register("length_bucket_batches", LENGTH_BUCKET_SQL)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", "lang", F.size(F.expr(TOK_EXPR)).alias("n_tok")
+    )
+    wa = _batch_waste(toks, [F.col("doc_id")]).withColumnRenamed(
+        "waste", "waste_arrival"
+    )
+    ws = _batch_waste(toks, [F.col("n_tok"), F.col("doc_id")]).withColumnRenamed(
+        "waste", "waste_sorted"
+    )
+    savings = F.when(F.col("waste_arrival") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.col("waste_sorted").cast("double")
+        / F.col("waste_arrival").cast("double")
+    )
+    return (
+        wa.join(ws, "lang")
+        .select(
+            "lang",
+            F.col("waste_arrival").cast("bigint").alias("waste_arrival"),
+            F.col("waste_sorted").cast("bigint").alias("waste_sorted"),
+            F.round(savings, 6).alias("savings"),
+        )
+        .orderBy("lang")
+    )
