@@ -850,3 +850,31 @@ def cusum_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# hll_stream — streaming mergeable-sketch maintenance: per-(type, day)
+# Datasketches HLL sketches of distinct users kept in the STATE STORE
+# by a watermarked streaming aggregation (update mode re-emits a key's
+# current sketch as it absorbs records). The sink keeps the latest
+# binary per key; weekly/monthly rollups are hll_union_agg over those
+# kilobyte sketches — the streaming half of hll_partition_merge's
+# 100 TB cardinality pattern (daily partitions aggregate once; every
+# later grain is sketch-union, never a raw rescan).
+# ---------------------------------------------------------------------
+def hll_stream(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "40 days",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    src = file_stream_source(spark, source_dir, max_files_per_trigger)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("week", F.col("ts")).alias("week"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )

@@ -1085,3 +1085,56 @@ def test_cusum_stream_matches_batch(spark, tmp_path):
         for r in all_ops()["cusum_changepoint"].fn(spark, sf).collect()
     )
     assert got == batch
+
+
+def test_hll_stream_weekly_merge_matches_batch(spark, tmp_path):
+    """Streaming HLL maintenance: the state-store sketches (latest
+    update per (type, day) key), merged upward with hll_union_agg,
+    must equal hll_partition_merge's batch weekly estimates exactly
+    (same sketch algorithm, same lgK ⇒ identical estimates)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.streaming.pipeline import hll_stream
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    write_source_slice(spark, sf, src, n_files=3)
+
+    latest = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            latest[(r["event_type"], r["week"], r["day"])] = r["sk"]
+
+    q = (
+        hll_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert latest
+
+    sk_df = spark.createDataFrame(
+        [(et, wk, d, bytes(sk)) for (et, wk, d), sk in latest.items()],
+        "event_type string, week timestamp, day date, sk binary",
+    )
+    merged = {
+        (r["event_type"], r["week"]): (r["n_days"], r["approx_users"])
+        for r in sk_df.groupBy("event_type", "week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("bigint")
+            .alias("approx_users"),
+        )
+        .collect()
+    }
+    batch = {
+        (r["event_type"], r["week"]): (r["n_days"], r["approx_users"])
+        for r in all_ops()["hll_partition_merge"].fn(spark, sf).collect()
+    }
+    assert merged == batch
