@@ -1232,3 +1232,66 @@ def test_route_stats_config_driven(spark):
         ("a", "m2"): ("s.drop", 9),
         ("b", "m1"): ("s.apps", 3),
     }
+
+
+def test_dedup_index_bloom_and_compaction(spark, tmp_path):
+    """Operational half of the index: (1) the bloom sidecar OR-merges
+    on append and the bloomed probe equals the plain probe
+    bit-for-bit (no false negatives — every exact dup still caught);
+    (2) compacting an epoch store to flat preserves probe results
+    while collapsing the epoch dirs."""
+    import os
+
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        attach_bloom,
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup_index,
+        probe_dedup_index_bloomed,
+        read_bloom,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    d = load(spark, "documents", sf).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 10 > 1)
+    b1 = d.filter(F.col("doc_id") % 10 == 1)
+    b2 = d.filter(F.col("doc_id") % 10 == 0)
+
+    # --- bloom on a flat store
+    flat = str(tmp_path / "flat")
+    build_dedup_index(spark, base, flat)
+    attach_bloom(spark, base, flat)
+    assert read_bloom(flat) is not None
+    plain = [tuple(r) for r in probe_dedup_index(spark, b2, flat).collect()]
+    bloomed = [
+        tuple(r)
+        for r in probe_dedup_index_bloomed(spark, b2, flat).collect()
+    ]
+    assert bloomed == plain
+    # append b1 and OR its bloom in: dups of b1 members must be caught
+    before = list(read_bloom(flat)["words"])
+    build_dedup_index(spark, b1, flat, mode="append")
+    attach_bloom(spark, b1, flat)
+    after = read_bloom(flat)["words"]
+    assert all((a & b) == b for a, b in zip(after, before))  # OR-merge
+    plain2 = [tuple(r) for r in probe_dedup_index(spark, b2, flat).collect()]
+    bloomed2 = [
+        tuple(r)
+        for r in probe_dedup_index_bloomed(spark, b2, flat).collect()
+    ]
+    assert bloomed2 == plain2
+
+    # --- compaction of an epoch store
+    ep = str(tmp_path / "ep")
+    build_dedup_index(spark, base, ep, epoch=0)
+    build_dedup_index(spark, b1, ep, epoch=1)
+    want = [tuple(r) for r in probe_dedup_index(spark, b2, ep).collect()]
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(f"{ep}/fp"))
+    compact_dedup_index(spark, ep)
+    assert not any(
+        e.startswith("epoch=") for e in os.listdir(f"{ep}/fp")
+    )
+    got = [tuple(r) for r in probe_dedup_index(spark, b2, ep).collect()]
+    assert got == want
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(f"{ep}/fp"))
+    assert n_files_after < n_files_before
