@@ -1,0 +1,72 @@
+"""CLI entrypoint — the engine drivable as an app, the way the
+reference ships a runnable binary (main.go):
+
+    python -m kinesis_to_firehose_spark list
+    python -m kinesis_to_firehose_spark run q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01 --limit 20 [--explain] [--json]
+    python -m kinesis_to_firehose_spark oracle q1_pricing_summary
+
+`list` prints every registered operator with its oracle status;
+`run` executes one against the given testdata dir (table view or
+JSON lines); `oracle` prints the op's DuckDB twin SQL. Exit code 2
+for unknown ops, mirroring argparse conventions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kinesis_to_firehose_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered operators")
+    runp = sub.add_parser("run", help="run one operator")
+    runp.add_argument("op")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--explain", action="store_true")
+    runp.add_argument("--json", action="store_true", dest="as_json")
+    runp.add_argument("--cpus", type=int, default=None)
+    orap = sub.add_parser("oracle", help="print an op's DuckDB SQL twin")
+    orap.add_argument("op")
+    args = ap.parse_args(argv)
+
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    ops = all_ops()
+    if args.cmd == "list":
+        for name in sorted(ops):
+            kind = "oracle" if ops[name].sql is not None else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if args.op not in ops:
+        print(f"unknown op: {args.op!r} (see `list`)", file=sys.stderr)
+        return 2
+    if args.cmd == "oracle":
+        sql = ops[args.op].sql
+        if sql is None:
+            print(f"{args.op} has no SQL oracle (rows-only)", file=sys.stderr)
+            return 1
+        print(sql.strip())
+        return 0
+
+    from kinesis_to_firehose_spark.session import get_spark
+
+    spark = get_spark(f"cli-{args.op}", cpus=args.cpus)
+    df = ops[args.op].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    if args.as_json:
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

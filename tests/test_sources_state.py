@@ -1295,3 +1295,22 @@ def test_dedup_index_bloom_and_compaction(spark, tmp_path):
     assert got == want
     n_files_after = sum(len(fs) for _, _, fs in os.walk(f"{ep}/fp"))
     assert n_files_after < n_files_before
+
+
+def test_cli_list_and_oracle(capsys):
+    """CLI surface: `list` names every registry op with its oracle
+    status, `oracle` prints the SQL twin, unknown ops exit 2 (no
+    Spark session needed for any of these paths)."""
+    from kinesis_to_firehose_spark.__main__ import main
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == len(all_ops())
+    assert any(line.startswith("q1_pricing_summary\toracle") for line in out)
+
+    assert main(["oracle", "q6_forecast_revenue"]) == 0
+    assert "FROM lineitem" in capsys.readouterr().out
+
+    assert main(["run", "definitely_not_an_op"]) == 2
+    assert main(["oracle", "hll_partition_merge"]) == 1  # rows-only
