@@ -3851,3 +3851,134 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("level")
     )
+
+
+# --------------------------------------------------------------------------
+# asof_join_nearest — the full merge_asof surface (pandas direction=
+# 'nearest' + tolerance): for each purchase, the nearest click by the
+# same user in EITHER direction, matched only within a 30-minute
+# tolerance. backward = carry-forward MAX window (as asof_join),
+# forward = the mirrored MIN-following window — nearest picks the
+# smaller absolute gap, ties resolved backward (deterministic).
+# Gap arithmetic is exact integer MICROSECONDS (unix_micros /
+# epoch_us) — a seconds cast truncates and flips boundary ties (the
+# attribution_last_touch lesson). Both windows ride ONE user shuffle.
+# --------------------------------------------------------------------------
+ASOF_TOL_US = 30 * 60 * 1_000_000  # 30 min
+
+ASOF_NEAREST_SQL = f"""
+WITH enriched AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS bwd,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS fwd
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - epoch_us(bwd) AS db,
+         epoch_us(fwd) - epoch_us(ts) AS df,
+         bwd, fwd
+  FROM enriched WHERE event_type = 'purchase'
+),
+chosen AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN bwd IS NULL AND fwd IS NULL THEN NULL
+              WHEN fwd IS NULL THEN bwd
+              WHEN bwd IS NULL THEN fwd
+              WHEN db <= df THEN bwd ELSE fwd END AS m,
+         CASE WHEN bwd IS NULL AND fwd IS NULL THEN NULL
+              WHEN fwd IS NULL THEN db
+              WHEN bwd IS NULL THEN df
+              WHEN db <= df THEN db ELSE df END AS gap_us,
+         CASE WHEN bwd IS NULL AND fwd IS NULL THEN NULL
+              WHEN fwd IS NULL THEN 'backward'
+              WHEN bwd IS NULL THEN 'forward'
+              WHEN db <= df THEN 'backward' ELSE 'forward' END AS direction
+  FROM p
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN gap_us <= {ASOF_TOL_US} THEN m END AS nearest_click_ts,
+       CASE WHEN gap_us <= {ASOF_TOL_US} THEN direction END AS direction,
+       CASE WHEN gap_us <= {ASOF_TOL_US} THEN gap_us END AS gap_us
+FROM chosen
+ORDER BY event_id
+"""
+
+
+@register("asof_join_nearest", ASOF_NEAREST_SQL)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    enriched = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(wb).alias("bwd"),
+        F.min(click_ts).over(wf).alias("fwd"),
+    )
+    p = enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros("bwd")).alias("db"),
+        (F.unix_micros("fwd") - F.unix_micros("ts")).alias("df"),
+        "bwd",
+        "fwd",
+    )
+    no_b, no_f = F.col("bwd").isNull(), F.col("fwd").isNull()
+    back = F.col("db") <= F.col("df")
+    m = (
+        F.when(no_b & no_f, F.lit(None).cast("timestamp"))
+        .when(no_f, F.col("bwd"))
+        .when(no_b, F.col("fwd"))
+        .when(back, F.col("bwd"))
+        .otherwise(F.col("fwd"))
+    )
+    gap = (
+        F.when(no_b & no_f, F.lit(None).cast("long"))
+        .when(no_f, F.col("db"))
+        .when(no_b, F.col("df"))
+        .when(back, F.col("db"))
+        .otherwise(F.col("df"))
+    )
+    direction = (
+        F.when(no_b & no_f, F.lit(None).cast("string"))
+        .when(no_f, F.lit("backward"))
+        .when(no_b, F.lit("forward"))
+        .when(back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    chosen = p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        m.alias("m"),
+        gap.alias("gap_us"),
+        direction.alias("direction"),
+    )
+    in_tol = F.col("gap_us") <= ASOF_TOL_US
+    return chosen.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("m")).alias("nearest_click_ts"),
+        F.when(in_tol, F.col("direction")).alias("direction"),
+        F.when(in_tol, F.col("gap_us")).alias("gap_us"),
+    ).orderBy("event_id")
