@@ -1650,3 +1650,227 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"), F.col("n_true") + F.col("noise")
         ).alias("n_released"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# benford_audit — first-digit fraud/fabrication screen: the leading
+# digit of order totals against Benford's law (P(d) = log10(1+1/d)),
+# with each digit's standardized deviation z = (obs − N·p) /
+# sqrt(N·p·(1−p)). Fabricated or systematically-generated amounts
+# bend this curve; it's the classic forensic-accounting audit, here
+# one corpus-wide aggregation. (TPC-H prices are uniform-ish, not
+# Benford — the op REPORTS the deviation; the law is the yardstick,
+# not an assertion about the synthetic data.)
+#
+# Determinism: digit extraction is string arithmetic on the DECIMAL
+# total (no float formatting); counts are exact ints; the Benford
+# shares are inlined double literals (computed offline — no
+# transcendentals evaluated in-engine); z is one fixed expression
+# tree, 6dp-rounded.
+# --------------------------------------------------------------------------
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124",
+    3: "0.12493873660829992", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+# CAST the literals: Spark parses bare decimal literals as DECIMAL
+# (DuckDB as DOUBLE), which would fork the output type
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+    )
+    + " END"
+)
+
+BENFORD_SQL = f"""
+WITH digits AS (
+  -- floor() explicitly: DuckDB's double→BIGINT cast ROUNDS where
+  -- Spark's truncates, flipping e.g. 89999.6 between digits 8 and 9
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT digit, COUNT(*)::BIGINT AS n FROM digits GROUP BY digit
+),
+tot AS (
+  SELECT SUM(n)::BIGINT AS nn FROM counts
+)
+SELECT digit, n,
+       ROUND(n::DOUBLE / nn::DOUBLE, 6) AS share,
+       ROUND({_BENFORD_CASE}, 6) AS benford_share,
+       ROUND((n::DOUBLE - nn::DOUBLE * ({_BENFORD_CASE}))
+             / sqrt(nn::DOUBLE * ({_BENFORD_CASE})
+                    * (1.0 - ({_BENFORD_CASE}))), 6) AS z
+FROM counts CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+@register("benford_audit", BENFORD_SQL)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    digit = F.expr(
+        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), "
+        "1, 1) AS BIGINT)"
+    )
+    counts = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("nn"))
+    p = F.expr(_BENFORD_CASE)
+    nn_d = F.col("nn").cast("double")
+    n_d = F.col("n").cast("double")
+    z = (n_d - nn_d * p) / F.sqrt(nn_d * p * (F.lit(1.0) - p))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(n_d / nn_d, 6).alias("share"),
+            F.round(p, 6).alias("benford_share"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# neyman_allocation — survey-sampling infrastructure: the optimal
+# (Neyman) allocation of a fixed sample budget across strata,
+# n_h ∝ N_h·σ_h (minimizes the variance of the stratified mean for a
+# given budget). Strata = customer nations, y = order totals, B=1000.
+# Integer allocations use largest-remainder rounding so Σn_h = B
+# exactly. The principled replacement for "sample 5% everywhere" when
+# strata variances differ.
+#
+# Determinism: σ_h comes from EXACT decimal sufficient statistics
+# (n·Σy² − (Σy)² — order-independent sums, the column_corr
+# discipline); per-stratum weights are 6dp-rounded into DECIMAL
+# before the cross-stratum total so no float sum order can fork
+# engines; remainders rank on (frac DESC, nation).
+#
+# Scale shape: one fact shuffle to stratum grain, then everything
+# runs on the ≤25-row strata table (the global remainder window
+# included — windows over STATISTICS, never over data).
+# --------------------------------------------------------------------------
+NEYMAN_B = 1000
+
+NEYMAN_SQL = f"""
+WITH y AS (
+  SELECT n_name AS nation, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+),
+st AS (
+  SELECT nation, COUNT(*)::BIGINT AS nh, SUM(y) AS sy,
+         SUM(CAST(y AS DECIMAL(38,4)) * y) AS syy
+  FROM y GROUP BY nation
+),
+w AS (
+  SELECT nation, nh,
+         sqrt((nh::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+              / (nh::DOUBLE * nh::DOUBLE)) AS sigma,
+         CAST(ROUND(nh::DOUBLE *
+           sqrt((nh::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                / (nh::DOUBLE * nh::DOUBLE)), 6) AS DECIMAL(28,6)) AS wgt
+  FROM st
+),
+tot AS (
+  SELECT SUM(wgt) AS tw FROM w
+),
+alloc AS (
+  SELECT nation, nh, sigma,
+         CAST(FLOOR({NEYMAN_B}.0 * (wgt::DOUBLE / tw::DOUBLE)) AS BIGINT)
+           AS base,
+         {NEYMAN_B}.0 * (wgt::DOUBLE / tw::DOUBLE)
+           - FLOOR({NEYMAN_B}.0 * (wgt::DOUBLE / tw::DOUBLE)) AS frac
+  FROM w CROSS JOIN tot
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, nation) AS r
+  FROM alloc
+),
+rem AS (
+  SELECT {NEYMAN_B} - SUM(base) AS rmd FROM alloc
+)
+SELECT nation, nh, ROUND(sigma, 6) AS sigma,
+       CAST(base + CASE WHEN r <= rmd THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM rk CROSS JOIN rem
+ORDER BY nation
+"""
+
+
+@register("neyman_allocation", NEYMAN_SQL)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    y = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    st = y.groupBy("nation").agg(
+        F.count("*").alias("nh"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,4)") * F.col("y")).alias("syy"),
+    )
+    nh_d = F.col("nh").cast("double")
+    sigma = F.sqrt(
+        (nh_d * F.col("syy").cast("double")
+         - F.col("sy").cast("double") * F.col("sy").cast("double"))
+        / (nh_d * nh_d)
+    )
+    w = st.select(
+        "nation",
+        "nh",
+        sigma.alias("sigma"),
+        F.round(nh_d * sigma, 6).cast("decimal(28,6)").alias("wgt"),
+    )
+    tot = w.agg(F.sum("wgt").alias("tw"))
+    share = F.lit(float(NEYMAN_B)) * (
+        F.col("wgt").cast("double") / F.col("tw").cast("double")
+    )
+    alloc = w.join(F.broadcast(tot)).select(
+        "nation",
+        "nh",
+        "sigma",
+        F.floor(share).cast("bigint").alias("base"),
+        (share - F.floor(share)).alias("frac"),
+    )
+    rk = alloc.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("frac"), "nation"))
+    )
+    rem = alloc.agg(
+        (F.lit(NEYMAN_B) - F.sum("base")).alias("rmd")
+    )
+    return (
+        rk.join(F.broadcast(rem))
+        .select(
+            "nation",
+            "nh",
+            F.round("sigma", 6).alias("sigma"),
+            (
+                F.col("base")
+                + F.when(F.col("r") <= F.col("rmd"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .orderBy("nation")
+    )

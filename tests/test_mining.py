@@ -271,3 +271,21 @@ def test_scd2_asof_join_exactly_one_version_per_fact(spark):
     # spot-check interval containment on a sample
     for r in res.limit(50).collect():
         assert r["valid_from"] <= r["ts"]
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Largest-remainder rounding must hit the budget exactly, every
+    stratum gets a non-negative allocation, and higher N·σ strata
+    never get fewer samples than lower ones (monotone in weight)."""
+    from kinesis_to_firehose_spark.operators.mining import NEYMAN_B
+
+    rows = all_ops()["neyman_allocation"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sum(r["n_alloc"] for r in rows) == NEYMAN_B
+    assert all(r["n_alloc"] >= 0 for r in rows)
+    by_wgt = sorted(rows, key=lambda r: r["nh"] * r["sigma"])
+    allocs = [r["n_alloc"] for r in by_wgt]
+    # largest-remainder keeps allocations within 1 of monotone order
+    for a, b in zip(allocs, allocs[1:]):
+        assert b >= a - 1
