@@ -186,6 +186,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "keyness_terms",         # 1-row grand-total scalar cross
         "doc_tf_search",         # 5 query docs × candidates
         "ann_int8_topk",         # 5 query vectors × candidates
+        "benford_audit",         # 1-row grand-total scalar cross
+        "neyman_allocation",     # 1-row weight-total / remainder crosses
     }
     STREAMING = {
         "firehose_sink",
