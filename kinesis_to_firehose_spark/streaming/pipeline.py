@@ -158,7 +158,15 @@ def run_pipeline(
     deployment passes trigger_processing_time=PRODUCTION_TRIGGER so
     micro-batches fire on the reference's 10 s cadence."""
     src = file_stream_source(spark, source_dir)
-    delivery = decoded_stream(src)
+    # native observability channel: per-micro-batch record/byte counts
+    # surface in every progress event's observedMetrics (the
+    # throughput signal the reference scrapes from its KCL worker
+    # logs), computed inside the running plan — no second scan.
+    delivery = decoded_stream(src).observe(
+        "delivery_metrics",
+        F.count(F.lit(1)).alias("records"),
+        F.sum(F.length("line") + 1).alias("line_bytes"),
+    )
     sink = firehose_foreach_batch(
         output_root,
         dead_letter_dir=dead_letter_dir,

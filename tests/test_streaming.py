@@ -6,6 +6,7 @@ batch bounds, checkpoint resume, and the windowed drop-stats query.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -1138,3 +1139,47 @@ def test_hll_stream_weekly_merge_matches_batch(spark, tmp_path):
         for r in all_ops()["hll_partition_merge"].fn(spark, sf).collect()
     }
     assert merged == batch
+
+
+def test_pipeline_observed_metrics(spark, tmp_path):
+    """The delivery stream publishes per-micro-batch record/byte
+    counts through Spark's observe() channel: summed over all
+    progress events they equal the source record count and the exact
+    JSONL byte volume (computed in-plan — no second scan)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.functions.decode import (
+        decode_enhance,
+        jsonl_line,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    write_source_slice(spark, sf, src, n_files=3)
+    q = run_pipeline(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dlq"),
+    )
+    q.processAllAvailable()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    obs = [
+        p["observedMetrics"]["delivery_metrics"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("delivery_metrics")
+    ]
+    assert obs, "no observed metrics published"
+    got_records = sum(o["records"] for o in obs)
+    got_bytes = sum(o["line_bytes"] for o in obs)
+    d = decode_enhance(load(spark, "events", sf))
+    want_records = d.count()
+    want_bytes = d.select(
+        F.sum(F.length(jsonl_line(d)) + 1).alias("b")
+    ).first()["b"]
+    assert got_records == want_records
+    assert got_bytes == want_bytes
