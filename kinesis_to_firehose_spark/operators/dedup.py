@@ -2036,3 +2036,69 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_provenance_chain — duplicate PROVENANCE via native recursion
+# (Spark 4.1 WITH RECURSIVE): each near-dup's minimum-id candidate
+# partner becomes its parent (parent < child by construction, so the
+# parent map is a FOREST — recursion provably terminates under
+# Spark's UNION ALL-only recursive CTEs, where a cyclic closure like
+# the CC fixpoint cannot run); walking parent links yields, for every
+# duplicated document, the ORIGINAL it ultimately derives from and
+# the chain depth — the "who copied whom, transitively" audit that
+# cluster ids alone don't give. The recursion text from `parents`
+# down is identical in both engines; the pairs come from the shared
+# minhash chain (temp view Spark-side, the MINHASH_SQL body in the
+# oracle).
+#
+# Scale shape: all recursion tables are bounded by the candidate-pair
+# set (≪ corpus); each recursive step is one equi-join of the current
+# frontier against the parent forest, and chain depth is bounded by
+# the longest duplication chain, not the corpus.
+# --------------------------------------------------------------------------
+_PROV_RECURSION = """
+WITH RECURSIVE parents AS (
+  SELECT doc_id_2 AS doc, MIN(doc_id_1) AS parent
+  FROM {pairs} GROUP BY doc_id_2
+),
+walk(doc, anc, depth) AS (
+  SELECT doc, parent, 1 FROM parents
+  UNION ALL
+  SELECT w.doc, p.parent, w.depth + 1
+  FROM walk w JOIN parents p ON p.doc = w.anc
+),
+deepest AS (
+  SELECT doc, anc AS root, depth,
+         ROW_NUMBER() OVER (PARTITION BY doc ORDER BY depth DESC) AS rk
+  FROM walk
+),
+chains AS (
+  SELECT doc AS doc_id, root AS root_id, depth FROM deepest WHERE rk = 1
+),
+roots AS (
+  SELECT DISTINCT root_id AS doc_id, root_id, 0 AS depth FROM chains
+  WHERE root_id NOT IN (SELECT doc FROM parents)
+)
+SELECT doc_id, root_id, CAST(depth AS BIGINT) AS depth
+FROM (SELECT * FROM chains UNION ALL SELECT * FROM roots)
+ORDER BY doc_id
+"""
+
+PROVENANCE_SQL = f"""
+{_PROV_RECURSION.format(pairs=f'''(
+  SELECT doc_id_1, doc_id_2 FROM ({_MINHASH_BODY})
+  WHERE est_jaccard >= {CLUSTER_TAU}
+)''')}
+"""
+
+
+@register("dedup_provenance_chain", PROVENANCE_SQL)
+def dedup_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
+        .select("doc_id_1", "doc_id_2")
+    )
+    pairs.createOrReplaceTempView("prov_pairs_rec")
+    return spark.sql(_PROV_RECURSION.format(pairs="prov_pairs_rec"))

@@ -814,3 +814,31 @@ def test_int8_search_matches_exact_dot(spark):
         for r in ann_int8_topk(spark, sf).collect()
     }
     assert len(ex & got) / len(ex) >= 0.9
+
+
+def test_provenance_chain_walks_planted_chain(spark):
+    """Native-recursion provenance: a planted duplication chain
+    1→2→3→4 (each doc's min partner is its predecessor) must resolve
+    every doc to root 1 with depths 0..3 — proving the recursion
+    actually walks multi-hop chains (the corpus pairs mostly resolve
+    in one hop)."""
+    from kinesis_to_firehose_spark.operators.dedup import _PROV_RECURSION
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "doc_id_1 long, doc_id_2 long",
+    ).createOrReplaceTempView("prov_test_pairs")
+    rows = {
+        r["doc_id"]: (r["root_id"], r["depth"])
+        for r in spark.sql(
+            _PROV_RECURSION.format(pairs="prov_test_pairs")
+        ).collect()
+    }
+    assert rows == {
+        1: (1, 0),
+        2: (1, 1),
+        3: (1, 2),
+        4: (1, 3),
+        10: (10, 0),
+        11: (10, 1),
+    }
