@@ -2157,3 +2157,33 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_index_search — ann_ivf_topk's contract served from a PERSISTED
+# index (sources/ann_index.py): centroids + cell-partitioned
+# assignments written once, searches probe the STORE — the vector-
+# serving symmetry of dedup_index_probe, and the same oracle as
+# ann_ivf_topk (the store is an implementation detail the results
+# must not observe).
+# --------------------------------------------------------------------------
+@register("ann_index_search", IVF_SQL)
+def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from kinesis_to_firehose_spark.sources.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ann_index_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    build_ann_index(spark, sf_dir, path)
+    queries = normed_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") < N_QUERIES
+    )
+    return search_ann_index(spark, queries, path)

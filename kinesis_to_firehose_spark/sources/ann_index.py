@@ -1,0 +1,110 @@
+"""Persisted ANN index — the IVF structure (centroid table + cell
+assignments) written once as parquet, so query-time work is ONLY
+probe-and-rescore against the store: no per-query re-assignment of
+the corpus, the exact symmetry the dedup index gives continuous
+ingest (sources/dedup_index.py). This is the serving layout of a
+vector store: build amortizes the one corpus pass; searches read the
+queried cells' rows.
+
+Layout:
+  path/centroids   (centroid_id, c_emb, c_nrm)   — K rows, broadcastable
+  path/assignment  (vec_id, cell, embedding, nrm) — partitioned BY CELL,
+                    so a probe's equi-join prunes to the probed cells'
+                    files at planning time (the IVF posting lists as
+                    Hive partitions)
+
+At 100 TB: assignment is the corpus laid out cell-clustered (one
+shuffle at build); each query touches N_PROBE partitions' files.
+Appending a new batch = assign against the stored centroids (narrow
+map) + append into the cell partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Build the IVF index from the embeddings table: seed centroids
+    (vec_id < N_CENTROIDS, the ann_ivf_topk convention) + rank-1 cell
+    assignment, written cell-partitioned."""
+    from kinesis_to_firehose_spark.operators.dedup import normed_embeddings
+    from kinesis_to_firehose_spark.operators.similarity import (
+        N_CENTROIDS,
+        _assign_cells,
+    )
+
+    n = normed_embeddings(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assignment = _assign_cells(n, cents).join(n, "vec_id")
+    assignment.select("vec_id", "cell", "embedding", "nrm").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assignment")
+
+
+def search_ann_index(
+    spark: SparkSession, queries: DataFrame, path: str
+) -> DataFrame:
+    """Multi-probe IVF search against the STORE: queries (vec_id,
+    embedding, nrm) rank the stored centroids (broadcast), probe
+    their N_PROBE nearest cells via the partition-pruned equi-join,
+    exact-rescore, per-query top-k — the ann_ivf_topk contract with
+    zero corpus-side recompute."""
+    from pyspark.sql.window import Window as W
+
+    from kinesis_to_firehose_spark.operators.dedup import dot_expr
+    from kinesis_to_firehose_spark.operators.similarity import (
+        IVF_TOP_K,
+        N_PROBE,
+    )
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    stored = spark.read.parquet(f"{path}/assignment")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos_c = (
+        f"({dot_expr('q_emb', 'c_emb', 'spark')} / (q_nrm * c_nrm))"
+    )
+    wa = W.partitionBy("query_id").orderBy(F.desc("score"), "centroid_id")
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            "centroid_id",
+            F.round(F.expr(cos_c), 6).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("query_id", "q_emb", "q_nrm", F.col("centroid_id").alias("cell"))
+    )
+    cos_s = (
+        f"({dot_expr('q_emb', 'embedding', 'spark')} / (q_nrm * nrm))"
+    )
+    scored = (
+        stored.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            "cell",
+            F.round(F.expr(cos_s), 6).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("query_id", "candidate_id", "cell", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -842,3 +842,35 @@ def test_provenance_chain_walks_planted_chain(spark):
         10: (10, 0),
         11: (10, 1),
     }
+
+
+def test_ann_index_search_matches_inplan_ivf(spark, tmp_path):
+    """The persisted ANN index serves exactly what the in-plan IVF op
+    computes, and the search plan reads the store (no corpus-side
+    re-assignment)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        normed_embeddings,
+    )
+    from kinesis_to_firehose_spark.operators.similarity import (
+        N_QUERIES,
+        ann_ivf_topk,
+    )
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+    from kinesis_to_firehose_spark.sources.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    path = str(tmp_path / "ann_index")
+    build_ann_index(spark, sf, path)
+    queries = normed_embeddings(spark, sf).filter(
+        F.col("vec_id") < N_QUERIES
+    )
+    got = search_ann_index(spark, queries, path)
+    assert str(tmp_path) in physical_plan(got)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in ann_ivf_topk(spark, sf).collect()
+    ]
