@@ -108,3 +108,36 @@ def search_ann_index(
         .select("query_id", "candidate_id", "cell", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+def append_ann_index(
+    spark: SparkSession, new_vectors: DataFrame, path: str
+) -> None:
+    """Continuous ingest for the vector store: assign a NEW batch
+    (vec_id, embedding, nrm) against the STORED centroids (broadcast,
+    narrow map — the codebook is frozen at build time, the standard
+    IVF serving contract) and append into the cell partitions. No
+    stored vector is touched or re-assigned."""
+    from pyspark.sql.window import Window as W
+
+    from kinesis_to_firehose_spark.operators.dedup import dot_expr
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cos = f"({dot_expr('embedding', 'c_emb', 'spark')} / (nrm * c_nrm))"
+    wa = W.partitionBy("vec_id").orderBy(F.desc("score"), "centroid_id")
+    assigned = (
+        new_vectors.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "centroid_id",
+            F.round(F.expr(cos), 6).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"), "embedding", "nrm")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/assignment"
+    )

@@ -874,3 +874,53 @@ def test_ann_index_search_matches_inplan_ivf(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in ann_ivf_topk(spark, sf).collect()
     ]
+
+
+def test_ann_index_append_serves_new_vectors(spark, tmp_path):
+    """Vector-store ingest: appending a batch assigns it against the
+    FROZEN stored centroids and subsequent searches see the new
+    vectors — equal to an index built over the union corpus (same
+    centroids, so identical assignment)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        normed_embeddings,
+    )
+    from kinesis_to_firehose_spark.operators.similarity import N_QUERIES
+    from kinesis_to_firehose_spark.sources.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        search_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    n = normed_embeddings(spark, sf)
+    full = str(tmp_path / "full")
+    build_ann_index(spark, sf, full)
+
+    # partial store: drop vec_id % 7 == 3 from the assignment, then
+    # append exactly those — must converge to the full store's answers
+    part = str(tmp_path / "part")
+    build_ann_index(spark, sf, part)
+    import shutil
+
+    kept = spark.read.parquet(f"{part}/assignment").filter(
+        F.col("vec_id") % 7 != 3
+    )
+    tmp_dir = str(tmp_path / "kept")
+    kept.write.partitionBy("cell").mode("overwrite").parquet(tmp_dir)
+    shutil.rmtree(f"{part}/assignment")
+    shutil.move(tmp_dir, f"{part}/assignment")
+    append_ann_index(
+        spark,
+        n.filter(F.col("vec_id") % 7 == 3).select(
+            "vec_id", "embedding", "nrm"
+        ),
+        part,
+    )
+    queries = n.filter(F.col("vec_id") < N_QUERIES)
+    got = [tuple(r) for r in search_ann_index(spark, queries, part).collect()]
+    want = [
+        tuple(r) for r in search_ann_index(spark, queries, full).collect()
+    ]
+    assert got == want
