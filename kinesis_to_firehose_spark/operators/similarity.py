@@ -849,14 +849,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("v")
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Hoisted out of the power-iteration loop: out-degree is a static
+    # property of the graph, so join it onto the edge list ONCE and
+    # checkpoint — each iteration then needs a single r-to-edges join
+    # instead of r-to-deg-to-edges (one fewer shuffle per iteration).
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     nn = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(PAGERANK_ITERS):
-        withdeg = r.join(deg, r["v"] == deg["src"], "inner")
         contrib = (
-            withdeg.join(edges, withdeg["src"] == edges["src"])
+            r.join(edges_deg, r["v"] == edges_deg["src"])
             .select(
                 F.col("neighbor").alias("cv"),
                 F.round(F.col("pr") / F.col("deg"), 12)

@@ -95,18 +95,22 @@ def _shard_files(path: str) -> list[str]:
 
 
 def _scan_complete(
-    fp: str, from_line: int, from_byte: int
+    fp: str, from_line: int, from_byte: int, max_lines: int | None = None
 ) -> tuple[int, int]:
     """Advance (line, byte) over COMPLETE records only, starting at a
     known line boundary: a trailing line without its \\n (a producer
     mid-append, buffered flush split mid-record) is NOT counted — it
     will be picked up by a later scan once terminated. Seeking to
     from_byte means each poll scans only the delta since the last
-    offset, never the whole log."""
+    offset, never the whole log. `max_lines` bounds the advance (the
+    per-trigger admission cap): the scan stops after that many new
+    records even if more bytes exist — they stay for the next poll."""
     lines, byte = from_line, from_byte
     with open(fp, "rb") as f:
         f.seek(from_byte)
         for raw in f:
+            if max_lines is not None and lines - from_line >= max_lines:
+                break  # admission cap reached: rest waits for next poll
             if not raw.endswith(b"\n"):
                 break  # torn tail: not yet a complete record
             lines += 1
@@ -185,26 +189,117 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.path = options["path"]
-        # driver-side poll cache: {shard: (line, byte)}. Purely an
-        # optimization — losing it (reader restart) just means one
-        # full rescan; offsets in the checkpoint stay authoritative.
+        # initialPosition: where a consumer with NO checkpoint starts
+        # (KCL initialPositionInStream, consumer.properties.template).
+        # Once a checkpoint exists Spark never calls initialOffset()
+        # again — resume position comes from the offset log, exactly
+        # like the KCL lease table overriding the configured position.
+        #   TRIM_HORIZON (default): oldest record of every shard.
+        #   LATEST: only records appended after the stream starts.
+        #   AT_SEQUENCE_NUMBER: per-shard start at startingSequenceNumber
+        #     (a single int for all shards, or a JSON {shard: seq} map);
+        #     a seq past the current end clamps to the current end.
+        self.initial_position = (
+            options.get("initialposition", "TRIM_HORIZON").upper()
+        )
+        raw_seq = options.get("startingsequencenumber", "0")
+        self._start_seq = (
+            json.loads(raw_seq) if raw_seq.lstrip().startswith("{")
+            else int(raw_seq)
+        )
+        # maxRecordsPerShardPerTrigger: admission cap per shard per
+        # micro-batch — the maxOffsetsPerTrigger analogue that ENFORCES
+        # the reference's READ_RATE_LIMIT (main.go:52) at the source
+        # instead of merely accounting overage after the fact.
+        cap = options.get("maxrecordspershardpertrigger")
+        self.max_per_trigger = int(cap) if cap is not None else None
+        # shards: comma-separated shard-name lease — this reader owns
+        # ONLY these shards (KCL worker lease assignment; two workers
+        # with disjoint leases consume disjoint shard subsets).
+        lease = options.get("shards")
+        self._lease = (
+            {s.strip() for s in lease.split(",") if s.strip()}
+            if lease else None
+        )
+        # driver-side poll cache: {shard: (line, byte)} — the position
+        # the last returned offset reached, which the admission cap
+        # advances from. Seeded by _initial_pos on a fresh stream and
+        # by the recovery partitions() call on a restart (the engine
+        # re-plans the last offset-log batch before its first poll).
         self._pos: dict[str, tuple[int, int]] = {}
+        # the start position each shard resolved to at stream start —
+        # computed ONCE per run and reused, because the engine polls
+        # latestOffset() BEFORE initialOffset() on a fresh stream and
+        # a LATEST-position log may grow between the two calls; both
+        # must agree or the first batch's bounds would be inverted.
+        self._init_cache: dict[str, tuple[int, int]] = {}
 
     def _shards(self) -> list[str]:
         if not os.path.isdir(self.path):
             return []
-        return _shard_files(self.path)
+        files = _shard_files(self.path)
+        if self._lease is not None:
+            files = [f for f in files if f[: -len(".jsonl")] in self._lease]
+        return files
+
+    def _seek_seq(self, fp: str, seq: int) -> tuple[int, int]:
+        """Byte position of sequence number `seq` (= line number) in a
+        shard log, clamped to the current end: one bounded forward
+        scan, only at stream START (never on the per-trigger path)."""
+        line, byte = 0, 0
+        with open(fp, "rb") as f:
+            while line < seq:
+                raw = f.readline()
+                if not raw.endswith(b"\n"):
+                    break  # fewer complete records than seq: clamp
+                line += 1
+                byte += len(raw)
+        return line, byte
+
+    def _initial_pos(self, shard: str) -> tuple[int, int]:
+        """Where a consumer with NO checkpoint starts on this shard
+        (KCL initialPositionInStream semantics), resolved once per run
+        and cached so initialOffset() and the first latestOffset()
+        fallback agree exactly."""
+        if shard not in self._init_cache:
+            fp = os.path.join(self.path, f"{shard}.jsonl")
+            if self.initial_position == "LATEST":
+                pos = _scan_complete(fp, 0, 0)
+            elif self.initial_position == "AT_SEQUENCE_NUMBER":
+                seq = (
+                    self._start_seq.get(shard, 0)
+                    if isinstance(self._start_seq, dict)
+                    else self._start_seq
+                )
+                pos = self._seek_seq(fp, int(seq))
+            else:  # TRIM_HORIZON
+                pos = (0, 0)
+            self._init_cache[shard] = pos
+        return self._init_cache[shard]
 
     def initialOffset(self) -> dict:
-        return {f[: -len(".jsonl")]: [0, 0] for f in self._shards()}
+        return {
+            f[: -len(".jsonl")]: list(self._initial_pos(f[: -len(".jsonl")]))
+            for f in self._shards()
+        }
 
     def latestOffset(self) -> dict:
         out = {}
         for f in self._shards():
             shard = f[: -len(".jsonl")]
-            line, byte = self._pos.get(shard, (0, 0))
+            if shard not in self._pos:
+                # First poll of this run for this shard. The engine
+                # polls BEFORE initialOffset() on a fresh stream
+                # (observed call order), so fall back to the
+                # configured initial position; on a RESTART the
+                # recovery partitions() call has already seeded the
+                # cache with the checkpointed position, so this
+                # branch never rewinds past a checkpoint.
+                self._pos[shard] = self._initial_pos(shard)
+            line, byte = self._pos[shard]
             line, byte = _scan_complete(
-                os.path.join(self.path, f), line, byte
+                os.path.join(self.path, f), line, byte,
+                max_lines=self.max_per_trigger,
             )
             self._pos[shard] = (line, byte)
             out[shard] = [line, byte]
@@ -237,6 +332,23 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
             start_line, start_byte = self._coerce(
                 shard, start.get(shard, [0, 0])
             )
+            if end_line < start_line:
+                # offsets are monotone by construction; a backward
+                # range means the offset log and the reader disagree —
+                # fail LOUDLY rather than plan a batch that would make
+                # the stream re-deliver (KCL raises on out-of-range
+                # sequence numbers for the same reason)
+                raise ValueError(
+                    f"backward offset range for {shard}: "
+                    f"start={start_line} > end={end_line}"
+                )
+            # Seed the poll cache from the authoritative batch bounds
+            # (a recovery batch replayed from the offset log reaches
+            # here before the run's first poll), so the NEXT
+            # latestOffset() caps relative to the recovered position
+            # instead of falling back to the initial position.
+            if end_line > self._pos.get(shard, (0, 0))[0]:
+                self._pos[shard] = (end_line, end_byte)
             if end_line > start_line:
                 out.append(
                     ShardSlice(

@@ -109,6 +109,24 @@ class KinesisSourceConfig:
             "maxFilesPerTrigger": str(max(1, self.max_records // 2500)),
         }
 
+    def replay_options(self) -> dict[str, str]:
+        """Map the reference's consumer knobs onto the kinesis_replay
+        data source: initialPositionInStream passes through verbatim,
+        and READ_RATE_LIMIT (records/s/shard, main.go:52) becomes the
+        per-trigger admission cap using the KCL read cadence
+        (idleTimeBetweenReadsInMillis) as the records/s → records/
+        trigger conversion."""
+        opts = {"initialPosition": self.initial_position}
+        if self.read_rate_limit is not None:
+            per_trigger = max(
+                1,
+                self.read_rate_limit
+                * self.idle_time_between_reads_ms
+                // 1000,
+            )
+            opts["maxRecordsPerShardPerTrigger"] = str(per_trigger)
+        return opts
+
 
 def file_stream_source(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
@@ -738,6 +756,7 @@ def run_pipeline_replay(
     checkpoint_dir: str,
     dead_letter_dir: str | None = None,
     transport_factory=None,
+    source_config: KinesisSourceConfig | None = None,
 ):
     """The full reference pipeline fronted by the REAL connector
     surface: format("kinesis_replay") (shard-parallel reads, per-shard
@@ -751,11 +770,15 @@ def run_pipeline_replay(
     )
 
     register_replay_source(spark)
-    raw = (
-        spark.readStream.format("kinesis_replay")
-        .option("path", replay_dir)
-        .load()
+    reader = spark.readStream.format("kinesis_replay").option(
+        "path", replay_dir
     )
+    if source_config is not None:
+        # initialPositionInStream + READ_RATE_LIMIT enforcement,
+        # derived from the same env surface the reference consumes
+        for k, v in source_config.replay_options().items():
+            reader = reader.option(k, v)
+    raw = reader.load()
     events = raw.select(
         F.from_json(F.col("data"), EVENT_SCHEMA).alias("e")
     ).select("e.*")

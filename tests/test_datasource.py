@@ -240,3 +240,254 @@ def test_stream_reader_accepts_legacy_int_offsets(spark, tmp_path):
     parts = r.partitions({"shard-0": 0}, {"shard-0": 7})
     rows = [row for p in parts for row in r.read(p)]
     assert sorted(row[1] for row in rows) == list(range(0, 7))
+
+
+def test_latest_initial_position_skips_history(spark, tmp_path):
+    """initialPositionInStream=LATEST (consumer.properties.template →
+    KINESIS_INITIAL_POSITION): a consumer with no checkpoint starts at
+    the stream HEAD — pre-existing records never surface, post-start
+    appends do, and a checkpointed restart resumes normally (the KCL
+    lease table overrides the configured position once it exists)."""
+    d = str(tmp_path / "stream")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    write_replay_slices(d, _records(0, 50), n_shards=N_SHARDS)
+    register_replay_source(spark)
+
+    def start():
+        return (
+            spark.readStream.format("kinesis_replay")
+            .option("path", d)
+            .option("initialPosition", "LATEST")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    try:
+        _drain(q)
+        # history invisible: nothing delivered yet
+        import os
+
+        assert not os.path.exists(out) or (
+            spark.read.parquet(out).count() == 0
+        )
+        # post-start records are the first thing the stream sees
+        write_replay_slices(d, _records(50, 70), n_shards=N_SHARDS)
+        _drain(q)
+        got = spark.read.parquet(out)
+        assert got.count() == 20
+        assert {r["data"] for r in got.collect()} == {
+            f"payload-{i}" for i in range(50, 70)
+        }
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # restart: the checkpoint (not LATEST) decides the resume point
+    write_replay_slices(d, _records(70, 90), n_shards=N_SHARDS)
+    q = start()
+    try:
+        _drain(q)
+        final = spark.read.parquet(out)
+        assert final.count() == 40  # 50..90, each exactly once
+        assert final.select("data").distinct().count() == 40
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_at_sequence_number_initial_position(spark, tmp_path):
+    """AT_SEQUENCE_NUMBER start: per-shard offsets begin at the
+    requested sequence number; a seq past the current end clamps to
+    the end (records before it never surface)."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        KinesisReplayStreamReader,
+    )
+
+    d = str(tmp_path / "stream")
+    write_replay_slices(d, [("k", f"p{i}") for i in range(10)], n_shards=1)
+    r = KinesisReplayStreamReader(
+        {
+            "path": d,
+            "initialposition": "AT_SEQUENCE_NUMBER",
+            "startingsequencenumber": "4",
+        }
+    )
+    init = r.initialOffset()
+    assert init["shard-0"][0] == 4
+    rows = [
+        row
+        for p in r.partitions(init, r.latestOffset())
+        for row in r.read(p)
+    ]
+    assert sorted(row[1] for row in rows) == list(range(4, 10))
+
+    # per-shard JSON map form + clamp beyond end
+    r2 = KinesisReplayStreamReader(
+        {
+            "path": d,
+            "initialposition": "AT_SEQUENCE_NUMBER",
+            "startingsequencenumber": '{"shard-0": 99}',
+        }
+    )
+    init2 = r2.initialOffset()
+    assert init2["shard-0"][0] == 10  # clamped to current end
+    assert r2.partitions(init2, r2.latestOffset()) and not [
+        row
+        for p in r2.partitions(init2, r2.latestOffset())
+        for row in r2.read(p)
+    ]
+
+
+def test_read_rate_limit_enforced_per_trigger(spark, tmp_path):
+    """READ_RATE_LIMIT (main.go:52) ENFORCED at the source: with
+    maxRecordsPerShardPerTrigger=5 no micro-batch admits more than 5
+    records per shard, and the stream still drains the full backlog
+    (totals match) — the maxOffsetsPerTrigger analogue."""
+    d = str(tmp_path / "stream")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    # single shard so per-batch numInputRows == per-shard admission
+    write_replay_slices(d, [("k", f"p{i}") for i in range(23)], n_shards=1)
+    register_replay_source(spark)
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", d)
+        .option("maxRecordsPerShardPerTrigger", "5")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        _drain(q)
+        got = spark.read.parquet(out)
+        assert got.count() == 23
+        assert got.select("data").distinct().count() == 23
+        batch_rows = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"]
+        ]
+        assert batch_rows, "expected at least one non-empty micro-batch"
+        assert max(batch_rows) <= 5  # admission cap held on EVERY trigger
+        assert sum(batch_rows) == 23
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # restart safety: a cold poll cache must NOT re-deliver (the cap
+    # never applies to an unknown position — uncapped catch-up scan)
+    write_replay_slices(d, [("k", f"p{i}") for i in range(23, 33)], n_shards=1)
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", d)
+        .option("maxRecordsPerShardPerTrigger", "5")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        _drain(q)
+        final = spark.read.parquet(out)
+        assert final.count() == 33
+        assert final.select("data").distinct().count() == 33
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_two_reader_lease_disjoint_shards_union_exactly_once(spark, tmp_path):
+    """KCL multi-worker lease semantics (consumer.properties.template
+    failoverTimeMillis/workerId): two concurrent readers with DISJOINT
+    shard leases reconstruct the stream exactly once — Spark's
+    scheduler is the lease manager, a `shards` lease is the
+    worker-assignment analogue."""
+    d = str(tmp_path / "stream")
+    write_replay_slices(d, _records(0, 100), n_shards=N_SHARDS)
+    register_replay_source(spark)
+
+    def start(worker, lease):
+        return (
+            spark.readStream.format("kinesis_replay")
+            .option("path", d)
+            .option("shards", lease)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out-{worker}"))
+            .option("checkpointLocation", str(tmp_path / f"ck-{worker}"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    qa = start("a", "shard-0,shard-1")
+    qb = start("b", "shard-2,shard-3")
+    try:
+        _drain(qa)
+        _drain(qb)
+        a = spark.read.parquet(str(tmp_path / "out-a"))
+        b = spark.read.parquet(str(tmp_path / "out-b"))
+        # disjoint leases: no shard appears in both workers' output
+        assert {r["shard_id"] for r in a.select("shard_id").distinct().collect()} == {
+            "shard-0",
+            "shard-1",
+        }
+        assert {r["shard_id"] for r in b.select("shard_id").distinct().collect()} == {
+            "shard-2",
+            "shard-3",
+        }
+        union = a.unionByName(b)
+        assert union.count() == 100
+        assert union.select("data").distinct().count() == 100
+        # lease failover: worker B takes over A's shards from A's
+        # checkpoint — new appends on shards 0/1 arrive exactly once
+        write_replay_slices(d, _records(100, 140), n_shards=N_SHARDS)
+        _drain(qa)
+        _drain(qb)
+        union = spark.read.parquet(str(tmp_path / "out-a")).unionByName(
+            spark.read.parquet(str(tmp_path / "out-b"))
+        )
+        assert union.count() == 140
+        assert union.select("data").distinct().count() == 140
+    finally:
+        qa.stop()
+        qb.stop()
+        qa.awaitTermination()
+        qb.awaitTermination()
+
+
+def test_replay_options_derive_from_env_surface():
+    """KinesisSourceConfig.replay_options maps the reference env knobs
+    onto the simulator: initial position passes through; READ_RATE_LIMIT
+    records/s/shard × idleTimeBetweenReadsInMillis → records/trigger."""
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        KinesisSourceConfig,
+    )
+
+    cfg = KinesisSourceConfig(
+        stream_name="s",
+        initial_position="LATEST",
+        read_rate_limit=100,
+        idle_time_between_reads_ms=1000,
+    )
+    opts = cfg.replay_options()
+    assert opts["initialPosition"] == "LATEST"
+    assert opts["maxRecordsPerShardPerTrigger"] == "100"
+    # sub-second cadence scales the per-trigger budget down
+    cfg2 = KinesisSourceConfig(
+        stream_name="s",
+        read_rate_limit=100,
+        idle_time_between_reads_ms=250,
+    )
+    assert cfg2.replay_options()["maxRecordsPerShardPerTrigger"] == "25"
+    # no rate limit → no admission cap option at all
+    cfg3 = KinesisSourceConfig(stream_name="s", read_rate_limit=None)
+    assert "maxRecordsPerShardPerTrigger" not in cfg3.replay_options()
