@@ -17,6 +17,12 @@ Usage:
     python regress.py BENCH.json --update       # also rewrite the
                                                 # baseline column in
                                                 # BASELINE.md in place
+    python regress.py --parity                  # driver-gate insurance:
+                                                # oracle-parity ONLY for
+                                                # ops the driver has
+                                                # never sampled (union
+                                                # of CORRECTNESS_r*.json)
+    python regress.py --parity --sf-dir DIR     # ... at another scale
 """
 
 from __future__ import annotations
@@ -59,7 +65,63 @@ def load_bench(arg: str) -> tuple[dict[str, float], float | None]:
     raise SystemExit("no JSON line found in input")
 
 
+def never_sampled_ops() -> list[str]:
+    """Oracle ops the driver's correctness gate has never sampled, by
+    union of every CORRECTNESS_r*.json in the repo root."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    sampled: set[str] = set()
+    for f in sorted(BASELINE.parent.glob("CORRECTNESS_r*.json")):
+        sampled |= set(json.loads(f.read_text()))
+    return sorted(
+        name
+        for name, op in all_ops().items()
+        if op.sql is not None and name not in sampled
+    )
+
+
+def parity_main() -> None:
+    """Run the driver-gate replica over ONLY the never-driver-sampled
+    oracle ops — the cheap insurance pass that makes a future driver
+    sampling round a non-event."""
+    import os
+    import time
+
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf-dir" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    os.environ.setdefault("SPARK_GRAFT_TEST_SF_DIR", sf_dir)
+    from kinesis_to_firehose_spark.registry import all_ops
+    from kinesis_to_firehose_spark.session import get_spark
+    from tests.oracle_harness import compare
+
+    ops = all_ops()
+    todo = never_sampled_ops()
+    print(
+        f"{len(todo)} never-driver-sampled oracle ops "
+        f"(of {sum(1 for o in ops.values() if o.sql)}) at {sf_dir}"
+    )
+    spark = get_spark()
+    failures = []
+    for name in todo:
+        t0 = time.monotonic()
+        try:
+            compare(ops[name].fn(spark, sf_dir), ops[name].sql, sf_dir)
+            print(f"  ok   {name} ({time.monotonic() - t0:.2f}s)", flush=True)
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            failures.append(name)
+            print(f"  FAIL {name}: {exc}", flush=True)
+    print(
+        f"parity: {len(todo) - len(failures)}/{len(todo)} green"
+        + (f"; FAILURES: {failures}" if failures else "")
+    )
+    sys.exit(1 if failures else 0)
+
+
 def main() -> None:
+    if "--parity" in sys.argv:
+        parity_main()
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     if not args:
