@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1314,3 +1316,29 @@ def test_cli_list_and_oracle(capsys):
 
     assert main(["run", "definitely_not_an_op"]) == 2
     assert main(["oracle", "hll_partition_merge"]) == 1  # rows-only
+
+
+def test_knn_store_built_once_and_value_identical(spark):
+    """The graph family's shared edge-list store: first touch builds,
+    later touches scan the SAME store (no rebuild), and the stored
+    edges are value-identical to a direct build — which is why every
+    family oracle is unchanged by the store."""
+    from kinesis_to_firehose_spark.operators.similarity import (
+        build_knn_graph,
+        knn_graph,
+    )
+    from kinesis_to_firehose_spark.sources import knn_store
+
+    sf = "/root/testdata/sf0.001"
+    knn_store._BUILT.pop(os.path.abspath(sf), None)
+    first = knn_store.knn_edges(spark, sf)
+    path = knn_store._BUILT[os.path.abspath(sf)]
+    again = knn_store.knn_edges(spark, sf)
+    assert knn_store._BUILT[os.path.abspath(sf)] == path  # no rebuild
+    # the served op's plan is a store scan, not the band join
+    plan = knn_graph(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert path in plan
+    assert "mapInPandas" not in plan.lower()  # rescore kernel absent
+    direct = {tuple(r) for r in build_knn_graph(spark, sf).collect()}
+    served = {tuple(r) for r in first.collect()}
+    assert served == direct
