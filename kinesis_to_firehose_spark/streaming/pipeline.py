@@ -909,3 +909,94 @@ def hll_stream(
         )
         .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
     )
+
+
+# ---------------------------------------------------------------------
+# funnel_stream — streaming twin of the batch window_funnel_levels op
+# (operators/analytics.py): the time-constrained click → view →
+# purchase funnel maintained as PER-USER state across micro-batches.
+#
+# State per user is three nullable int64 event-time micros
+# (t1, t2, t3) — the earliest anchor click, the earliest qualifying
+# view after it, the earliest qualifying purchase after that — a
+# fixed-width record regardless of how many events the user ever
+# emits. Under the replay contract every streaming twin here shares
+# (slices arrive in event-time order; write_source_slices_ordered),
+# the first qualifying event seen IS the minimum, so the state
+# transition needs no history:
+#   click:    t1 ← ts if t1 unset           (anchor = MIN click)
+#   view:     t2 ← ts if t1 set, t2 unset, t1 < ts ≤ t1 + W
+#   purchase: t3 ← ts if t2 set, t3 unset, t2 < ts ≤ t1 + W
+# Each batch emits the user's CURRENT level (update mode); the sink
+# keeps the latest per user, and the level histogram of those finals
+# equals the batch op exactly (asserted in tests).
+# ---------------------------------------------------------------------
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("level", T.IntegerType()),
+    ]
+)
+
+
+def funnel_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Source: parquet slices of (user_id long, ts timestamp,
+    event_type string) replayed in event-time order. Emits (user_id,
+    current level) for every user touched by the micro-batch."""
+    from kinesis_to_firehose_spark.operators.analytics import (
+        FUNNEL_WINDOW_HOURS,
+    )
+
+    window_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _funnel(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values("ts")
+        for row in rows.itertuples(index=False):
+            ts = int(row.ts.value) // 1000  # pandas ns → µs (event grid)
+            et = row.event_type
+            if et == "click":
+                if t1 is None:
+                    t1 = ts
+            elif et == "view":
+                if t1 is not None and t2 is None and t1 < ts <= t1 + window_us:
+                    t2 = ts
+            elif et == "purchase":
+                if t2 is not None and t3 is None and t2 < ts <= t1 + window_us:
+                    t3 = ts
+        state.update((t1, t2, t3))
+        level = 3 if t3 is not None else 2 if t2 is not None else (
+            1 if t1 is not None else 0
+        )
+        yield pd.DataFrame({"user_id": [key[0]], "level": [level]})
+
+    return src.groupBy(F.col("user_id")).applyInPandasWithState(
+        _funnel,
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

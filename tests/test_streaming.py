@@ -1183,3 +1183,74 @@ def test_pipeline_observed_metrics(spark, tmp_path):
     ).first()["b"]
     assert got_records == want_records
     assert got_bytes == want_bytes
+
+
+def test_funnel_stream_matches_batch_levels(spark, tmp_path):
+    """Streaming funnel state (per-user t1/t2/t3 across micro-batches)
+    must reproduce the batch window_funnel_levels histogram exactly
+    under event-time-ordered replay: latest emitted level per user →
+    level counts == the batch op on the same events."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.analytics import (
+        window_funnel_levels,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.pipeline import funnel_stream
+
+    sf = "/root/testdata/sf0.01"
+    ev = (
+        load(spark, "events", sf)
+        .select("user_id", "ts", "event_type")
+        .orderBy("ts")
+        .collect()
+    )
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    n = len(ev)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        sl = ev[cuts[i] : cuts[i + 1]]
+        pd.DataFrame(
+            {
+                "user_id": [r["user_id"] for r in sl],
+                "ts": [r["ts"] for r in sl],
+                "event_type": [r["event_type"] for r in sl],
+            }
+        ).to_parquet(
+            str(src / f"slice-{i}.parquet"),
+            coerce_timestamps="us",  # Spark reads µs TIMESTAMP, not ns INT64
+            allow_truncated_timestamps=True,
+        )
+        time.sleep(0.05)  # increasing mtimes → event-time-ordered replay
+
+    latest: dict[int, int] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            latest[r["user_id"]] = r["level"]
+
+    q = (
+        funnel_stream(spark, str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got: dict[int, int] = {}
+    for lv in latest.values():
+        got[lv] = got.get(lv, 0) + 1
+    want = {
+        r["level"]: r["n_users"]
+        for r in window_funnel_levels(spark, sf).collect()
+    }
+    assert got == want
