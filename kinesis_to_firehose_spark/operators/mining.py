@@ -1874,3 +1874,197 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# ddsketch_quantiles — mergeable QUANTILE sketch as pure DataFrame
+# ops: DDSketch (Masson et al., VLDB'19) log-γ buckets over the event
+# value, relative-accuracy α. bucket = ⌈log_γ(x)⌉ is a pointwise
+# function of the value, so the sketch of any partition union is the
+# SUM of bucket counts — exactly mergeable, no Python sketch object,
+# no UDF: the whole thing is a groupBy + a tiny per-group cum-sum
+# window over ≤ #buckets rows (a few hundred for α=0.01 across this
+# value range). Quantile estimate = bucket midpoint 2γ^b/(γ+1) of the
+# first bucket whose cumulative count reaches ⌈q·n⌉.
+#
+# THE 100 TB percentile pattern: per-partition bucket counts are the
+# only shuffled state (map-side combined), and any later grain —
+# weekly, per-source, late partitions — re-aggregates kilobytes of
+# counts, never raw rows; contrast approx_percentile_by_group which
+# rescans raw events per grain. Relative error ≤ α is pinned in
+# pytest against the exact percentiles.
+#
+# Engine-fork hygiene: both engines compute LN(value)/LN(γ) in IEEE
+# doubles; the ratio is rounded to 9dp BEFORE CEIL so a last-ulp libm
+# divergence (~1e-16) cannot flip a bucket boundary, and estimates
+# re-round to 6dp at the edge (oracle-parity-gotchas discipline).
+# --------------------------------------------------------------------------
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+# DDSketch's dedicated zero bucket (x ≤ 0 is not log-indexable):
+# INT min sorts before every real bucket, so the cum-sum walk places
+# the zero mass first and a quantile landing in it estimates 0.0
+DD_ZERO_BUCKET = -(2**31)
+_DD_QS = (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+
+
+def _dd_bucket_sql(col: str) -> str:
+    return (
+        f"CAST(CASE WHEN {col} <= 0 THEN {DD_ZERO_BUCKET} "
+        f"ELSE CEIL(ROUND(LN({col}) / LN({DD_GAMMA!r}), 9)) END AS INT)"
+    )
+
+
+def _dd_est_sql(bucket: str) -> str:
+    return (
+        f"ROUND(CASE WHEN ({bucket}) = {DD_ZERO_BUCKET} THEN 0.0 "
+        f"ELSE 2 * POW({DD_GAMMA!r}, {bucket}) / (1 + {DD_GAMMA!r}) END, 6)"
+    )
+
+
+def _dd_quantiles_sql() -> str:
+    ests = ",\n       ".join(
+        f"""{_dd_est_sql(f"MIN(CASE WHEN cum >= CEIL(ROUND({q!r} * n, 9)) THEN bucket END)")} AS {label}_est"""
+        for label, q in _DD_QS
+    )
+    return f"""
+WITH sk AS (
+  SELECT event_type, {_dd_bucket_sql("value")} AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM sk
+)
+SELECT event_type,
+       {ests}
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ddsketch_quantiles", _dd_quantiles_sql())
+def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, "events", sf_dir)
+    sk = e.groupBy(
+        "event_type",
+        F.expr(_dd_bucket_sql("value")).alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("bucket")
+    cum = sk.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [
+        F.expr(
+            _dd_est_sql(
+                f"MIN(CASE WHEN cum >= CEIL(ROUND({q!r} * n, 9)) "
+                "THEN bucket END)"
+            )
+        ).alias(f"{label}_est")
+        for label, q in _DD_QS
+    ]
+    return cum.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def _dd_merge_sql() -> str:
+    est = _dd_est_sql(
+        "MIN(CASE WHEN cum >= CEIL(ROUND(0.95 * n, 9)) THEN bucket END)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         {_dd_bucket_sql("value")} AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, SUM(cnt) AS cnt
+  FROM daily GROUP BY 1, 2
+),
+mcum AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM merged
+),
+direct AS (
+  SELECT event_type, {_dd_bucket_sql("value")} AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM direct
+),
+m AS (SELECT event_type, {est} AS p95_merged FROM mcum GROUP BY event_type),
+d AS (SELECT event_type, {est} AS p95_direct FROM dcum GROUP BY event_type)
+SELECT m.event_type, m.p95_merged, d.p95_direct,
+       CAST(m.p95_merged = d.p95_direct AS INT) AS merged_equals_direct
+FROM m JOIN d ON m.event_type = d.event_type
+ORDER BY m.event_type
+"""
+
+
+@register("ddsketch_partition_merge", _dd_merge_sql())
+def ddsketch_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability law as a query: per-DAY bucket counts (the
+    partition sketches a 100 TB pipeline would persist) merged by
+    count-addition give BIT-IDENTICAL quantiles to a sketch built
+    directly over the whole table — the quantile analogue of
+    hll_partition_merge, but with an exact equality law instead of a
+    sketch-union approximation, because DDSketch buckets are a
+    pointwise function of the value."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, "events", sf_dir)
+    bucket = F.expr(_dd_bucket_sql("value")).alias("bucket")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        bucket,
+    ).agg(F.count("*").alias("cnt"))
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    direct = e.groupBy("event_type", bucket).agg(F.count("*").alias("cnt"))
+
+    def p95(sk: DataFrame, out: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy("bucket")
+        cum = sk.select(
+            "event_type",
+            "bucket",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.expr(
+                _dd_est_sql(
+                    "MIN(CASE WHEN cum >= CEIL(ROUND(0.95 * n, 9)) "
+                    "THEN bucket END)"
+                )
+            ).alias(out)
+        )
+
+    m = p95(merged, "p95_merged")
+    d = p95(direct, "p95_direct")
+    return (
+        m.join(d, "event_type")
+        .select(
+            "event_type",
+            "p95_merged",
+            "p95_direct",
+            (F.col("p95_merged") == F.col("p95_direct"))
+            .cast("int")
+            .alias("merged_equals_direct"),
+        )
+        .orderBy("event_type")
+    )

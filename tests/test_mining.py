@@ -289,3 +289,45 @@ def test_neyman_allocation_sums_to_budget(spark):
     # largest-remainder keeps allocations within 1 of monotone order
     for a, b in zip(allocs, allocs[1:]):
         assert b >= a - 1
+
+
+def test_ddsketch_relative_error_bounded(spark):
+    """DDSketch quantile estimates must land within the configured
+    relative accuracy alpha of the exact per-group percentiles (the
+    sketch's defining guarantee), and the partition-merge law must
+    hold exactly (merged == direct for every group)."""
+    from kinesis_to_firehose_spark.operators.mining import (
+        DD_ALPHA,
+        ddsketch_partition_merge,
+        ddsketch_quantiles,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["event_type"]: (r["p50_est"], r["p95_est"], r["p99_est"])
+        for r in ddsketch_quantiles(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["qs"]
+        for r in load(spark, "events", sf)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs")
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        for got, want in zip(est[k], exact[k]):
+            # rank conventions differ slightly between the sketch's
+            # ceil(q*n) walk and percentile()'s interpolation; allow
+            # alpha relative error plus one bucket width of slack
+            assert abs(got - want) <= want * (3 * DD_ALPHA) + 1e-6, (
+                k,
+                got,
+                want,
+            )
+    merged = ddsketch_partition_merge(spark, sf).collect()
+    assert merged and all(r["merged_equals_direct"] == 1 for r in merged)
