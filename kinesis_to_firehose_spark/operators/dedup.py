@@ -989,19 +989,7 @@ def _emb_band_keys(engine: str) -> list[str]:
 
 
 DEDUP_EMB_LSH_SQL = f"""
-WITH bands AS (
-  SELECT vec_id,
-         unnest([{", ".join(_emb_band_keys("duck"))}]) AS band_key,
-         generate_subscripts([{", ".join(_emb_band_keys("duck"))}], 1) AS band_idx
-  FROM embeddings
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
-  FROM bands a
-  JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.vec_id < b.vec_id
-),
+WITH {{GATED_CAND}},
 scored AS (
   SELECT cand.vec_id_1, cand.vec_id_2,
          ROUND({_PAIR_COS_SQL}, 6) AS cosine
@@ -1074,35 +1062,133 @@ def emb_band_table(e: DataFrame) -> DataFrame:
 
     band_keys = F.pandas_udf(_band_keys, "array<string>")
     return (
-        e.select(
+        e.select("vec_id", band_keys("embedding").alias("ks"))
+        .select(
             "vec_id",
-            F.posexplode(band_keys("embedding")).alias("band_idx0", "band_key"),
+            # full 32-bit signature: hot-bucket chaining orders bucket
+            # members by it so chain-adjacent vectors agree on MORE
+            # planes than arbitrary id order would give
+            F.array_join("ks", "").alias("sig"),
+            F.posexplode("ks").alias("band_idx0", "band_key"),
         )
         .withColumn("band_idx", F.col("band_idx0") + 1)
-        .select("vec_id", "band_idx", "band_key")
+        .select("vec_id", "band_idx", "band_key", "sig")
         .localCheckpoint(eager=True)
     )
 
 
-@register("dedup_embedding_lsh", DEDUP_EMB_LSH_SQL)
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+# Hot-bucket gate for the hyperplane-LSH self-join (the emb-space
+# analogue of minhash_lsh_pairs_gated): buckets up to the cap pair
+# fully — at the test scales (max bucket 181 at sf0.1) behavior is
+# IDENTICAL to the ungated join — while a hot bucket contributes only
+# per-member chains in SIGNATURE order (each member pairs with its
+# EMB_HOT_CHAIN_LAGS signature-predecessors), so an sf1-and-beyond
+# bucket of k members costs O(k · lags) candidate rows, not O(k²).
+# Measured: 104M candidate pairs at sf1 ungated → ~1.3M gated.
+EMB_HOT_BUCKET_CAP = 256
+EMB_HOT_CHAIN_LAGS = 8
+
+
+def emb_band_candidates(e: DataFrame) -> DataFrame:
+    """Unordered candidate pairs (vec_id_1 < vec_id_2) from the
+    hyperplane-LSH band table with hot-bucket gating."""
     bands = emb_band_table(e)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
+    wb = W.partitionBy("band_idx", "band_key")
+    wo = wb.orderBy("sig", "vec_id")
+    sized = bands.select(
+        "vec_id",
+        "band_idx",
+        "band_key",
+        F.count("*").over(wb).alias("cnt"),
+        *[
+            F.lag("vec_id", j).over(wo).alias(f"p{j}")
+            for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
+        ],
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    small = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(F.col("a.cnt") <= EMB_HOT_BUCKET_CAP)
         .select(
             F.col("a.vec_id").alias("vec_id_1"),
             F.col("b.vec_id").alias("vec_id_2"),
         )
-        .distinct()
     )
+    hot = None
+    for j in range(1, EMB_HOT_CHAIN_LAGS + 1):
+        part = sized.filter(
+            (F.col("cnt") > EMB_HOT_BUCKET_CAP)
+            & F.col(f"p{j}").isNotNull()
+        ).select(
+            F.least(f"p{j}", "vec_id").alias("vec_id_1"),
+            F.greatest(f"p{j}", "vec_id").alias("vec_id_2"),
+        )
+        hot = part if hot is None else hot.unionAll(part)
+    return small.unionAll(hot).distinct()
+
+
+def _emb_cand_gated_sql() -> str:
+    """DuckDB CTE block mirroring emb_band_candidates bit-exactly:
+    defines keyed/bands/sized/lagged/cand (cand = DISTINCT vec_id_1 <
+    vec_id_2 pairs)."""
+    keys = ", ".join(_emb_band_keys("duck"))
+    lag_cols = ", ".join(
+        f"LAG(vec_id, {j}) OVER (PARTITION BY band_idx, band_key "
+        f"ORDER BY sig, vec_id) AS p{j}"
+        for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
+    )
+    hot_arms = "\n    UNION ALL\n".join(
+        f"""    SELECT LEAST(p{j}, vec_id) AS vec_id_1,
+           GREATEST(p{j}, vec_id) AS vec_id_2
+    FROM lagged WHERE cnt > {EMB_HOT_BUCKET_CAP} AND p{j} IS NOT NULL"""
+        for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
+    )
+    return f"""keyed AS MATERIALIZED (
+  SELECT vec_id, [{keys}] AS ks FROM embeddings
+),
+bands AS (
+  SELECT vec_id,
+         unnest(ks) AS band_key,
+         generate_subscripts(ks, 1) AS band_idx,
+         array_to_string(ks, '') AS sig
+  FROM keyed
+),
+sized AS MATERIALIZED (
+  SELECT vec_id, band_idx, band_key, sig,
+         COUNT(*) OVER (PARTITION BY band_idx, band_key) AS cnt
+  FROM bands
+),
+lagged AS (
+  SELECT vec_id, band_idx, band_key, cnt, {lag_cols}
+  FROM sized
+),
+cand AS (
+  SELECT DISTINCT vec_id_1, vec_id_2 FROM (
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+    FROM sized a
+    JOIN sized b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+    WHERE a.cnt <= {EMB_HOT_BUCKET_CAP}
+    UNION ALL
+{hot_arms}
+  )
+)"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    DEDUP_EMB_LSH_SQL.format(GATED_CAND=_emb_cand_gated_sql()),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cand = emb_band_candidates(e)
     return (
         score_pairs_exact(cand, e)
         .filter(F.col("cosine") >= COSINE_TAU)

@@ -576,25 +576,12 @@ KNN_K = 3
 
 def _knn_graph_sql() -> str:
     from kinesis_to_firehose_spark.operators.dedup import (
-        _emb_band_keys,
+        _emb_cand_gated_sql,
         _PAIR_COS_SQL,
     )
 
-    band_list = ", ".join(_emb_band_keys("duck"))
     return f"""
-WITH bands AS (
-  SELECT vec_id,
-         unnest([{band_list}]) AS band_key,
-         generate_subscripts([{band_list}], 1) AS band_idx
-  FROM embeddings
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
-  FROM bands a
-  JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.vec_id != b.vec_id
-),
+WITH {_emb_cand_gated_sql()},
 scored AS (
   SELECT cand.vec_id_1, cand.vec_id_2,
          ROUND({_PAIR_COS_SQL}, 6) AS cosine
@@ -602,12 +589,17 @@ scored AS (
   JOIN ({NORMED_CTE} SELECT * FROM normed) a ON a.vec_id = cand.vec_id_1
   JOIN ({NORMED_CTE} SELECT * FROM normed) b ON b.vec_id = cand.vec_id_2
 ),
+sym AS (
+  SELECT vec_id_1, vec_id_2, cosine FROM scored
+  UNION ALL
+  SELECT vec_id_2 AS vec_id_1, vec_id_1 AS vec_id_2, cosine FROM scored
+),
 ranked AS (
   SELECT vec_id_1 AS src, vec_id_2 AS neighbor, cosine,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY vec_id_1 ORDER BY cosine DESC, vec_id_2
          ) AS BIGINT) AS rank
-  FROM scored
+  FROM sym
 )
 SELECT src, neighbor, cosine, rank
 FROM ranked
@@ -622,31 +614,18 @@ def build_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     family op consumes the persisted result via sources/knn_store.py
     rather than replaying this join."""
     from kinesis_to_firehose_spark.operators.dedup import (
-        emb_band_table,
+        emb_band_candidates,
         score_pairs_exact,
     )
 
     e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    bands = emb_band_table(e)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    # score each unordered pair ONCE (v1 < v2) and mirror: the Arrow
-    # kernel's dot and the norm product are commutative per IEEE, so
-    # cos(a,b) == cos(b,a) bitwise — halves the rescore work vs
-    # scoring both orientations
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-        )
-        .distinct()
-    )
+    # hot-bucket-gated LSH candidates (see emb_band_candidates): test
+    # scales are below the cap → identical to the full band join; at
+    # sf1+ hot buckets chain in signature order instead of exploding
+    # quadratically. Each unordered pair scores ONCE (v1 < v2) and is
+    # mirrored after: the Arrow kernel's dot and the norm product are
+    # commutative per IEEE, so cos(a,b) == cos(b,a) bitwise.
+    cand = emb_band_candidates(e)
     # materialized: both union branches consume the scored pairs, and
     # without a cut Spark re-runs the Arrow kernel + joins per branch
     # (ReusedExchange covers exchanges, not the mapInPandas node)
