@@ -924,3 +924,45 @@ def test_ann_index_append_serves_new_vectors(spark, tmp_path):
         tuple(r) for r in search_ann_index(spark, queries, full).collect()
     ]
     assert got == want
+
+
+def test_emb_band_candidates_hot_bucket_gate(spark):
+    """A planted hot bucket (identical vectors, one bucket per band)
+    must produce O(n·lags) chained candidates, not O(n²): every
+    consecutive pair survives (signature order), and the total stays
+    at the chain bound. Small buckets keep full pairing."""
+    from pyspark.sql import Row
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        EMB_HOT_BUCKET_CAP,
+        EMB_HOT_CHAIN_LAGS,
+        emb_band_candidates,
+    )
+
+    n = EMB_HOT_BUCKET_CAP + 44  # hot: 300 members in every band bucket
+    base = [1.0] * 64
+    e = spark.createDataFrame(
+        [Row(vec_id=i, embedding=base) for i in range(n)]
+    )
+    cand = emb_band_candidates(e).collect()
+    got = {(r["vec_id_1"], r["vec_id_2"]) for r in cand}
+    # identical vectors → identical signatures → order by vec_id:
+    # every lag-j pair (i, i+j) for j ≤ LAGS exists, nothing beyond
+    want = {
+        (i, i + j)
+        for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
+        for i in range(n - j)
+    }
+    assert got == want  # chain pairs exactly; no quadratic arm
+    assert len(got) < n * EMB_HOT_CHAIN_LAGS  # O(n·lags) bound
+
+    # below the cap: full pairing (the ungated contract unchanged)
+    m = 12
+    e2 = spark.createDataFrame(
+        [Row(vec_id=i, embedding=base) for i in range(m)]
+    )
+    got2 = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in emb_band_candidates(e2).collect()
+    }
+    assert got2 == {(i, j) for i in range(m) for j in range(i + 1, m)}
