@@ -81,36 +81,64 @@ def never_sampled_ops() -> list[str]:
 
 
 def parity_main() -> None:
-    """Run the driver-gate replica over ONLY the never-driver-sampled
-    oracle ops — the cheap insurance pass that makes a future driver
-    sampling round a non-event."""
+    """Run the driver-gate replica over the never-driver-sampled
+    oracle ops (default) or EVERY oracle op (--all) — the insurance
+    pass and the scale-stress correctness sweep. --budget N puts a
+    watchdog on both engines (Spark job-group cancel + DuckDB
+    interrupt) so one runaway op costs N seconds, not the sweep."""
     import os
+    import threading
     import time
 
     sf_dir = "/root/testdata/sf0.01"
     if "--sf-dir" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    budget = (
+        float(sys.argv[sys.argv.index("--budget") + 1])
+        if "--budget" in sys.argv
+        else 0.0
+    )
     os.environ.setdefault("SPARK_GRAFT_TEST_SF_DIR", sf_dir)
+    if budget:
+        os.environ["SPARK_GRAFT_ORACLE_TIMEOUT"] = str(budget)
     from kinesis_to_firehose_spark.registry import all_ops
     from kinesis_to_firehose_spark.session import get_spark
     from tests.oracle_harness import compare
 
     ops = all_ops()
-    todo = never_sampled_ops()
-    print(
-        f"{len(todo)} never-driver-sampled oracle ops "
-        f"(of {sum(1 for o in ops.values() if o.sql)}) at {sf_dir}"
-    )
+    if "--all" in sys.argv:
+        todo = sorted(n for n, op in ops.items() if op.sql is not None)
+        print(f"ALL {len(todo)} oracle ops at {sf_dir}")
+    else:
+        todo = never_sampled_ops()
+        print(
+            f"{len(todo)} never-driver-sampled oracle ops "
+            f"(of {sum(1 for o in ops.values() if o.sql)}) at {sf_dir}"
+        )
     spark = get_spark()
+    sc = spark.sparkContext
     failures = []
     for name in todo:
         t0 = time.monotonic()
+        timer = None
+        if budget:
+            sc.setJobGroup(name, name, interruptOnCancel=True)
+            timer = threading.Timer(budget, sc.cancelJobGroup, args=(name,))
+            timer.start()
         try:
             compare(ops[name].fn(spark, sf_dir), ops[name].sql, sf_dir)
             print(f"  ok   {name} ({time.monotonic() - t0:.2f}s)", flush=True)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             failures.append(name)
-            print(f"  FAIL {name}: {exc}", flush=True)
+            print(
+                f"  FAIL {name} ({time.monotonic() - t0:.2f}s): "
+                f"{str(exc)[:200]}",
+                flush=True,
+            )
+        finally:
+            if timer is not None:
+                timer.cancel()
+                sc.setJobGroup("", "")
     print(
         f"parity: {len(todo) - len(failures)}/{len(todo)} green"
         + (f"; FAILURES: {failures}" if failures else "")

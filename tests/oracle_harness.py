@@ -35,6 +35,19 @@ def duckdb_run(sql: str, sf_dir: str = SF_DIR):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # Optional watchdog for scale-stress sweeps (regress.py --parity
+    # --budget): interrupt a runaway oracle instead of hanging the
+    # whole sweep. 0/unset = no limit (the pytest gate's default).
+    budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
+    if budget > 0:
+        import threading
+
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
+        try:
+            return con.sql(sql).df()
+        finally:
+            timer.cancel()
     return con.sql(sql).df()
 
 
