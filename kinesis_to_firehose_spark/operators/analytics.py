@@ -3982,3 +3982,72 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("direction")).alias("direction"),
         F.when(in_tol, F.col("gap_us")).alias("gap_us"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# hilbert_value — Hilbert-curve layout index, the locality-preserving
+# alternative to zorder_value's Morton index: adjacent d values are
+# always grid-neighbors (|dx|+|dy| = 1), so a range of the sort key
+# maps to ONE contiguous blob of the (user_bucket, day_bucket) plane,
+# where Morton's bit-interleave jumps quadrants. Same layout contract
+# as zorder_value (sort the fact table by hval before writing, range
+# scans touch few files); the standard xy2d walk (rx/ry quadrant bits
+# + rotate/flip) is UNROLLED into 8 chained SELECT levels of pure
+# integer CASE arithmetic — no UDF, identical expression text modulo
+# shiftright spelling in both engines, so the oracle is bit-exact.
+# The quadrant term (3·rx) XOR ry is algebraized as 3rx + ry − 2rx·ry
+# (equal on {0,1}²) to avoid engine-specific XOR spellings.
+# --------------------------------------------------------------------------
+HILBERT_BITS = 8  # 256 × 256 grid, matching zorder_value's buckets
+
+
+def _hilbert_chain(engine: str, src: str, id_cols: str) -> str:
+    """Wrap `src` (providing hx, hy and `id_cols`) in the unrolled
+    Hilbert levels; yields a subquery exposing id_cols + hd."""
+    n1 = (1 << HILBERT_BITS) - 1
+    if engine == "spark":
+        shf = lambda e, b: f"shiftright({e}, {b})"  # noqa: E731
+    else:
+        shf = lambda e, b: f"({e} >> {b})"  # noqa: E731
+    q = src
+    for b in reversed(range(HILBERT_BITS)):
+        s = 1 << b
+        rx = f"({shf('hx', b)} & 1)"
+        ry = f"({shf('hy', b)} & 1)"
+        quad = f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        q = f"""SELECT {id_cols},
+  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n1} - hy ELSE hy END)
+       ELSE hx END AS hx,
+  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n1} - hx ELSE hx END)
+       ELSE hy END AS hy,
+  hd + {s * s} * {quad} AS hd
+FROM ({q}) lvl{b}"""
+    return q
+
+
+def _hilbert_sql(engine: str) -> str:
+    day = (
+        "dayofmonth(ts)" if engine == "spark" else "date_part('day', ts)"
+    )
+    src = (
+        "SELECT event_id, "
+        "CAST(user_id % 256 AS BIGINT) AS user_bucket, "
+        f"CAST({day} - 1 AS BIGINT) AS day_bucket, "
+        "CAST(user_id % 256 AS BIGINT) AS hx, "
+        f"CAST({day} - 1 AS BIGINT) AS hy, "
+        "CAST(0 AS BIGINT) AS hd FROM events"
+    )
+    chain = _hilbert_chain(
+        engine, src, "event_id, user_bucket, day_bucket"
+    )
+    return f"""
+SELECT event_id, user_bucket, day_bucket, CAST(hd AS BIGINT) AS hval
+FROM ({chain}) h
+ORDER BY event_id
+"""
+
+
+@register("hilbert_value", _hilbert_sql("duck"))
+def hilbert_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_hilbert_sql("spark"))

@@ -1342,3 +1342,58 @@ def test_knn_store_built_once_and_value_identical(spark):
     direct = {tuple(r) for r in build_knn_graph(spark, sf).collect()}
     served = {tuple(r) for r in first.collect()}
     assert served == direct
+
+
+def test_hilbert_value_is_bijective_unit_step_and_beats_morton(spark):
+    """The defining Hilbert property on the full 256x256 grid: hval is
+    a bijection onto [0, 65536) and CONSECUTIVE hvals are always grid
+    neighbors (|dx|+|dy| == 1) — Morton jumps quadrants. Consequence
+    measured directly: sorting by hval keeps a 2-D box query in fewer
+    contiguous runs of the sort order than sorting by Morton."""
+    from kinesis_to_firehose_spark.operators.analytics import (
+        _hilbert_chain,
+    )
+
+    n = 256
+    grid = spark.range(n * n).selectExpr(
+        "id",
+        f"CAST(id % {n} AS BIGINT) AS hx",
+        f"CAST(id DIV {n} AS BIGINT) AS hy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    grid.createOrReplaceTempView("hilbert_grid")
+    chain = _hilbert_chain(
+        "spark",
+        "SELECT id, hx AS gx, hy AS gy, hx, hy, hd FROM hilbert_grid",
+        "id, gx, gy",
+    )
+    rows = spark.sql(f"SELECT gx, gy, hd FROM ({chain})").collect()
+    by_d = {r["hd"]: (r["gx"], r["gy"]) for r in rows}
+    assert len(by_d) == n * n  # bijection
+    assert set(by_d) == set(range(n * n))
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = by_d[d - 1], by_d[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d - 1], by_d[d])
+
+    # locality: a box query's cells form fewer contiguous runs in
+    # Hilbert order than in Morton order (averaged over several boxes)
+    def morton(x, y):
+        m = 0
+        for b in range(8):
+            m |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return m
+
+    inv_h = {v: d for d, v in by_d.items()}
+
+    def runs(keys):
+        ks = sorted(keys)
+        return 1 + sum(1 for a, b in zip(ks, ks[1:]) if b != a + 1)
+
+    h_runs = m_runs = 0
+    for x0, y0, w in ((10, 10, 16), (100, 40, 32), (200, 128, 24)):
+        cells = [
+            (x, y) for x in range(x0, x0 + w) for y in range(y0, y0 + w)
+        ]
+        h_runs += runs([inv_h[c] for c in cells])
+        m_runs += runs([morton(x, y) for x, y in cells])
+    assert h_runs < m_runs  # the reason to pick Hilbert for layout
