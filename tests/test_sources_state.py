@@ -1397,3 +1397,61 @@ def test_hilbert_value_is_bijective_unit_step_and_beats_morton(spark):
         h_runs += runs([inv_h[c] for c in cells])
         m_runs += runs([morton(x, y) for x, y in cells])
     assert h_runs < m_runs  # the reason to pick Hilbert for layout
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
+    """Hilbert-clustered files must prune 2-D box queries at least as
+    well as the Morton layout on average (unit-step adjacency gives
+    each file a tighter min/max box), with identical query results."""
+    from kinesis_to_firehose_spark.sources.layout import (
+        candidate_files_for_box,
+        write_hilbert,
+        write_zorder,
+    )
+
+    e = load(spark, "events", "/root/testdata/sf0.01").select(
+        "event_id", "user_id", "ts", "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    n_files = 16
+    h_path = str(tmp_path / "hilbert")
+    z_path = str(tmp_path / "zorder")
+    write_hilbert(e, "user_id", "ts_s", h_path, n_files=n_files)
+    write_zorder(e, "user_id", "ts_s", z_path, n_files=n_files)
+
+    users = e.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    times = e.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    u_span = users[1] - users[0]
+    t_span = times[1] - times[0]
+    boxes = [
+        (
+            users[0] + u_span * a // 8,
+            users[0] + u_span * (a + 1) // 8,
+            times[0] + t_span * b // 4,
+            times[0] + t_span * (b + 2) // 4,
+        )
+        for a in (1, 4, 6)
+        for b in (0, 2)
+    ]
+    h_hits = z_hits = 0
+    for box in boxes:
+        h, ht = candidate_files_for_box(spark, h_path, "user_id", "ts_s", box)
+        z, zt = candidate_files_for_box(spark, z_path, "user_id", "ts_s", box)
+        assert ht == zt == n_files
+        h_hits += h
+        z_hits += z
+    assert h_hits <= z_hits, (h_hits, z_hits)
+
+    # correctness: identical rows through either layout
+    box = boxes[0]
+    def rows(path):
+        df = spark.read.parquet(path)
+        return sorted(
+            r["event_id"]
+            for r in df.filter(
+                (F.col("user_id") >= box[0]) & (F.col("user_id") <= box[1])
+                & (F.col("ts_s") >= box[2]) & (F.col("ts_s") <= box[3])
+            ).collect()
+        )
+
+    assert rows(h_path) == rows(z_path)
