@@ -2219,3 +2219,143 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# span_corrupt_t5 — the T5 span-corruption transform (Raffel et al.,
+# JMLR'20) as a RELATIONAL pipeline: ~14% of 3-token blocks are
+# masked per document; the input keeps unmasked tokens with one
+# <extra_id_K> sentinel per masked block (K = block's dense rank
+# among the doc's masked blocks), the target is each sentinel
+# followed by the span it hides, closed by a final sentinel — the
+# fim_split sibling for encoder-decoder denoising data.
+#
+# No string surgery: tokens explode once with positions, block
+# selection is an md5-derived integer test (exact in both engines),
+# and both output strings are ORDERED string aggregations — input
+# ordered by the block's first token position (the masked token rows
+# are dropped, the sentinel row takes the block's first position, so
+# keys never tie), target ordered by (sentinel rank, in-block
+# position). Scale shape: one explode + two grouped aggregations,
+# all shuffles on doc_id; nothing is quadratic in document length.
+# --------------------------------------------------------------------------
+T5_BLOCK = 3  # tokens per maskable block
+T5_MASK_MOD = 7  # mask blocks where md5int % 7 == 0 (~14% of tokens)
+
+
+def _t5_sql(engine: str) -> str:
+    if engine == "spark":
+        toks = (
+            "SELECT doc_id, tok, pos + 1 AS pos "
+            "FROM documents "
+            "LATERAL VIEW posexplode(split(text, ' ')) AS pos, tok"
+        )
+        h = (
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', "
+            "CAST(block AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        agg_input = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos_key, piece))), s -> s.piece), ' ')"
+        )
+        agg_target = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(k, seq, piece))), s -> s.piece), ' ')"
+        )
+        str_of = "CAST({} AS STRING)"
+    else:
+        toks = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos "
+            "FROM documents"
+        )
+        h = (
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+            "CAST(block AS VARCHAR)), 1, 8))::BIGINT"
+        )
+        agg_input = "string_agg(piece, ' ' ORDER BY pos_key)"
+        agg_target = "string_agg(piece, ' ' ORDER BY k, seq)"
+        str_of = "CAST({} AS VARCHAR)"
+    sent = lambda kexpr: (  # noqa: E731
+        f"'<extra_id_' || {str_of.format(kexpr)} || '>'"
+        if engine == "duck"
+        else f"concat('<extra_id_', {str_of.format(kexpr)}, '>')"
+    )
+    return f"""
+WITH toks AS ({toks}),
+blocked AS (
+  SELECT doc_id, tok, pos,
+         CAST(FLOOR((pos - 1) / {T5_BLOCK}) AS BIGINT) AS block
+  FROM toks
+),
+marks AS (
+  SELECT doc_id, block, ({h} % {T5_MASK_MOD} = 0) AS masked
+  FROM (SELECT DISTINCT doc_id, block FROM blocked) b
+),
+ranked AS (
+  SELECT doc_id, block,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY block
+         ) - 1 AS BIGINT) AS k
+  FROM marks WHERE masked
+),
+tk AS (
+  SELECT b.doc_id, b.tok, b.pos, b.block, m.masked
+  FROM blocked b JOIN marks m
+    ON m.doc_id = b.doc_id AND m.block = b.block
+),
+input_rows AS (
+  SELECT doc_id, pos AS pos_key, tok AS piece FROM tk WHERE NOT masked
+  UNION ALL
+  SELECT doc_id, block * {T5_BLOCK} + 1 AS pos_key,
+         {sent("k")} AS piece
+  FROM ranked
+),
+inputs AS (
+  SELECT doc_id, {agg_input} AS input_text FROM input_rows GROUP BY doc_id
+),
+target_rows AS (
+  SELECT r.doc_id, r.k, CAST(0 AS BIGINT) AS seq,
+         {sent("r.k")} AS piece
+  FROM ranked r
+  UNION ALL
+  SELECT t.doc_id, r.k, t.pos AS seq, t.tok AS piece
+  FROM tk t JOIN ranked r ON r.doc_id = t.doc_id AND r.block = t.block
+  WHERE t.masked
+),
+targets AS (
+  SELECT doc_id, {agg_target} AS target_body FROM target_rows GROUP BY doc_id
+),
+counts AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_masked_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tk GROUP BY doc_id
+),
+nsp AS (
+  SELECT m.doc_id,
+         CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+  FROM marks m GROUP BY m.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(i.input_text, '') AS input_text,
+       CASE WHEN t.target_body IS NULL THEN {sent("n.n_spans")}
+            ELSE t.target_body || ' ' || {sent("n.n_spans")}
+            END AS target_text,
+       n.n_spans,
+       COALESCE(c.n_masked_tokens, CAST(0 AS BIGINT)) AS n_masked_tokens,
+       c.n_tokens
+FROM documents d
+JOIN nsp n ON n.doc_id = d.doc_id
+JOIN counts c ON c.doc_id = d.doc_id
+LEFT JOIN inputs i ON i.doc_id = d.doc_id
+LEFT JOIN targets t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("span_corrupt_t5", _t5_sql("duck"))
+def span_corrupt_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_t5_sql("spark"))

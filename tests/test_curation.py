@@ -409,3 +409,48 @@ def test_fim_split_reconstructs_documents(spark):
         F.md5("text").alias("h"),
     )
     assert recon.filter(F.col("rh") != F.col("h")).count() == 0
+
+
+def test_span_corrupt_t5_roundtrip_reconstructs_documents(spark):
+    """The denoising pair must be LOSSLESS: substituting each
+    sentinel's span from the target back into the input reproduces
+    the original token stream exactly, sentinel ranks are dense from
+    0, and the masked fraction is near the design rate."""
+    from kinesis_to_firehose_spark.operators.curation import (
+        T5_MASK_MOD,
+        span_corrupt_t5,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = span_corrupt_t5(spark, sf).collect()
+    orig = {
+        r["doc_id"]: r["text"] for r in load(spark, "documents", sf).collect()
+    }
+    assert len(rows) == len(orig)
+    tot = masked = 0
+    for r in rows:
+        # parse target: '<extra_id_0> tok tok <extra_id_1> ... <extra_id_n>'
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for piece in r["target_text"].split(" "):
+            if piece.startswith("<extra_id_"):
+                cur = int(piece[len("<extra_id_") : -1])
+                spans[cur] = []
+            else:
+                spans[cur].append(piece)
+        final = max(spans)
+        assert sorted(spans) == list(range(final + 1))  # dense ranks
+        assert spans.pop(final) == []  # closing sentinel is empty
+        assert final == r["n_spans"]
+        rebuilt = []
+        for piece in r["input_text"].split(" "):
+            if piece.startswith("<extra_id_"):
+                rebuilt.extend(spans[int(piece[len("<extra_id_") : -1])])
+            else:
+                rebuilt.append(piece)
+        assert " ".join(rebuilt) == orig[r["doc_id"]], r["doc_id"]
+        tot += r["n_tokens"]
+        masked += r["n_masked_tokens"]
+    rate = masked / tot
+    assert abs(rate - 1 / T5_MASK_MOD) < 0.02  # ~14% by design
