@@ -100,19 +100,43 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "shared_scan": shared,
-                "host_sentinel_sec": host_speed_sentinel(),
-            }
-        )
-    )
+    sentinel = host_speed_sentinel()
+    # The driver keeps only the LAST 2000 chars of stdout; a 194-op
+    # JSON line truncates mid-map and parses as null (BENCH_r03.json).
+    # So: full per-op map goes to BENCH_OPS.json (the artifact of
+    # record, read by regress.py and the judge), and the stdout line
+    # carries a compact headline subset + a pointer, guaranteed to fit.
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "shared_scan": shared,
+        "host_sentinel_sec": sentinel,
+    }
+    ops_path = Path(__file__).resolve().parent / "BENCH_OPS.json"
+    ops_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+    headline = {
+        k: v for k, v in sorted(timings.items()) if k.startswith("q")
+    }
+    line = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": headline,
+        "queries_file": "BENCH_OPS.json",
+        "n_ops": len(timings),
+        "sf": sf,
+        "shared_scan": shared,
+        "host_sentinel_sec": sentinel,
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    while len(out) > 1900 and headline:  # hard cap: driver tail is 2000
+        headline.popitem()
+        line["queries"] = headline
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
     spark.stop()
 
 

@@ -61,18 +61,35 @@ def load_bench(arg: str) -> tuple[dict[str, float], float | None]:
             # driver BENCH_r{N}.json wraps the bench line under "parsed"
             if "queries" not in d and isinstance(d.get("parsed"), dict):
                 d = d["parsed"]
+            # a bench line carrying only the headline subset points at
+            # the full per-op artifact (driver stdout is tail-truncated
+            # at 2000 chars; BENCH_OPS.json is the map of record)
+            if d.get("queries_file"):
+                f = BASELINE.parent / d["queries_file"]
+                if f.exists():
+                    d = json.loads(f.read_text())
             return d.get("queries", d), d.get("host_sentinel_sec")
     raise SystemExit("no JSON line found in input")
 
 
 def never_sampled_ops() -> list[str]:
-    """Oracle ops the driver's correctness gate has never sampled, by
-    union of every CORRECTNESS_r*.json in the repo root."""
+    """Oracle ops the driver's correctness gate has never ORACLE-
+    sampled, by union of every CORRECTNESS_r*.json in the repo root.
+
+    A sample recorded with err=no_oracle was a rows-only check (the
+    op had no oracle_sql() at the time); if the op has since gained a
+    SQL oracle, that old sample proves nothing about value parity, so
+    it must NOT count as sampled (round-3 verdict task 3: the four
+    ops upgraded after an r01 no_oracle sample fell through both
+    gates)."""
     from kinesis_to_firehose_spark.registry import all_ops
 
     sampled: set[str] = set()
     for f in sorted(BASELINE.parent.glob("CORRECTNESS_r*.json")):
-        sampled |= set(json.loads(f.read_text()))
+        for name, rec in json.loads(f.read_text()).items():
+            if isinstance(rec, dict) and rec.get("err") == "no_oracle":
+                continue
+            sampled.add(name)
     return sorted(
         name
         for name, op in all_ops().items()
