@@ -116,7 +116,10 @@ def test_drop_stats_single_raw_pass(spark):
     from kinesis_to_firehose_spark.plans.explain import physical_plan
 
     plan = physical_plan(OPS["drop_stats"].fn(spark, SF))
-    assert plan.count("FileScan parquet") == 0  # branches read the checkpoint
+    # one raw scan feeding the pre-agg; GROUPING SETS fans the views
+    # out from the aggregated intermediate, not from re-scans
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
 
 
 def test_decontaminate_joins_broadcast(spark):
