@@ -23,9 +23,35 @@ from kinesis_to_firehose_spark.sources.tables import load
 
 ROUND_DP = 2
 
+# Money-sum terms are quantized to DECIMAL(18,4) BEFORE aggregation so
+# the sum is exact integer arithmetic — order-independent, hence
+# bit-identical across engines and partition counts at any scale.
+# Summing raw doubles is fold-order-dependent: at sf1 the ~1e-8
+# relative drift between Spark's partial-sum tree and DuckDB's reached
+# ~1e-5 absolute on ~1e10 revenue sums and flipped ROUND(.., 2) cents
+# (q5/q7, .testdata/sf1 parity sweep, round 5). The double→decimal
+# cast itself is cross-engine bit-stable: both Spark (BigDecimal
+# shortest-string path) and DuckDB round the shortest decimal repr
+# HALF_UP, verified on 200k random + adversarial midpoint values.
+_DEC = "decimal(18,4)"
+
 
 def _r(col, dp: int = ROUND_DP):
     return F.round(col, dp)
+
+
+def _dsum(col, dp: int = ROUND_DP):
+    """Order-independent money sum: ROUND(SUM(CAST(x AS DEC(18,4))), dp)
+    returned as DOUBLE. SQL twin: ROUND(SUM(CAST(x AS DECIMAL(18,4))),
+    dp)::DOUBLE."""
+    return F.round(F.sum(col.cast(_DEC)), dp).cast("double")
+
+
+def _dsum_raw(col):
+    """Exact decimal money sum (no rounding) for ratio/threshold math;
+    cast to double before any division so both engines divide the same
+    IEEE values. SQL twin: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)."""
+    return F.sum(col.cast(_DEC)).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -37,9 +63,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+  ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE    AS sum_base_price,
+  ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
+  ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_charge,
   ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
   ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
   ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -60,9 +86,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r(F.sum("l_quantity")).alias("sum_qty"),
-            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r(F.sum(disc_price)).alias("sum_disc_price"),
-            _r(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             _r(F.avg("l_quantity")).alias("avg_qty"),
             _r(F.avg("l_extendedprice")).alias("avg_price"),
             _r(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -78,7 +104,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 Q3_SQL = """
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        o_orderdate,
        o_orderpriority
 FROM customer
@@ -108,7 +134,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -125,7 +151,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 Q5_SQL = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -161,7 +187,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -170,7 +196,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q6_forecast_revenue — selective scan-agg; filters push to the parquet scan.
 # --------------------------------------------------------------------------
 Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -191,7 +217,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -203,7 +229,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 SELECT c_custkey,
        c_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        ROUND(c_acctbal, 2) AS c_acctbal,
        n_name
 FROM customer
@@ -235,7 +261,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -1084,7 +1110,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pushdown stress test.
 # --------------------------------------------------------------------------
 Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 20)
@@ -1116,7 +1142,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("revenue")
         )
     )
@@ -1314,7 +1340,7 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
@@ -1334,7 +1360,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
