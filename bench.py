@@ -106,6 +106,12 @@ def main() -> None:
     # So: full per-op map goes to BENCH_OPS.json (the artifact of
     # record, read by regress.py and the judge), and the stdout line
     # carries a compact headline subset + a pointer, guaranteed to fit.
+    try:
+        from tools.parity_stamp import status as _stamp_status
+
+        parity_stamp = _stamp_status()[0]
+    except Exception:  # noqa: BLE001 — annotation only, never break bench
+        parity_stamp = "unknown"
     full = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
@@ -114,6 +120,7 @@ def main() -> None:
         "sf": sf,
         "shared_scan": shared,
         "host_sentinel_sec": sentinel,
+        "parity_stamp": parity_stamp,
     }
     ops_path = Path(__file__).resolve().parent / "BENCH_OPS.json"
     ops_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
@@ -130,6 +137,7 @@ def main() -> None:
         "sf": sf,
         "shared_scan": shared,
         "host_sentinel_sec": sentinel,
+        "parity_stamp": parity_stamp,
     }
     out = json.dumps(line, separators=(",", ":"))
     while len(out) > 1900 and headline:  # hard cap: driver tail is 2000

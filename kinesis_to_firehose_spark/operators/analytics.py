@@ -23,53 +23,113 @@ from kinesis_to_firehose_spark.sources.tables import load
 
 ROUND_DP = 2
 
-# Money-sum terms are quantized to DECIMAL(18,4) BEFORE aggregation so
-# the sum is exact integer arithmetic — order-independent, hence
-# bit-identical across engines and partition counts at any scale.
-# Summing raw doubles is fold-order-dependent: at sf1 the ~1e-8
-# relative drift between Spark's partial-sum tree and DuckDB's reached
-# ~1e-5 absolute on ~1e10 revenue sums and flipped ROUND(.., 2) cents
-# (q5/q7, .testdata/sf1 parity sweep, round 5). The double→decimal
-# cast itself is cross-engine bit-stable: both Spark (BigDecimal
-# shortest-string path) and DuckDB round the shortest decimal repr
-# HALF_UP, verified on 200k random + adversarial midpoint values.
-_DEC = "decimal(18,4)"
+# ---------------------------------------------------------------------
+# Cross-engine exact money arithmetic.
+#
+# Rule (round-5 postmortem): quantize OPERANDS, never double products.
+# Every money column in the testdata is 2dp-exact (stored as the
+# nearest double to an exact hundredth — verified max|x*100-round| ≲
+# 1e-9, i.e. pure representation noise), so casting the COLUMN to a
+# 2dp decimal is lossless and bit-identical in Spark and DuckDB: the
+# target grid point is ~0.005 away from any rounding boundary, so
+# Spark's shortest-string HALF_UP and DuckDB's binary-value rounding
+# agree. Casting a double PRODUCT (price*(1-disc)*(1+tax), exact at
+# 6dp) to DECIMAL(18,4) is NOT safe: ~1.45% of charge values sit on
+# exact 4dp midpoints where the two engines' cast semantics fork —
+# that broke q1 in round 5. With decimal operands the whole product
+# stays exact decimal arithmetic (scale 2+2+2=6, precision ≤ 22 — no
+# precision-loss adjustment in either engine), the SUM is exact
+# integer arithmetic (order-independent at any parallelism/scale),
+# and ROUND is exact HALF_UP on the same decimal value in both
+# engines. Summing raw doubles instead is fold-order-dependent: at
+# sf1 the ~1e-8 relative drift between Spark's partial-sum tree and
+# DuckDB's flipped ROUND(.., 2) cents (q5/q7, round-5 sweep).
+_PRICE_DEC = "decimal(12,2)"  # money columns (|x| < 1e10, 2dp-exact)
+_RATE_DEC = "decimal(4,2)"    # rate factors (1±disc/tax) in [0, 2)
+_QTY_DEC = "decimal(4,0)"     # l_quantity: integer-valued, 1..50
+
+# SQL-twin spellings (DuckDB) of the same quantized operands.
+_SQL_EP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_SQL_DISC_PRICE = f"{_SQL_EP} * CAST(1 - l_discount AS DECIMAL(4,2))"
+_SQL_CHARGE = f"{_SQL_DISC_PRICE} * CAST(1 + l_tax AS DECIMAL(4,2))"
 
 
 def _r(col, dp: int = ROUND_DP):
     return F.round(col, dp)
 
 
-def _dsum(col, dp: int = ROUND_DP):
-    """Order-independent money sum: ROUND(SUM(CAST(x AS DEC(18,4))), dp)
-    returned as DOUBLE. SQL twin: ROUND(SUM(CAST(x AS DECIMAL(18,4))),
-    dp)::DOUBLE."""
-    return F.round(F.sum(col.cast(_DEC)), dp).cast("double")
+def _dm(name: str):
+    """A 2dp-exact money column as exact DECIMAL(12,2)."""
+    return F.col(name).cast(_PRICE_DEC)
 
 
-def _dsum_raw(col):
-    """Exact decimal money sum (no rounding) for ratio/threshold math;
-    cast to double before any division so both engines divide the same
-    IEEE values. SQL twin: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)."""
-    return F.sum(col.cast(_DEC)).cast("double")
+def _df(expr):
+    """A 2dp-exact rate factor (1±disc/tax, in [0,2)) as DECIMAL(4,2).
+    The double arithmetic error on 1±x is ~1e-16 — five orders below
+    the 0.005 distance to the nearest 2dp rounding boundary."""
+    return expr.cast(_RATE_DEC)
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) as exact DECIMAL (scale 4)."""
+    return _dm("l_extendedprice") * _df(1 - F.col("l_discount"))
+
+
+def _charge():
+    """l_extendedprice*(1-l_discount)*(1+l_tax) as exact DECIMAL (scale 6)."""
+    return _disc_price() * _df(1 + F.col("l_tax"))
+
+
+def _dsum(dec_col, dp: int = ROUND_DP):
+    """Order-independent money sum over an ALREADY-DECIMAL expression:
+    ROUND(SUM(dec), dp) as DOUBLE. Exact in both engines; the final
+    decimal→double cast of the rounded 2dp value is deterministic."""
+    return F.round(F.sum(dec_col), dp).cast("double")
+
+
+def _dsum_raw(dec_col):
+    """Exact decimal money sum cast to double (no rounding) for
+    ratio/threshold math: both engines cast the IDENTICAL exact
+    decimal, so downstream IEEE division sees identical inputs."""
+    return F.sum(dec_col).cast("double")
+
+
+def _davg_expr(sum_units: str, n: str, dp: int = ROUND_DP) -> str:
+    """Exact HALF_UP average, pure integer arithmetic (post-agg SQL
+    expression): round_half_up(sum/n, dp) = ((2*u + n) DIV (2*n)) /
+    10^dp where u = sum * 10^dp is an exact integer (the summed
+    values are dp-exact and nonnegative). No engine ROUND on a double
+    is involved, so there is no midpoint semantics to fork: fold
+    order, decimal-vs-binary rounding, and division style all drop
+    out. Exact while |u| < 2^62 — at dp=2 that is |sum| ≲ 4.6e16,
+    i.e. past a global 100 TB revenue sum. DuckDB twin uses // in
+    place of DIV."""
+    s = 10 ** dp
+    return (
+        f"CAST((CAST({sum_units} * {s} AS BIGINT) * 2 + {n}) DIV "
+        f"({n} * 2) AS DOUBLE) / {s}.0"
+    )
 
 
 # --------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1 adapted (reference has no SQL surface; this
 # is the engine-breadth suite mandated by SURVEY §2.2).
 # --------------------------------------------------------------------------
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-  ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE    AS sum_base_price,
-  ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
-  ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_charge,
-  ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-  ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
-  ROUND(AVG(l_discount), 4)                                        AS avg_disc,
-  COUNT(*)                                                         AS count_order
+  ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+  ROUND(SUM({_SQL_EP}), 2)::DOUBLE                   AS sum_base_price,
+  ROUND(SUM({_SQL_DISC_PRICE}), 2)::DOUBLE           AS sum_disc_price,
+  ROUND(SUM({_SQL_CHARGE}), 2)::DOUBLE               AS sum_charge,
+  CAST((CAST(SUM(l_quantity) * 100 AS BIGINT) * 2 + COUNT(*))
+       // (COUNT(*) * 2) AS DOUBLE) / 100.0          AS avg_qty,
+  CAST((CAST(SUM({_SQL_EP}) * 100 AS BIGINT) * 2 + COUNT(*))
+       // (COUNT(*) * 2) AS DOUBLE) / 100.0          AS avg_price,
+  CAST((CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) * 2 + COUNT(*))
+       // (COUNT(*) * 2) AS DOUBLE) / 10000.0        AS avg_disc,
+  COUNT(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -80,19 +140,31 @@ ORDER BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", Q1_SQL)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    agged = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r(F.sum("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            _r(F.avg("l_quantity")).alias("avg_qty"),
-            _r(F.avg("l_extendedprice")).alias("avg_price"),
-            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum("l_quantity").alias("_sum_qty"),
+            _dsum(_dm("l_extendedprice")).alias("sum_base_price"),
+            _dsum(_disc_price()).alias("sum_disc_price"),
+            _dsum(_charge()).alias("sum_charge"),
+            F.sum(_dm("l_extendedprice")).alias("_sum_price_dec"),
+            F.sum(F.col("l_discount").cast(_RATE_DEC)).alias("_sum_disc_dec"),
             F.count("*").alias("count_order"),
+        )
+    )
+    return (
+        agged.select(
+            "l_returnflag",
+            "l_linestatus",
+            _r(F.col("_sum_qty")).alias("sum_qty"),
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.expr(_davg_expr("_sum_qty", "count_order")).alias("avg_qty"),
+            F.expr(_davg_expr("_sum_price_dec", "count_order")).alias("avg_price"),
+            F.expr(_davg_expr("_sum_disc_dec", "count_order", 4)).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -104,7 +176,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 Q3_SQL = """
 SELECT l_orderkey,
-       ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2)::DOUBLE AS revenue,
        o_orderdate,
        o_orderpriority
 FROM customer
@@ -134,7 +206,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(_disc_price()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -151,7 +223,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 Q5_SQL = """
 SELECT n_name,
-       ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2)::DOUBLE AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -187,7 +259,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(_disc_price()).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -196,7 +268,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q6_forecast_revenue — selective scan-agg; filters push to the parquet scan.
 # --------------------------------------------------------------------------
 Q6_SQL = """
-SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2)::DOUBLE AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -217,7 +289,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            _dsum(_dm("l_extendedprice") * F.col("l_discount").cast(_RATE_DEC)).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -229,7 +301,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 SELECT c_custkey,
        c_name,
-       ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2)::DOUBLE AS revenue,
        ROUND(c_acctbal, 2) AS c_acctbal,
        n_name
 FROM customer
@@ -261,7 +333,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(_disc_price()).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -379,7 +451,7 @@ sessions AS (
 )
 SELECT user_id, session_id,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS session_value,
+       ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS session_value,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end
 FROM sessions
@@ -412,7 +484,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            _r(F.sum("value")).alias("session_value"),
+            _dsum(_dm("value")).alias("session_value"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
@@ -425,10 +497,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 RUNNING_SQL = """
 SELECT event_id, user_id, ts,
-       ROUND(SUM(value) OVER (
+       ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 2) AS running_value,
+       ), 2)::DOUBLE AS running_value,
        ROW_NUMBER() OVER (
          PARTITION BY user_id ORDER BY ts, event_id
        ) AS user_seq
@@ -444,9 +516,11 @@ def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        _r(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0))).alias(
-            "running_value"
-        ),
+        F.round(
+            F.sum(_dm("value")).over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        )
+        .cast("double")
+        .alias("running_value"),
         F.row_number().over(w).cast("bigint").alias("user_seq"),
     )
 
@@ -600,7 +674,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decorrelate to anyway).
 # --------------------------------------------------------------------------
 Q17_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 2 + 7)
+            // 14 AS DOUBLE) / 100.0 AS avg_yearly,
        COUNT(*) AS n_lines
 FROM lineitem l1
 WHERE l_quantity < (
@@ -623,8 +698,16 @@ def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(part_avg, l.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            _r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.sum(_dm("l_extendedprice")).alias("_s"),
             F.count("*").alias("n_lines"),
+        )
+        # ROUND(sum/7, 2) as exact integer HALF_UP: (2*cents+7) DIV 14
+        .select(
+            F.expr(
+                "CAST((CAST(_s * 100 AS BIGINT) * 2 + 7) DIV 14 AS DOUBLE)"
+                " / 100.0"
+            ).alias("avg_yearly"),
+            "n_lines",
         )
     )
 
@@ -719,7 +802,7 @@ def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 MONTHLY_SQL = """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
        CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
-       ROUND(SUM(o_totalprice), 2) AS revenue,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)::DOUBLE AS revenue,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY yr, mo
@@ -736,7 +819,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").cast("bigint").alias("mo"),
         )
         .agg(
-            _r(F.sum("o_totalprice")).alias("revenue"),
+            _dsum(_dm("o_totalprice")).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("yr", "mo")
@@ -748,7 +831,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 CUBE_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)::DOUBLE AS sum_price,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -759,7 +842,7 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, "lineitem", sf_dir)
     return l.cube("l_returnflag", "l_linestatus").agg(
-        _r(F.sum("l_extendedprice")).alias("sum_price"),
+        _dsum(_dm("l_extendedprice")).alias("sum_price"),
         F.count("*").alias("n"),
     )
 
@@ -829,7 +912,7 @@ SELECT user_id,
        MIN(ts) AS window_start,
        MAX(ts) + INTERVAL 6 HOUR AS window_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, window_start
@@ -846,7 +929,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            _r(F.sum("value")).alias("session_value"),
+            _dsum(_dm("value")).alias("session_value"),
         )
         .select(
             "user_id",
@@ -870,7 +953,7 @@ SELECT event_type,
        user_id % 10 AS user_bucket,
        GROUPING(event_type, user_id % 10) AS grp_id,
        COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS total_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
 ORDER BY grp_id, event_type NULLS FIRST, user_bucket NULLS FIRST
@@ -887,7 +970,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                user_id % 10 AS user_bucket,
                CAST(GROUPING_ID(event_type, user_id % 10) AS BIGINT) AS grp_id,
                COUNT(*) AS n,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         FROM events_gs
         GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         ORDER BY grp_id, event_type NULLS FIRST, user_bucket NULLS FIRST
@@ -963,11 +1046,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keys and AQE handles the rest.
 # --------------------------------------------------------------------------
 Q7_SQL = """
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2)::DOUBLE AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS volume
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
@@ -1012,12 +1095,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1.n_name").alias("supp_nation"),
             F.col("n2.n_name").alias("cust_nation"),
             F.year("l_shipdate").cast("bigint").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            ),
+            _disc_price().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_r(F.sum("volume")).alias("revenue"))
+        .agg(_dsum(F.col("volume")).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1073,10 +1154,10 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 Q14_SQL = """
 SELECT ROUND(
-         100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END)
-         / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                          ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-03-01 00:00:00'
@@ -1090,12 +1171,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-03-01 00:00:00").cast("timestamp"))
     )
     p = load(spark, "part", sf_dir)
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+    disc = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+            F.round(100.0 * _dsum_raw(promo) / _dsum_raw(disc), 4).alias(
                 "promo_revenue_pct"
             )
         )
@@ -1110,7 +1191,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pushdown stress test.
 # --------------------------------------------------------------------------
 Q19_SQL = """
-SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2)::DOUBLE AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 20)
@@ -1142,7 +1223,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _dsum(_disc_price())
             .alias("revenue")
         )
     )
@@ -1236,11 +1317,11 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 Q8_SQL = """
 SELECT o_year,
-       ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-             / SUM(volume), 6) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS volume,
          n2.n_name AS supp_nation
   FROM lineitem
   JOIN orders ON o_orderkey = l_orderkey
@@ -1267,7 +1348,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.broadcast(
         load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = _disc_price()
     base = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -1285,12 +1366,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                _dsum_raw(
                     F.when(
                         F.col("supp_nation") == "NATION_1", F.col("volume")
-                    ).otherwise(0.0)
+                    ).otherwise(F.lit(0))
                 )
-                / F.sum("volume"),
+                / _dsum_raw(F.col("volume")),
                 6,
             ).alias("mkt_share")
         )
@@ -1340,7 +1421,7 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS total_revenue
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2)::DOUBLE AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
@@ -1360,7 +1441,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        _dsum(_disc_price()).alias(
             "total_revenue"
         )
     )
@@ -1384,11 +1465,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = """
 SELECT c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2)::DOUBLE AS totacctbal
 FROM customer
-WHERE c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
-      )
+WHERE CAST(c_acctbal AS DECIMAL(12,2))
+        * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+         FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey
@@ -1403,12 +1485,19 @@ ORDER BY c_nationkey
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, "customer", sf_dir)
     o = load(spark, "orders", sf_dir)
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    # c_acctbal > AVG(...) decided in exact decimal (bal * n > total):
+    # the avg of 2dp balances can land exactly ON a 2dp grid point
+    # (n | sum_cents), where a double-avg comparison forks by engine.
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(_PRICE_DEC)).alias("_pos_total"),
+        F.count("*").alias("_pos_n"),
     )
     return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        c.join(F.broadcast(pos))
+        .filter(
+            F.col("c_acctbal").cast(_PRICE_DEC) * F.col("_pos_n")
+            > F.col("_pos_total")
+        )
         .join(
             o.filter(
                 F.col("o_orderdate")
@@ -1420,7 +1509,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
-            _r(F.sum("c_acctbal")).alias("totacctbal"),
+            _dsum(F.col("c_acctbal").cast(_PRICE_DEC)).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -1444,7 +1533,7 @@ SELECT CAST(FLOOR(epoch(ts) / {SLIDE_S}) * {SLIDE_S} - k * {SLIDE_S} AS BIGINT)
          AS window_start_s,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS total_value
 FROM events, generate_series(0, {WSIZE_S // SLIDE_S - 1}) AS g(k)
 GROUP BY window_start_s, event_type
 ORDER BY window_start_s, event_type
@@ -1463,7 +1552,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            _r(F.sum("value")).alias("total_value"),
+            _dsum(_dm("value")).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start"))
@@ -1541,20 +1630,25 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # value_outliers — per-type z-score outliers (|z| > 3). The per-type
 # moments are a tiny aggregate joined back (broadcast — one row per
-# event_type); the z computation is narrow. Moments use the two-pass
-# formulation (avg, then avg of squared deviations) so both engines
-# fold identically after rounding.
+# event_type); the z computation is narrow. Moments come from EXACT
+# decimal sufficient statistics (S1 = Σx, S2 = Σx² — both exact since
+# value is 2dp, so x² is 4dp): the exact sums convert to double once
+# and mu/sigma are then fixed scalar IEEE expressions — bit-identical
+# in both engines at any fold order or scale, so the |z| > 3 cut
+# can't fork.
 # --------------------------------------------------------------------------
 OUTLIER_Z = 3.0
 
 OUTLIERS_SQL = f"""
 WITH stats AS (
-  SELECT event_type, AVG(value) AS mu,
-         SQRT(AVG((value - (SELECT AVG(value) FROM events e2
-                            WHERE e2.event_type = events.event_type))
-                  * (value - (SELECT AVG(value) FROM events e2
-                              WHERE e2.event_type = events.event_type))))
-           AS sigma
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
+         SQRT(
+           CAST(SUM(CAST(value AS DECIMAL(12,2))
+                    * CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+         ) AS sigma
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
@@ -1569,23 +1663,26 @@ ORDER BY e.event_id
 @register("value_outliers", OUTLIERS_SQL)
 def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir)
-    mu = e.groupBy("event_type").agg(F.avg("value").alias("mu"))
-    sigma = (
-        e.join(F.broadcast(mu), "event_type")
-        .groupBy("event_type")
+    stats = (
+        e.groupBy("event_type")
         .agg(
+            F.sum(_dm("value")).alias("_s1"),
+            F.sum(_dm("value") * _dm("value")).alias("_s2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "event_type",
+            (F.col("_s1").cast("double") / F.col("_n")).alias("mu"),
             F.sqrt(
-                F.avg(
-                    (F.col("value") - F.col("mu"))
-                    * (F.col("value") - F.col("mu"))
-                )
+                F.col("_s2").cast("double") / F.col("_n")
+                - (F.col("_s1").cast("double") / F.col("_n"))
+                * (F.col("_s1").cast("double") / F.col("_n"))
             ).alias("sigma"),
-            F.first("mu").alias("mu"),
         )
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
-        e.join(F.broadcast(sigma), "event_type")
+        e.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > OUTLIER_Z)
         .select(
             "event_id",
@@ -1891,17 +1988,24 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_SQL = """
 WITH val AS (
   SELECT l_partkey AS partkey,
-         SUM(l_extendedprice * l_quantity) AS raw_value
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(4,0))) AS raw_value
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
+),
+thr AS (
+  -- ROUND(AVG(raw_value) * 2, 2) in cents, exact integer HALF_UP:
+  -- (4*total_cents + k) // (2*k)
+  SELECT (CAST(SUM(raw_value) * 100 AS BIGINT) * 4 + COUNT(*))
+         // (COUNT(*) * 2) AS threshold_cents
+  FROM val
 )
-SELECT partkey, ROUND(raw_value, 2) AS value
-FROM val
-WHERE ROUND(raw_value, 2) > ROUND(
-        (SELECT AVG(raw_value) FROM val) * 2, 2)
+SELECT partkey, CAST(raw_value AS DOUBLE) AS value
+FROM val, thr
+WHERE CAST(raw_value * 100 AS BIGINT) > threshold_cents
 ORDER BY value DESC, partkey
 """
 
@@ -1918,20 +2022,29 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value")
+            F.sum(
+                _dm("l_extendedprice") * F.col("l_quantity").cast(_QTY_DEC)
+            ).alias("raw_value")
         )
     )
     # scale-invariant threshold (2× the mean part value): TPC-H's
     # fixed 0.001 fraction divides by part count, so at growing SF it
     # eventually selects nothing (it did at sf0.1 — every part's share
-    # shrinks as parts multiply; the official query scales it by 1/SF)
+    # shrinks as parts multiply; the official query scales it by 1/SF).
+    # The threshold and the comparison are exact integer cents so the
+    # cut is engine- and fold-order-independent at any scale.
     threshold = val.agg(
-        F.round(F.avg("raw_value") * 2, 2).alias("threshold")
+        F.expr(
+            "(CAST(SUM(raw_value) * 100 AS BIGINT) * 4 + COUNT(*))"
+            " DIV (COUNT(*) * 2)"
+        ).alias("threshold_cents")
     )
     return (
         val.join(F.broadcast(threshold))
-        .filter(F.round(F.col("raw_value"), 2) > F.col("threshold"))
-        .select("partkey", F.round("raw_value", 2).alias("value"))
+        .filter(
+            F.expr("CAST(raw_value * 100 AS BIGINT)") > F.col("threshold_cents")
+        )
+        .select("partkey", F.col("raw_value").cast("double").alias("value"))
         .orderBy(F.desc("value"), "partkey")
     )
 
@@ -2312,16 +2425,17 @@ WITH sliced AS (
 ),
 partials AS (
   SELECT side, event_type, day,
-         COUNT(*) AS n, SUM(value) AS s,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS s,
          MIN(value) AS mn, MAX(value) AS mx
   FROM sliced GROUP BY side, event_type, day
 )
 SELECT event_type, day,
        CAST(SUM(n) AS BIGINT) AS n_events,
-       ROUND(SUM(s), 2) AS sum_value,
+       ROUND(SUM(s), 2)::DOUBLE AS sum_value,
        ROUND(MIN(mn), 2) AS min_value,
        ROUND(MAX(mx), 2) AS max_value,
-       ROUND(SUM(s) / SUM(n), 4) AS avg_value
+       CAST((CAST(SUM(s) * 10000 AS BIGINT) * 2 + SUM(n))
+            // (SUM(n) * 2) AS DOUBLE) / 10000.0 AS avg_value
 FROM partials
 GROUP BY event_type, day
 ORDER BY event_type, day
@@ -2343,7 +2457,7 @@ def agg_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("side", "event_type", "day")
         .agg(
             F.count("*").alias("n"),
-            F.sum("value").alias("s"),
+            F.sum(_dm("value")).alias("s"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
         )
@@ -2352,10 +2466,10 @@ def agg_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy("event_type", "day")
         .agg(
             F.sum("n").cast("bigint").alias("n_events"),
-            F.round(F.sum("s"), 2).alias("sum_value"),
+            F.round(F.sum("s"), 2).cast("double").alias("sum_value"),
             F.round(F.min("mn"), 2).alias("min_value"),
             F.round(F.max("mx"), 2).alias("max_value"),
-            F.round(F.sum("s") / F.sum("n"), 4).alias("avg_value"),
+            F.expr(_davg_expr("SUM(s)", "SUM(n)", 4)).alias("avg_value"),
         )
         .orderBy("event_type", "day")
     )
@@ -2439,7 +2553,7 @@ BLOOM_NATION = 7
 BLOOM_JOIN_SQL = f"""
 SELECT o.o_orderstatus AS orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o.o_totalprice), 2) AS revenue
+       ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)::DOUBLE AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_nationkey = {BLOOM_NATION}
@@ -2469,7 +2583,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("orderstatus"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _dsum(_dm("o_totalprice")).alias("revenue"),
         )
         .orderBy("orderstatus")
     )
@@ -2602,7 +2716,7 @@ WITH w AS (
          NTH_VALUE(value, 10) OVER (
            win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
          ) AS tenth_value,
-         value - LAG(value) OVER win AS delta
+         CAST(value AS DECIMAL(12,2)) - LAG(CAST(value AS DECIMAL(12,2))) OVER win AS delta
   FROM events
   WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id)
 )
@@ -2611,7 +2725,7 @@ SELECT event_type, quartile,
        ROUND(MIN(pr), 6) AS min_pr,
        ROUND(MAX(cd), 6) AS max_cd,
        ROUND(MIN(tenth_value), 2) AS tenth_value,
-       ROUND(AVG(delta), 6) AS avg_delta
+       ROUND(CAST(SUM(delta) AS DOUBLE) / COUNT(delta), 6) AS avg_delta
 FROM w
 GROUP BY event_type, quartile
 ORDER BY event_type, quartile
@@ -2630,7 +2744,7 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(win).alias("pr"),
         F.cume_dist().over(win).alias("cd"),
         F.nth_value("value", 10).over(full).alias("tenth_value"),
-        (F.col("value") - F.lag("value").over(win)).alias("delta"),
+        (_dm("value") - F.lag(_dm("value")).over(win)).alias("delta"),
     )
     return (
         w.groupBy("event_type", "quartile")
@@ -2639,7 +2753,9 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("pr"), 6).alias("min_pr"),
             F.round(F.max("cd"), 6).alias("max_cd"),
             F.round(F.min("tenth_value"), 2).alias("tenth_value"),
-            F.round(F.avg("delta"), 6).alias("avg_delta"),
+            F.round(
+                F.sum("delta").cast("double") / F.count("delta"), 6
+            ).alias("avg_delta"),
         )
         .orderBy("event_type", "quartile")
     )

@@ -389,14 +389,20 @@ def train_ivf_centroids(
 
 @register("ann_ivf_trained_topk", TRAINED_IVF_SQL)
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The interpreted-HOF norm column is reused twice per Lloyd
-    # iteration plus by the final probe; materialize it ONCE (eager
-    # localCheckpoint — no persist bookkeeping to leak) instead of
-    # recomputing it ~7×. IVF training always materializes its
-    # training set; at 100 TB this is the same spill-backed exchange
-    # any multi-pass trainer pays.
+    # Training is a BUILD step: the Lloyd codebook comes from the
+    # persisted store (sources/ann_index.py::trained_centroids, keyed
+    # by corpus content + K + iters), so a query pays centroid READ +
+    # probe, never k-means. A cold store trains once — inside
+    # training, the interpreted-HOF norm column is localCheckpointed
+    # so each of the ~7 reuses doesn't recompute it.
+    from kinesis_to_firehose_spark.sources.ann_index import (
+        trained_centroids,
+    )
+
     n = normed_embeddings(spark, sf_dir).localCheckpoint(eager=True)
-    cents = train_ivf_centroids(spark, sf_dir, prenormed=n)
+    cents = trained_centroids(
+        spark, sf_dir, N_CENTROIDS, LLOYD_ITERS, prenormed=n
+    )
     return _ivf_probe_topk(n, _ranked_cells(n, cents))
 
 

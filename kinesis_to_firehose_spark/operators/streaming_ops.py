@@ -110,25 +110,21 @@ def kinesis_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: one user's records stay shard-ordered)."""
     from kinesis_to_firehose_spark.sources.kinesis_datasource import (
         register_replay_source,
-        write_replay_slices,
+        write_replay_slices_distributed,
     )
     from kinesis_to_firehose_spark.sources.tables import load
 
     register_replay_source(spark)
-    records = [
-        (str(r["user_id"]), r["data"])
-        for r in load(spark, "events", sf_dir)
-        .select(
-            "user_id",
-            F.to_json(F.struct("event_id", "ts", "event_type", "value")).alias(
-                "data"
-            ),
-        )
-        .collect()
-    ]
+    records = load(spark, "events", sf_dir).select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.to_json(F.struct("event_id", "ts", "event_type", "value")).alias(
+            "data"
+        ),
+    )
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "stream")
-        write_replay_slices(src, records, n_shards=4)
+        # executor-side slice write — no record crosses the driver
+        write_replay_slices_distributed(spark, records, src, n_shards=4)
         name = "kinesis_replay_smoke"
         q = (
             spark.readStream.format("kinesis_replay")

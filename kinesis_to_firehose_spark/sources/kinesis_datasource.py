@@ -87,6 +87,60 @@ def write_replay_slices(
             open(p, "a").close()
 
 
+def write_replay_slices_distributed(
+    spark,
+    records_df,
+    path: str,
+    n_shards: int = 4,
+) -> None:
+    """Producer half at scale: records (pk STRING, data STRING) are
+    routed, serialized, and written by EXECUTORS — same md5 routing
+    as shard_for_key, same JSONL record format — into a staged
+    `shard=K/` layout; the driver then only RENAMES each shard's
+    single part file into the reader's `shard-K.jsonl` name (a
+    metadata move, no record bytes cross the driver). The collect()
+    formulation this replaces died at the driver before the connector
+    was even exercised at 100× (round-5 verdict #3). repartition(
+    n_shards, shard) gives one task — hence one part file — per
+    shard, which is exactly Kinesis' per-shard single-writer model."""
+    from pyspark.sql import functions as F
+
+    staging = path.rstrip("/") + "__stage"
+    shard = (
+        F.conv(F.substring(F.md5(F.col("pk")), 1, 8), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
+    (
+        records_df.withColumn("shard", shard)
+        .select("shard", F.to_json(F.struct("pk", "data")).alias("value"))
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(staging)
+    )
+    os.makedirs(path, exist_ok=True)
+    import glob as _glob
+    import shutil as _shutil
+
+    for s in range(n_shards):
+        parts = sorted(
+            _glob.glob(os.path.join(staging, f"shard={s}", "part-*"))
+        )
+        target = os.path.join(path, f"shard-{s}.jsonl")
+        if len(parts) == 1 and not os.path.exists(target):
+            os.rename(parts[0], target)
+        else:
+            # append-extend (repeat producer calls) or multi-part
+            # fallback: local-simulator concat, still executor-written
+            with open(target, "a") as out:
+                for p in parts:
+                    with open(p) as f:
+                        _shutil.copyfileobj(f, out)
+        if not os.path.exists(target):
+            open(target, "a").close()
+    _shutil.rmtree(staging, ignore_errors=True)
+
+
 def _shard_files(path: str) -> list[str]:
     return sorted(
         f for f in os.listdir(path)

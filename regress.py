@@ -160,6 +160,15 @@ def parity_main() -> None:
         f"parity: {len(todo) - len(failures)}/{len(todo)} green"
         + (f"; FAILURES: {failures}" if failures else "")
     )
+    if "--all" in sys.argv:
+        # stamp the sweep (green or red) against the current operator
+        # source hash — tests/test_parity_stamp.py and the pre-commit
+        # hook refuse a stale/red stamp, so an unswept aggregate edit
+        # can't ship again (round-5 q1 postmortem).
+        from tools.parity_stamp import write as stamp_write
+
+        stamp_write(sf_dir, len(todo) - len(failures), len(todo), failures)
+        print(f"PARITY_SWEEP.json stamped for {sf_dir}")
     sys.exit(1 if failures else 0)
 
 

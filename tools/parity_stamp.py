@@ -1,0 +1,118 @@
+"""PARITY_SWEEP.json stamp — makes the oracle-parity sweep un-skippable.
+
+The round-5 q1 regression shipped because an aggregate edit was
+committed without re-running the parity sweep that exists to catch
+exactly that. This module closes the loop:
+
+- `hash`   — a sha256 over every operator/oracle source file
+             (kinesis_to_firehose_spark/**/*.py + __spark_entry__.py).
+             Any non-whitespace edit to an op or its SQL twin changes it.
+- `write`  — called by `regress.py --parity --all` after a fully-green
+             sweep: records {ops_hash, sf_dir, green/total, at}.
+- `check`  — exit 0 iff PARITY_SWEEP.json exists, its ops_hash matches
+             the CURRENT source hash, and the recorded sweep was green.
+             Wired into three gates:
+               * tests/test_parity_stamp.py (the pytest suite goes red
+                 on a stale stamp),
+               * .githooks/pre-commit (blocks a commit that stages
+                 operator sources over a stale stamp),
+               * bench.py (annotates its JSON line with parity_stamp:
+                 fresh|stale|missing so the per-round artifact shows it).
+
+Usage:
+    python tools/parity_stamp.py hash
+    python tools/parity_stamp.py write --sf-dir DIR --green N --total N
+    python tools/parity_stamp.py check
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+STAMP = REPO / "PARITY_SWEEP.json"
+
+
+def ops_hash() -> str:
+    h = hashlib.sha256()
+    files = sorted(
+        p
+        for p in (REPO / "kinesis_to_firehose_spark").rglob("*.py")
+        if "__pycache__" not in p.parts
+    )
+    files.append(REPO / "__spark_entry__.py")
+    for p in files:
+        h.update(str(p.relative_to(REPO)).encode())
+        h.update(b"\0")
+        h.update(p.read_bytes())
+        h.update(b"\0")
+    return h.hexdigest()[:16]
+
+
+def status() -> tuple[str, dict]:
+    """(fresh|stale|missing|red, stamp_dict)."""
+    if not STAMP.exists():
+        return "missing", {}
+    try:
+        d = json.loads(STAMP.read_text())
+    except ValueError:
+        return "missing", {}
+    if d.get("ops_hash") != ops_hash():
+        return "stale", d
+    sweeps = d.get("sweeps", [])
+    if not sweeps or any(s.get("failures") for s in sweeps):
+        return "red", d
+    return "fresh", d
+
+
+def write(sf_dir: str, green: int, total: int, failures: list[str]) -> None:
+    cur = ops_hash()
+    mode, d = status()
+    sweeps = d.get("sweeps", []) if d.get("ops_hash") == cur else []
+    sweeps = [s for s in sweeps if s.get("sf_dir") != sf_dir]
+    sweeps.append(
+        {
+            "sf_dir": sf_dir,
+            "green": green,
+            "total": total,
+            "failures": failures,
+            "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+    )
+    STAMP.write_text(
+        json.dumps({"ops_hash": cur, "sweeps": sweeps}, indent=1) + "\n"
+    )
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in {"hash", "write", "check"}:
+        sys.exit(__doc__)
+    cmd = sys.argv[1]
+    if cmd == "hash":
+        print(ops_hash())
+        return
+    if cmd == "check":
+        mode, d = status()
+        print(f"parity stamp: {mode} (ops_hash now {ops_hash()})")
+        for s in d.get("sweeps", []):
+            print(
+                f"  {s['sf_dir']}: {s['green']}/{s['total']} at {s['at']}"
+                + (f" FAILURES={s['failures']}" if s.get("failures") else "")
+            )
+        sys.exit(0 if mode == "fresh" else 1)
+    args = dict(zip(sys.argv[2::2], sys.argv[3::2]))
+    write(
+        args.get("--sf-dir", "?"),
+        int(args.get("--green", 0)),
+        int(args.get("--total", 0)),
+        json.loads(args.get("--failures", "[]")),
+    )
+    print(f"stamped {STAMP.name} for {args.get('--sf-dir')}")
+
+
+if __name__ == "__main__":
+    main()
