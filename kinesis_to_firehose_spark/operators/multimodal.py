@@ -635,3 +635,150 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id_1", "media_id_2", "hamming")
         .orderBy("media_id_1", "media_id_2")
     )
+
+
+# --------------------------------------------------------------------------
+# mm_sequence_pack — INTERLEAVED text/media-token packing with
+# per-modality accounting: each document contributes its text tokens
+# (tokenize_to_ids' tokenizer) followed by its media item's
+# placeholder-token block (image → 16×16 patch grid from the typed
+# metadata, audio → 80 ms frames, video → 64 patch-tokens per sampled
+# frame — the standard VLM packing units), documents lay head-to-tail
+# per language, and the stream is cut every MM_SEQ_LEN tokens. Output
+# is one row per (document, pack) SEGMENT with exact per-modality
+# token counts inside that pack, so a doc spanning a pack boundary is
+# accounted losslessly (pytest reconstructs every doc's text/media
+# totals from its segments, and every non-final pack is exactly
+# full). Pure integer arithmetic end-to-end — one prefix-sum window
+# per lang + a bounded explode over each doc's spanned packs; no
+# token row is ever materialized, so the plan is metadata-sized at
+# any corpus scale.
+# --------------------------------------------------------------------------
+MM_SEQ_LEN = 2048
+
+_MM_KIND_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
+# media-token budget from synthetic_media's metadata derivation
+# (width = n_chars % 640, height = n_chars % 480, duration = 10·n_chars)
+_MM_MEDIA_TOKENS_SQL = """CASE
+           WHEN doc_id % 3 = 0
+             THEN ((n_chars % 640 + 15) // 16) * ((n_chars % 480 + 15) // 16)
+           WHEN doc_id % 3 = 1 THEN (n_chars * 10) // 80
+           ELSE ((n_chars * 10) // 1000 + 1) * 64
+         END"""
+
+MM_PACK_SQL = rf"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST(len({{tok}}) AS BIGINT) AS n_text,
+         CAST({_MM_MEDIA_TOKENS_SQL} AS BIGINT) AS n_media,
+         {_MM_KIND_SQL} AS kind
+  FROM documents
+),
+streamed AS (
+  SELECT *, n_text + n_media AS n_total,
+         CAST(COALESCE(SUM(n_text + n_media) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS toks_before
+  FROM per_doc
+),
+segs AS (
+  SELECT *, unnest(generate_series(
+           toks_before // {MM_SEQ_LEN},
+           (toks_before + n_total - 1) // {MM_SEQ_LEN})) AS pack_id
+  FROM streamed WHERE n_total > 0
+)
+SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, doc_id, kind,
+       CAST(GREATEST(0, LEAST(toks_before + n_text, (pack_id + 1) * {MM_SEQ_LEN})
+                        - GREATEST(toks_before, pack_id * {MM_SEQ_LEN})) AS BIGINT)
+         AS text_tokens,
+       CAST(GREATEST(0, LEAST(toks_before + n_total, (pack_id + 1) * {MM_SEQ_LEN})
+                        - GREATEST(toks_before + n_text, pack_id * {MM_SEQ_LEN})) AS BIGINT)
+         AS media_tokens
+FROM segs
+ORDER BY lang, pack_id, doc_id
+"""
+
+
+def _mm_pack_sql() -> str:
+    from kinesis_to_firehose_spark.operators.dedup import TOK_SQL
+
+    return MM_PACK_SQL.format(tok=TOK_SQL)
+
+
+@register("mm_sequence_pack", _mm_pack_sql())
+def mm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.operators.dedup import TOK_EXPR
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, "documents", sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    n_media = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            ((F.col("n_chars") % 640 + 15) / 16).cast("bigint")
+            * ((F.col("n_chars") % 480 + 15) / 16).cast("bigint"),
+        )
+        .when(F.col("doc_id") % 3 == 1, (F.col("n_chars") * 10 / 80).cast("bigint"))
+        .otherwise(
+            ((F.col("n_chars") * 10 / 1000).cast("bigint") + 1) * 64
+        )
+    )
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(TOK_EXPR)).cast("bigint").alias("n_text"),
+        n_media.cast("bigint").alias("n_media"),
+        kind.alias("kind"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    streamed = per_doc.select(
+        "*",
+        (F.col("n_text") + F.col("n_media")).alias("n_total"),
+        F.coalesce(
+            F.sum(F.col("n_text") + F.col("n_media")).over(w), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("toks_before"),
+    )
+    L = F.lit(MM_SEQ_LEN)
+    segs = streamed.filter(F.col("n_total") > 0).select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("toks_before") / MM_SEQ_LEN).cast("bigint"),
+                ((F.col("toks_before") + F.col("n_total") - 1) / MM_SEQ_LEN)
+                .cast("bigint"),
+            )
+        ).alias("pack_id"),
+    )
+    text_end = F.col("toks_before") + F.col("n_text")
+    total_end = F.col("toks_before") + F.col("n_total")
+    win_lo = F.col("pack_id") * L
+    win_hi = (F.col("pack_id") + 1) * L
+    return segs.select(
+        "lang",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        "doc_id",
+        "kind",
+        F.greatest(
+            F.lit(0),
+            F.least(text_end, win_hi) - F.greatest(F.col("toks_before"), win_lo),
+        )
+        .cast("bigint")
+        .alias("text_tokens"),
+        F.greatest(
+            F.lit(0), F.least(total_end, win_hi) - F.greatest(text_end, win_lo)
+        )
+        .cast("bigint")
+        .alias("media_tokens"),
+    ).orderBy("lang", "pack_id", "doc_id")

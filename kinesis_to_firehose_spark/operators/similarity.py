@@ -1096,7 +1096,8 @@ votes AS (
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(hit) AS BIGINT) AS n_correct,
-       ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS accuracy
+       CAST((CAST(SUM(hit) AS BIGINT) * 20000 + COUNT(*))
+            // (COUNT(*) * 2) AS DOUBLE) / 10000.0 AS accuracy
 FROM votes
 GROUP BY label
 ORDER BY label
@@ -1133,7 +1134,10 @@ def label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.sum("hit").cast("bigint").alias("n_correct"),
-            F.round(F.sum("hit") / F.count("*"), 4).alias("accuracy"),
+            F.expr(
+                "CAST((SUM(hit) * 20000 + COUNT(*))"
+                " DIV (COUNT(*) * 2) AS DOUBLE) / 10000.0"
+            ).alias("accuracy"),
         )
         .orderBy("label")
     )

@@ -102,7 +102,7 @@ from kinesis_to_firehose_spark.sources.tables import load
 SALTED_ROLLUP_SQL = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS total_value,
+       ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS total_value,
        ROUND(MAX(value), 4) AS max_value
 FROM events
 GROUP BY event_type
@@ -118,13 +118,15 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         {
             "n_events": (F.count("*"), "sum"),
-            "total_value": (F.sum("value"), "sum"),
+            # exact decimal partials: per-salt sums combine to the
+            # same exact total in any order at any scale
+            "total_value": (F.sum(F.col("value").cast("decimal(12,2)")), "sum"),
             "max_value": (F.max("value"), "max"),
         },
     )
     return out.select(
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("total_value", 2).alias("total_value"),
+        F.round("total_value", 2).cast("double").alias("total_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")

@@ -32,7 +32,7 @@ from kinesis_to_firehose_spark.sources.tables import load
 RESAMPLE_SQL = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
-         ROUND(SUM(value), 2) AS day_value
+         ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS day_value
   FROM events
   GROUP BY user_id, date_trunc('day', ts)
 ), grid AS (
@@ -58,7 +58,11 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir)
     daily = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("day_value")
+    )
     grid = (
         daily.groupBy("user_id")
         .agg(

@@ -34,8 +34,74 @@ preserving the join shape.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def corpus_minhash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Full minhash SIGNATURES (doc_id, h0..h{N_PERMS-1}) plus derived
+    band keys for the documents table, persisted once per corpus —
+    the build/probe split for the batch LSH family. The flat fp/bands
+    store above serves incremental ingest verdicts; pair-emitting ops
+    (dedup_minhash_lsh and its five consumers) additionally need the
+    signature vectors for est_jaccard, so this store keeps both. Keyed
+    by (corpus path, documents file mtime+size, perms/bands, version):
+    a data or parameter change rebuilds, a warm store is provably for
+    THIS corpus. Bands are written band_key-clustered so the pair
+    self-join's scan is bucket-local files."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        N_BANDS,
+        N_PERMS,
+        _band_keys_spark,
+        _sig_agg_spark,
+        _V_SPARK,
+        exploded_shingles,
+    )
+
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    key = hashlib.sha256(
+        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{N_PERMS}|{N_BANDS}|minhash-store-v1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    )
+    path = os.path.join(root, f"minhash_{key}")
+    if not os.path.exists(os.path.join(path, "bands", "_SUCCESS")):
+        ex = exploded_shingles(spark, sf_dir).select("doc_id", "shingle")
+        hashed_v = ex.select("doc_id", F.expr(_V_SPARK).alias("v"))
+        sigs = hashed_v.groupBy("doc_id").agg(
+            *[F.expr(e) for e in _sig_agg_spark(N_PERMS)]
+        )
+        sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+        # derive bands from the WRITTEN sigs — the signature chain
+        # runs exactly once per corpus, ever
+        band_keys = _band_keys_spark(N_PERMS, N_BANDS)
+        (
+            spark.read.parquet(f"{path}/sigs")
+            .select(
+                "doc_id",
+                F.posexplode(F.expr(f"array({band_keys})")).alias(
+                    "band_idx0", "band_key"
+                ),
+            )
+            .select(
+                "doc_id",
+                (F.col("band_idx0") + 1).alias("band_idx"),
+                "band_key",
+            )
+            .repartition("band_key")
+            .write.mode("overwrite")
+            .parquet(f"{path}/bands")
+        )
+    return path
 
 
 def build_dedup_index(

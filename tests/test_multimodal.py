@@ -296,3 +296,66 @@ def test_phash_locality_on_planted_near_identical_blobs(spark, tmp_path):
     }
     assert (0, 1) in out and out[(0, 1)] <= PHASH_TAU
     assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_mm_sequence_pack_lossless_reconstruction(spark):
+    """Segments reconstruct every document exactly: per-doc sums of
+    text/media segment tokens equal the doc's token budgets, every
+    non-final pack per language is exactly MM_SEQ_LEN full, and no
+    pack overflows — the packing is a lossless re-layout, not a
+    truncation."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import TOK_EXPR
+    from kinesis_to_firehose_spark.operators.multimodal import (
+        MM_SEQ_LEN,
+        mm_sequence_pack,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    segs = mm_sequence_pack(spark, sf).collect()
+
+    # per-doc reconstruction vs independently computed budgets
+    d = load(spark, "documents", sf)
+    n_media = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            ((F.col("n_chars") % 640 + 15) / 16).cast("bigint")
+            * ((F.col("n_chars") % 480 + 15) / 16).cast("bigint"),
+        )
+        .when(F.col("doc_id") % 3 == 1, (F.col("n_chars") * 10 / 80).cast("bigint"))
+        .otherwise(((F.col("n_chars") * 10 / 1000).cast("bigint") + 1) * 64)
+    )
+    budgets = {
+        r["doc_id"]: (r["n_text"], r["n_media"])
+        for r in d.select(
+            "doc_id",
+            F.size(F.expr(TOK_EXPR)).cast("bigint").alias("n_text"),
+            n_media.cast("bigint").alias("n_media"),
+        ).collect()
+    }
+    got_text: dict = {}
+    got_media: dict = {}
+    pack_fill: dict = {}
+    for r in segs:
+        got_text[r["doc_id"]] = got_text.get(r["doc_id"], 0) + r["text_tokens"]
+        got_media[r["doc_id"]] = (
+            got_media.get(r["doc_id"], 0) + r["media_tokens"]
+        )
+        key = (r["lang"], r["pack_id"])
+        pack_fill[key] = (
+            pack_fill.get(key, 0) + r["text_tokens"] + r["media_tokens"]
+        )
+    for doc_id, (n_text, n_med) in budgets.items():
+        if n_text + n_med == 0:
+            continue
+        assert got_text.get(doc_id, 0) == n_text, doc_id
+        assert got_media.get(doc_id, 0) == n_med, doc_id
+    last_pack = {}
+    for lang, p in pack_fill:
+        last_pack[lang] = max(last_pack.get(lang, -1), p)
+    for (lang, p), fill in pack_fill.items():
+        assert fill <= MM_SEQ_LEN, (lang, p, fill)
+        if p < last_pack[lang]:
+            assert fill == MM_SEQ_LEN, (lang, p, fill)
