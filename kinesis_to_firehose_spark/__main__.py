@@ -32,7 +32,39 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--cpus", type=int, default=None)
     orap = sub.add_parser("oracle", help="print an op's DuckDB SQL twin")
     orap.add_argument("op")
+    conp = sub.add_parser(
+        "consume",
+        help="run the forwarder pipeline: stream source -> decode/"
+        "enhance -> Firehose sink (the reference app's run mode)",
+    )
+    conp.add_argument("--source-dir", required=True)
+    conp.add_argument(
+        "--replay",
+        action="store_true",
+        help="read --source-dir through the kinesis_replay connector "
+        "(shard JSONL logs) instead of the file simulator",
+    )
+    conp.add_argument("--output-root", required=True)
+    conp.add_argument("--checkpoint-dir", required=True)
+    conp.add_argument("--dead-letter-dir", default=None)
+    conp.add_argument(
+        "--aws",
+        action="store_true",
+        help="deliver through boto3 PutRecordBatch (needs AWS "
+        "credentials + FIREHOSE_AWS_REGION/FIREHOSE_STREAM_NAME env; "
+        "default is the local-directory Firehose simulator)",
+    )
+    conp.add_argument(
+        "--once",
+        action="store_true",
+        help="process everything available, then exit (local runs); "
+        "default keeps the 10 s production trigger running",
+    )
+    conp.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "consume":
+        return _consume(args)
 
     from kinesis_to_firehose_spark.registry import all_ops
 
@@ -65,6 +97,56 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict(), default=str))
     else:
         df.show(args.limit, truncate=False)
+    return 0
+
+
+def _consume(args) -> int:
+    """The forwarder run mode (reference main.go): stream source →
+    decode/enhance → Firehose-protocol sink with checkpoint/resume.
+    Local simulator transports by default; --aws swaps in the boto3
+    PutRecordBatch transport behind the identical seam — nothing
+    downstream changes."""
+    from kinesis_to_firehose_spark.session import get_spark
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        PRODUCTION_TRIGGER,
+        run_pipeline,
+        run_pipeline_replay,
+    )
+
+    transport_factory = None
+    if args.aws:
+        import os
+
+        from kinesis_to_firehose_spark.streaming.firehose import (
+            Boto3FirehoseTransport,
+            RetryingTransport,
+        )
+
+        region = os.environ.get("FIREHOSE_AWS_REGION")
+        transport_factory = lambda epoch: RetryingTransport(  # noqa: E731
+            Boto3FirehoseTransport(region_name=region)
+        )
+    spark = get_spark("kinesis-to-firehose-consume", cpus=args.cpus)
+    common = dict(
+        output_root=args.output_root,
+        checkpoint_dir=args.checkpoint_dir,
+        dead_letter_dir=args.dead_letter_dir,
+        transport_factory=transport_factory,
+    )
+    if args.replay:
+        q = run_pipeline_replay(spark, args.source_dir, **common)
+    else:
+        q = run_pipeline(
+            spark,
+            args.source_dir,
+            trigger_processing_time=None if args.once else PRODUCTION_TRIGGER,
+            **common,
+        )
+    if args.once:
+        q.processAllAvailable()
+        q.stop()
+        return 0
+    q.awaitTermination()
     return 0
 
 

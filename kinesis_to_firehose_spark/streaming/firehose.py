@@ -135,6 +135,52 @@ class LocalDirTransport:
         return []
 
 
+class Boto3FirehoseTransport:
+    """The REAL AWS delivery seam: Firehose PutRecordBatch behind the
+    same Transport protocol every fake implements (reference:
+    firehose_sender.go:47-52, `firehose.New(sess)` + PutRecordBatch at
+    :96-134). Wiring a production deployment is exactly:
+
+        transport_factory = lambda epoch: RetryingTransport(
+            Boto3FirehoseTransport(region_name="us-west-2"))
+
+    and every other layer (500-record/4 MiB batch planning, the
+    250 ms × 2^n ≤ 5-attempt partial resend loop, drop stats, dead
+    letters) applies unchanged, because this class speaks the same
+    contract: return the indices of failed records, raise on API-call
+    failure. The boto3 client is built lazily from the standard AWS
+    region/credential chain — or injected (`client=`), which is how
+    the pytest exercises the request/response mapping with no network
+    or boto3 in the container."""
+
+    def __init__(self, client=None, region_name: str | None = None):
+        self._client = client
+        self._region = region_name
+
+    def _cli(self):
+        if self._client is None:
+            try:
+                import boto3  # noqa: PLC0415 — optional dependency
+            except ImportError as exc:  # pragma: no cover — env-bound
+                raise RuntimeError(
+                    "Boto3FirehoseTransport needs boto3 (pip install "
+                    "boto3) or an injected client"
+                ) from exc
+            self._client = boto3.client("firehose", region_name=self._region)
+        return self._client
+
+    def __call__(self, records: list[bytes], stream: str) -> list[int]:
+        resp = self._cli().put_record_batch(
+            DeliveryStreamName=stream,
+            Records=[{"Data": r} for r in records],
+        )
+        return [
+            i
+            for i, rr in enumerate(resp.get("RequestResponses", []))
+            if rr.get("ErrorCode")
+        ]
+
+
 @dataclass
 class SendStats:
     batches: int = 0

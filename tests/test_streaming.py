@@ -1254,3 +1254,103 @@ def test_funnel_stream_matches_batch_levels(spark, tmp_path):
         for r in window_funnel_levels(spark, sf).collect()
     }
     assert got == want
+
+
+def test_boto3_transport_maps_put_record_batch_contract():
+    """Boto3FirehoseTransport speaks the same Transport contract as
+    the fakes — failed indices from RequestResponses' ErrorCode,
+    exceptions propagate to RetryingTransport — exercised through an
+    injected client (no boto3/network needed): the production seam
+    the reference wires at firehose_sender.go:47-52."""
+    from kinesis_to_firehose_spark.streaming.firehose import (
+        Boto3FirehoseTransport,
+        RetryingTransport,
+        SendStats,
+        send_batch,
+    )
+
+    calls = []
+
+    class FakeClient:
+        def __init__(self):
+            self.fail_first = True
+
+        def put_record_batch(self, DeliveryStreamName, Records):
+            calls.append((DeliveryStreamName, [r["Data"] for r in Records]))
+            if self.fail_first:
+                # partial failure: second record rejected once
+                self.fail_first = False
+                return {
+                    "FailedPutCount": 1,
+                    "RequestResponses": [
+                        {"RecordId": "a"},
+                        {"ErrorCode": "ServiceUnavailableException"},
+                        {"RecordId": "c"},
+                    ],
+                }
+            return {
+                "FailedPutCount": 0,
+                "RequestResponses": [{"RecordId": "x"}] * len(Records),
+            }
+
+    t = Boto3FirehoseTransport(client=FakeClient())
+    recs = [b'{"n":1}\n', b'{"n":2}\n', b'{"n":3}\n']
+    assert t(recs, "s") == [1]  # index of the failed record
+    # through the full stack: partial failure resends ONLY record 2
+    calls.clear()
+    t2 = RetryingTransport(Boto3FirehoseTransport(client=FakeClient()))
+    stats = SendStats()
+    send_batch(t2, recs, "stream-1", stats, sleep=lambda s: None)
+    assert calls[0] == ("stream-1", recs)
+    assert calls[1] == ("stream-1", [recs[1]])
+    # API-call failure path: raised exceptions reach RetryingTransport
+    class BoomClient:
+        def __init__(self):
+            self.n = 0
+
+        def put_record_batch(self, DeliveryStreamName, Records):
+            self.n += 1
+            if self.n == 1:
+                raise ConnectionError("throttled")
+            return {
+                "FailedPutCount": 0,
+                "RequestResponses": [{"RecordId": "x"}] * len(Records),
+            }
+
+    t3 = RetryingTransport(
+        Boto3FirehoseTransport(client=BoomClient()), sleep=lambda s: None
+    )
+    assert t3(recs, "s") == []
+    assert t3.attempts_made == 2
+
+
+def test_cli_consume_runs_forwarder_end_to_end(spark, tmp_path):
+    """`python -m kinesis_to_firehose_spark consume --once` drives the
+    full forwarder (stream source -> decode/enhance -> Firehose sink)
+    and delivers every record — the reference binary's run mode as a
+    CLI surface (Dockerfile CMD / launch yml)."""
+    import glob
+
+    import kinesis_to_firehose_spark.__main__ as M
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        write_source_slice,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    write_source_slice(spark, sf, src, n_files=2)
+    rc = M.main(
+        [
+            "consume",
+            "--source-dir", src,
+            "--output-root", str(tmp_path / "out"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--dead-letter-dir", str(tmp_path / "dl"),
+            "--once",
+            "--cpus", "4",
+        ]
+    )
+    assert rc == 0
+    files = glob.glob(f"{tmp_path}/out/**/*.jsonl", recursive=True)
+    n = sum(sum(1 for _ in open(f, "rb")) for f in files)
+    assert n == 1000
