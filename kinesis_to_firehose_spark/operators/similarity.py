@@ -790,6 +790,14 @@ def _pagerank_sql() -> str:
     # DuckDB re-inlines the all-pairs-cosine knn body into every one
     # of the ~3 references per iteration and the oracle takes minutes
     # instead of seconds.
+    # The whole power iteration runs in INTEGER units of 1e-12 (pru =
+    # pagerank mass · 1e12): every division is exact half-up integer
+    # arithmetic ((2a+b) // (2b)), every sum is exact, so the carried
+    # state is bit-identical across engines, fold orders, and scale.
+    # The previous formulation ROUNDed doubles at 12 dp each
+    # iteration — deg=2 rows land on exact 12 dp midpoints where
+    # Spark's shortest-string HALF_UP and DuckDB's binary rounding
+    # fork (caught by the sf1 parity sweep, round 6).
     knn_body = _knn_graph_sql().replace("ORDER BY src, rank", "")
     parts = [
         f"edges AS MATERIALIZED (SELECT src, neighbor FROM knn)",
@@ -797,33 +805,31 @@ def _pagerank_sql() -> str:
         "deg AS MATERIALIZED "
         "(SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS pr"
-        " FROM nodes CROSS JOIN nn)",
+        "r0 AS (SELECT v, CAST((2000000000000 + nn.n) // (2 * nn.n)"
+        " AS BIGINT) AS pru FROM nodes CROSS JOIN nn)",
     ]
     for i in range(PAGERANK_ITERS):
         parts.append(
             f"""c{i} AS (
   SELECT e.neighbor AS v,
-         SUM(CAST(ROUND(r.pr / d.deg, 12) AS DECIMAL(32,12))) AS contrib
+         CAST(SUM((r.pru * 2 + d.deg) // (d.deg * 2)) AS BIGINT) AS contrib
   FROM r{i} r JOIN deg d ON d.v = r.v JOIN edges e ON e.src = r.v
   GROUP BY e.neighbor
 )"""
         )
         parts.append(
             f"""g{i} AS (
-  SELECT COALESCE(SUM(CAST(ROUND(r.pr, 12) AS DECIMAL(32,12))),
-                  CAST(0 AS DECIMAL(32,12))) AS dm
+  SELECT CAST(COALESCE(SUM(r.pru), 0) AS BIGINT) AS dm
   FROM r{i} r LEFT JOIN deg d ON d.v = r.v WHERE d.v IS NULL
 )"""
         )
         parts.append(
             f"""r{i + 1} AS MATERIALIZED (
   SELECT n.v,
-         ROUND(CAST(0.15 AS DOUBLE) / nn.n
-               + CAST(0.85 AS DOUBLE)
-                 * (COALESCE(CAST(c.contrib AS DOUBLE),
-                             CAST(0.0 AS DOUBLE))
-                    + CAST(g.dm AS DOUBLE) / nn.n), 12) AS pr
+         CAST((300000000000 + nn.n) // (2 * nn.n)
+              + (34 * (COALESCE(c.contrib, 0)
+                       + (2 * g.dm + nn.n) // (2 * nn.n)) + 20) // 40
+           AS BIGINT) AS pru
   FROM nodes n CROSS JOIN nn CROSS JOIN g{i} g
   LEFT JOIN c{i} c ON c.v = n.v
 )"""
@@ -832,7 +838,9 @@ def _pagerank_sql() -> str:
     return f"""
 WITH knn AS MATERIALIZED ({knn_body}),
 {body}
-SELECT r.v AS vec_id, ROUND(r.pr * nn.n, 6) AS pagerank
+SELECT r.v AS vec_id,
+       CAST((2 * r.pru * nn.n + 1000000) // 2000000 AS DOUBLE) / 1000000.0
+         AS pagerank
 FROM r{PAGERANK_ITERS} r CROSS JOIN nn
 ORDER BY vec_id
 """
@@ -852,26 +860,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of r-to-deg-to-edges (one fewer shuffle per iteration).
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     nn = nodes.agg(F.count("*").alias("n"))
+    # integer units of 1e-12 end-to-end (see _pagerank_sql): exact
+    # half-up integer arithmetic carries bit-identical state in both
+    # engines at any fold order / scale
     r = nodes.crossJoin(F.broadcast(nn)).select(
-        "v", (F.lit(1.0) / F.col("n")).alias("pr")
+        "v",
+        F.expr("CAST((2000000000000 + n) DIV (2 * n) AS BIGINT)").alias(
+            "pru"
+        ),
     )
     for _ in range(PAGERANK_ITERS):
         contrib = (
             r.join(edges_deg, r["v"] == edges_deg["src"])
             .select(
                 F.col("neighbor").alias("cv"),
-                F.round(F.col("pr") / F.col("deg"), 12)
-                .cast("decimal(32,12)")
-                .alias("c"),
+                F.expr("(pru * 2 + deg) DIV (deg * 2)").alias("c"),
             )
             .groupBy("cv")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(F.sum("c").cast("long").alias("contrib"))
         )
         dang = r.join(deg, r["v"] == deg["src"], "left_anti").agg(
-            F.coalesce(
-                F.sum(F.round(F.col("pr"), 12).cast("decimal(32,12)")),
-                F.lit(0).cast("decimal(32,12)"),
-            ).alias("dm")
+            F.coalesce(F.sum("pru"), F.lit(0)).cast("long").alias("dm")
         )
         r = (
             nodes.crossJoin(F.broadcast(nn))
@@ -879,17 +888,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(contrib, nodes["v"] == contrib["cv"], "left")
             .select(
                 "v",
-                F.round(
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
-                    * (
-                        F.coalesce(
-                            F.col("contrib").cast("double"), F.lit(0.0)
-                        )
-                        + F.col("dm").cast("double") / F.col("n")
-                    ),
-                    12,
-                ).alias("pr"),
+                F.expr(
+                    "CAST((300000000000 + n) DIV (2 * n)"
+                    " + (34 * (COALESCE(contrib, 0)"
+                    "          + (2 * dm + n) DIV (2 * n)) + 20) DIV 40"
+                    " AS BIGINT)"
+                ).alias("pru"),
             )
             .localCheckpoint(eager=True)
         )
@@ -897,7 +901,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(F.broadcast(nn))
         .select(
             F.col("v").alias("vec_id"),
-            F.round(F.col("pr") * F.col("n"), 6).alias("pagerank"),
+            F.expr(
+                "CAST((2 * pru * n + 1000000) DIV 2000000 AS DOUBLE)"
+                " / 1000000.0"
+            ).alias("pagerank"),
         )
         .orderBy("vec_id")
     )

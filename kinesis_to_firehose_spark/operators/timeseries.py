@@ -100,48 +100,162 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clipped-row count. Exact percentiles: Spark `percentile` ==
 # DuckDB `quantile_cont` (same linear interpolation).
 # --------------------------------------------------------------------------
+# Winsorized mean in EXACT integer arithmetic end-to-end. Two sf1
+# parity forks are closed here: (1) each engine's continuous-quantile
+# interpolation (`quantile_cont` vs `percentile`) computes the same
+# bound a few ulps apart, which flips the classification of the
+# (many, because values are 2 dp-quantized) rows TIED at the
+# boundary — so the 5%/95% bounds are derived from ORDER STATS in
+# cents with rational interpolation: p·(n−1) = k/20 exactly, so the
+# bound scaled by 20 is the integer v_k·(20−m) + v_{k+1}·m and the
+# clip test is an integer comparison (c·20 vs bound). (2) the
+# clamped-mean AVG over doubles is fold-order dependent — in-range
+# values sum as exact cents, tails contribute count·bound from the
+# same integers, so the pre-ROUND value is bit-identical; the
+# no-clipping branch is a pure integer ratio and uses exact half-up
+# integer rounding. The per-type window sort is how exact quantiles
+# are priced anyway (parallel across types; the equi-depth op keeps
+# the sort-free approximate path).
 WINSORIZE_SQL = """
-WITH q AS (
+WITH vc AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS lo,
-         quantile_cont(value, 0.95) AS hi
-  FROM events GROUP BY event_type
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM vc
+),
+bounds AS (
+  SELECT event_type,
+         MAX(n) AS n,
+         MAX(CASE WHEN rn - 1 = (n - 1) // 20 THEN c END) AS lo_lo,
+         MAX(CASE WHEN rn - 1 = (n - 1) // 20 + 1 THEN c END) AS lo_up,
+         MAX(CASE WHEN rn - 1 = (19 * (n - 1)) // 20 THEN c END) AS hi_lo,
+         MAX(CASE WHEN rn - 1 = (19 * (n - 1)) // 20 + 1 THEN c END) AS hi_up
+  FROM ranked GROUP BY event_type
+),
+q AS (
+  SELECT event_type, n,
+         lo_lo * (20 - (n - 1) % 20)
+           + COALESCE(lo_up, lo_lo) * ((n - 1) % 20) AS los,
+         hi_lo * (20 - (19 * (n - 1)) % 20)
+           + COALESCE(hi_up, hi_lo) * ((19 * (n - 1)) % 20) AS his
+  FROM bounds
+),
+per AS (
+  SELECT v.event_type,
+         MAX(q.n) AS n, MAX(q.los) AS los, MAX(q.his) AS his,
+         SUM(v.c) AS cents_all,
+         SUM(CASE WHEN v.c * 20 >= q.los AND v.c * 20 <= q.his
+                  THEN v.c ELSE 0 END) AS cents_mid,
+         CAST(SUM(CASE WHEN v.c * 20 < q.los THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lo,
+         CAST(SUM(CASE WHEN v.c * 20 > q.his THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi
+  FROM vc v JOIN q ON v.event_type = q.event_type
+  GROUP BY v.event_type
 )
-SELECT e.event_type,
-       ROUND(AVG(e.value), 4) AS avg_raw,
-       ROUND(AVG(LEAST(GREATEST(e.value, q.lo), q.hi)), 4) AS avg_winsorized,
-       CAST(SUM(CASE WHEN e.value < q.lo OR e.value > q.hi
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-FROM events e
-JOIN q ON e.event_type = q.event_type
-GROUP BY e.event_type
-ORDER BY e.event_type
+SELECT event_type,
+       CAST((CAST(cents_all AS BIGINT) * 200 + n) // (n * 2) AS DOUBLE)
+         / 10000.0 AS avg_raw,
+       CASE WHEN n_lo + n_hi = 0
+            THEN CAST((CAST(cents_mid AS BIGINT) * 200 + n) // (n * 2)
+                      AS DOUBLE) / 10000.0
+            ELSE ROUND((CAST(cents_mid AS DOUBLE) / 100.0
+                        + n_lo * (CAST(los AS DOUBLE) / 2000.0)
+                        + n_hi * (CAST(his AS DOUBLE) / 2000.0)) / n, 4) END
+         AS avg_winsorized,
+       n_lo + n_hi AS n_clipped
+FROM per
+ORDER BY event_type
 """
 
 
 @register("value_winsorize", WINSORIZE_SQL)
 def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir)
-    q = e.groupBy(F.col("event_type").alias("q_type")).agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    vc = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("c"),
     )
-    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-    return (
-        e.join(F.broadcast(q), F.col("event_type") == F.col("q_type"))
+    wt = W.partitionBy("event_type")
+    ranked = vc.select(
+        "event_type",
+        "c",
+        F.row_number().over(wt.orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.expr("CASE WHEN rn - 1 = (n - 1) DIV 20 THEN c END")).alias(
+            "lo_lo"
+        ),
+        F.max(
+            F.expr("CASE WHEN rn - 1 = (n - 1) DIV 20 + 1 THEN c END")
+        ).alias("lo_up"),
+        F.max(
+            F.expr("CASE WHEN rn - 1 = (19 * (n - 1)) DIV 20 THEN c END")
+        ).alias("hi_lo"),
+        F.max(
+            F.expr("CASE WHEN rn - 1 = (19 * (n - 1)) DIV 20 + 1 THEN c END")
+        ).alias("hi_up"),
+    )
+    q = bounds.select(
+        F.col("event_type").alias("q_type"),
+        "n",
+        F.expr(
+            "lo_lo * (20 - (n - 1) % 20)"
+            " + COALESCE(lo_up, lo_lo) * ((n - 1) % 20)"
+        ).alias("los"),
+        F.expr(
+            "hi_lo * (20 - (19 * (n - 1)) % 20)"
+            " + COALESCE(hi_up, hi_lo) * ((19 * (n - 1)) % 20)"
+        ).alias("his"),
+    )
+    per = (
+        vc.join(F.broadcast(q), vc["event_type"] == q["q_type"])
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_raw"),
-            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+            F.max("n").alias("n"),
+            F.max("los").alias("los"),
+            F.max("his").alias("his"),
+            F.sum("c").alias("cents_all"),
             F.sum(
-                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
-                .cast("int")
-            )
+                F.expr(
+                    "CASE WHEN c * 20 >= los AND c * 20 <= his"
+                    " THEN c ELSE 0 END"
+                )
+            ).alias("cents_mid"),
+            F.sum(F.expr("CASE WHEN c * 20 < los THEN 1 ELSE 0 END"))
             .cast("bigint")
-            .alias("n_clipped"),
+            .alias("n_lo"),
+            F.sum(F.expr("CASE WHEN c * 20 > his THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_hi"),
         )
-        .orderBy("event_type")
     )
+    return per.select(
+        "event_type",
+        F.expr(
+            "CAST((CAST(cents_all AS BIGINT) * 200 + n) DIV (n * 2)"
+            " AS DOUBLE) / 10000.0"
+        ).alias("avg_raw"),
+        F.expr(
+            "CASE WHEN n_lo + n_hi = 0"
+            " THEN CAST((CAST(cents_mid AS BIGINT) * 200 + n) DIV (n * 2)"
+            "      AS DOUBLE) / 10000.0"
+            " ELSE ROUND((CAST(cents_mid AS DOUBLE) / 100.0"
+            "             + n_lo * (CAST(los AS DOUBLE) / 2000.0)"
+            "             + n_hi * (CAST(his AS DOUBLE) / 2000.0)) / n, 4)"
+            " END"
+        ).alias("avg_winsorized"),
+        (F.col("n_lo") + F.col("n_hi")).cast("bigint").alias("n_clipped"),
+    ).orderBy("event_type")
 
 
 # --------------------------------------------------------------------------
