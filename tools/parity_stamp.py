@@ -69,7 +69,13 @@ def status() -> tuple[str, dict]:
     return "fresh", d
 
 
-def write(sf_dir: str, green: int, total: int, failures: list[str]) -> None:
+def write(
+    sf_dir: str,
+    green: int,
+    total: int,
+    failures: list[str],
+    timeouts: list[str] | None = None,
+) -> None:
     cur = ops_hash()
     mode, d = status()
     sweeps = d.get("sweeps", []) if d.get("ops_hash") == cur else []
@@ -80,6 +86,11 @@ def write(sf_dir: str, green: int, total: int, failures: list[str]) -> None:
             "green": green,
             "total": total,
             "failures": failures,
+            # budget cancels, not value mismatches — visible but they
+            # don't redden the stamp (a deliberately quadratic
+            # baseline op timing out at sf1 is a documented scale
+            # bound, not a parity regression)
+            "timeouts": timeouts or [],
             "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
     )
