@@ -1296,12 +1296,14 @@ ORDER BY e.vec_id
 def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_to_firehose_spark.operators.dedup import (
         COSINE_TAU,
-        emb_band_table,
         score_pairs_exact,
     )
+    from kinesis_to_firehose_spark.sources.ann_index import emb_band_store
 
     e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    bands = emb_band_table(e)
+    # persisted per-corpus band table; train/eval splits are filters
+    # over the same stored rows (band keys are per-vector)
+    bands = emb_band_store(spark, sf_dir)
     is_eval = F.col("vec_id") % EVAL_MOD == 0
     t = bands.filter(~is_eval).alias("t")
     v = bands.filter(is_eval).alias("v")

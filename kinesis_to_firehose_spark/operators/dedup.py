@@ -1113,7 +1113,9 @@ EMB_HOT_BUCKET_CAP = 256
 EMB_HOT_CHAIN_LAGS = 8
 
 
-def emb_band_candidates(e: DataFrame) -> DataFrame:
+def emb_band_candidates(
+    e: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
     """Unordered candidate pairs (vec_id_1 < vec_id_2) from the
     hyperplane-LSH band table with ADAPTIVE hot-bucket gating: the
     bucket size is computed with a sort-free count window, small
@@ -1123,8 +1125,11 @@ def emb_band_candidates(e: DataFrame) -> DataFrame:
     pays zero chain overhead — round-5 `weak` #6 charged ~1 s here
     for a chain window sorted over every row — while an adversarial
     bucket of k members still costs O(k · lags), preserving sf1's
-    104M→~1M candidate cut."""
-    bands = emb_band_table(e)
+    104M→~1M candidate cut. Pass `bands` (e.g. the persisted
+    per-corpus table from sources/ann_index.py::emb_band_store) to
+    skip the Arrow projection entirely."""
+    if bands is None:
+        bands = emb_band_table(e)
     wb = W.partitionBy("band_idx", "band_key")
     sized = bands.select(
         "vec_id",
@@ -1223,8 +1228,12 @@ cand AS (
     DEDUP_EMB_LSH_SQL.format(GATED_CAND=_emb_cand_gated_sql()),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.sources.ann_index import emb_band_store
+
     e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    cand = emb_band_candidates(e)
+    # band table from the persisted per-corpus store: the Arrow
+    # projection is a build step, queries pay a parquet scan
+    cand = emb_band_candidates(e, bands=emb_band_store(spark, sf_dir))
     return (
         score_pairs_exact(cand, e)
         .filter(F.col("cosine") >= COSINE_TAU)

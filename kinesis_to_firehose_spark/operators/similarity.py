@@ -631,7 +631,9 @@ def build_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratically. Each unordered pair scores ONCE (v1 < v2) and is
     # mirrored after: the Arrow kernel's dot and the norm product are
     # commutative per IEEE, so cos(a,b) == cos(b,a) bitwise.
-    cand = emb_band_candidates(e)
+    from kinesis_to_firehose_spark.sources.ann_index import emb_band_store
+
+    cand = emb_band_candidates(e, bands=emb_band_store(spark, sf_dir))
     # materialized: both union branches consume the scored pairs, and
     # without a cut Spark re-runs the Arrow kernel + joins per branch
     # (ReusedExchange covers exchanges, not the mapInPandas node)

@@ -69,6 +69,42 @@ def trained_centroids(
     return spark.read.parquet(path)
 
 
+def emb_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted hyperplane-LSH band table (vec_id, band_idx,
+    band_key, sig) for the embeddings table — the Arrow 32-plane
+    projection kernel is a BUILD step paid once per corpus, not once
+    per op invocation. Shared by dedup_embedding_lsh,
+    decontaminate_embedding, and the knn-graph build (each filters or
+    self-joins the same rows); the stored rows come from the same
+    deterministic kernel, so every consumer and its oracle see
+    identical band keys. Keyed like the IVF codebook store:
+    (corpus path, embeddings mtime+size, plane params, version)."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_ROWS,
+        emb_band_table,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    key = hashlib.sha256(
+        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{EMB_LSH_BANDS}|{EMB_LSH_ROWS}|emb-bands-v1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    )
+    path = os.path.join(root, f"emb_bands_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+        emb_band_table(e).repartition("band_key").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def build_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Build the IVF index from the embeddings table: seed centroids
     (vec_id < N_CENTROIDS, the ann_ivf_topk convention) + rank-1 cell
