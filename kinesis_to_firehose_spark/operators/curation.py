@@ -2371,3 +2371,79 @@ ORDER BY d.doc_id
 def span_corrupt_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_t5_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# epoch_shuffle — reproducible multi-epoch training order: every doc
+# gets a deterministic position per epoch from md5(doc_id|epoch)
+# (different permutation each epoch, identical across reruns/engines
+# — no RNG state to ship), plus a reader shard (hash mod N so each
+# trainer rank consumes its own contiguous slice). Scale shape: the
+# rank is a per-(epoch, shard) window over hash order — a
+# range-partitioned sort of hash-sized rows, never a global sort and
+# never the document bodies; materializing the actual shard files is
+# a partitionBy(epoch, shard) write in this order. This is the
+# data-ordering primitive under any "seeded shuffle per epoch"
+# contract in a training-data pipeline.
+# --------------------------------------------------------------------------
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 4
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT d.doc_id, e.epoch,
+         md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(e.epoch AS VARCHAR))
+           AS hv
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch) e
+),
+sharded AS (
+  SELECT doc_id, epoch, hv,
+         ('0x' || substr(hv, 1, 8))::BIGINT % {SHUFFLE_SHARDS} AS shard
+  FROM h
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY epoch, shard ORDER BY hv, doc_id
+       ) AS BIGINT) AS pos,
+       doc_id
+FROM sharded
+ORDER BY epoch, shard, pos
+"""
+
+
+@register("epoch_shuffle", EPOCH_SHUFFLE_SQL)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir).select("doc_id")
+    epochs = spark.range(SHUFFLE_EPOCHS).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    h = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("hv"),
+    )
+    sharded = h.withColumn(
+        "shard",
+        (
+            F.conv(F.substring("hv", 1, 8), 16, 10).cast("bigint")
+            % SHUFFLE_SHARDS
+        ).cast("bigint"),
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    return (
+        sharded.select(
+            "epoch",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("epoch", "shard", "pos")
+    )

@@ -454,3 +454,40 @@ def test_span_corrupt_t5_roundtrip_reconstructs_documents(spark):
         masked += r["n_masked_tokens"]
     rate = masked / tot
     assert abs(rate - 1 / T5_MASK_MOD) < 0.02  # ~14% by design
+
+
+def test_epoch_shuffle_is_reproducible_distinct_permutations(spark):
+    """Each epoch is a bijection over the corpus (every doc placed
+    exactly once), epochs produce DIFFERENT orders, and a rerun
+    reproduces the identical placement — the seeded-shuffle contract
+    with no RNG state."""
+    from kinesis_to_firehose_spark.operators.curation import (
+        SHUFFLE_EPOCHS,
+        epoch_shuffle,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = epoch_shuffle(spark, sf).collect()
+    n_docs = load(spark, "documents", sf).count()
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(
+            (r["shard"], r["pos"], r["doc_id"])
+        )
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    for ep, placed in by_epoch.items():
+        assert len(placed) == n_docs, ep  # bijection: every doc once
+        assert len({d for _, _, d in placed}) == n_docs, ep
+        # positions are dense 1..k within each shard
+        per_shard: dict = {}
+        for s, p, _ in placed:
+            per_shard.setdefault(s, []).append(p)
+        for s, ps in per_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), (ep, s)
+    orders = [
+        tuple(d for _, _, d in sorted(by_epoch[ep])) for ep in sorted(by_epoch)
+    ]
+    assert len(set(orders)) == SHUFFLE_EPOCHS  # epochs differ
+    rerun = epoch_shuffle(spark, sf).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
