@@ -172,6 +172,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "value_outliers",        # per-type moments (≤5 rows)
         "embedding_quantize",    # per-vector scale cross
         "mm_ann_search",         # 3 media query vectors × candidates
+        "epoch_shuffle",         # SHUFFLE_EPOCHS-row (3) epoch grid × docs
         "domain_mix_rebalance",  # 1-row total/source-count aggregate
         "unigram_logprob_score", # 1-row corpus token count
         "ppl_bucket_mix",        # composes unigram_logprob_score (same 1-row cross)
