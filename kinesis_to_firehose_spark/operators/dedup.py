@@ -90,8 +90,22 @@ def exploded_shingles(
     tokenizer into every element_at lambda (O(tokens²) regex work per
     doc, interpreted). Explode + lead stays in whole-stage codegen and
     the only shuffle is the per-doc window — the shape that scales.
+
+    Served from the persisted per-corpus shingle store
+    (sources/dedup_index.py::corpus_shingle_store): the tokenize/
+    lead/distinct pass is a BUILD step; each of the five shingle-
+    family consumers reads a projection of the stored superset grain
+    (carry columns are per-doc constants, so projecting preserves
+    distinctness). shingles_from_docs below stays the in-plan path
+    for arbitrary batches (ingest probes, tests).
     """
-    return shingles_from_docs(load(spark, "documents", sf_dir), carry)
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_shingle_store,
+    )
+
+    return corpus_shingle_store(spark, sf_dir).select(
+        "doc_id", *carry, "shingle"
+    )
 
 
 def shingles_from_docs(

@@ -43,6 +43,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def corpus_shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted distinct word-bigram shingles of the documents table
+    (doc_id, lang, len_bucket, source, shingle) — the tokenize →
+    lead-window → distinct pass every shingle-family op starts from,
+    paid once per corpus. Carry columns are per-doc constants, so any
+    projection of this superset grain is exactly the distinct rows
+    the in-plan path computes for that carry. Clustered by shingle so
+    the inverted-index self-joins scan co-located files."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        shingles_from_docs,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    key = hashlib.sha256(
+        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
+        f"|shingles-v1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    )
+    path = os.path.join(root, f"shingles_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shingles_from_docs(
+            load(spark, "documents", sf_dir),
+            carry=("lang", "len_bucket", "source"),
+        ).repartition("shingle").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def corpus_minhash_store(spark: SparkSession, sf_dir: str) -> str:
     """Full minhash SIGNATURES (doc_id, h0..h{N_PERMS-1}) plus derived
     band keys for the documents table, persisted once per corpus —

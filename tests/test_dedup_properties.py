@@ -1027,3 +1027,27 @@ def test_emb_band_candidates_hot_bucket_gate(spark):
         for r in emb_band_candidates(e2).collect()
     }
     assert got2 == {(i, j) for i in range(m) for j in range(i + 1, m)}
+
+
+def test_shingle_store_equals_inplan(spark, tmp_path, monkeypatch):
+    """exploded_shingles served from the persisted corpus shingle
+    store returns exactly the in-plan tokenize/lead/distinct rows, at
+    every carry projection (carry columns are per-doc constants, so
+    the superset-grain store preserves distinctness)."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        exploded_shingles,
+        shingles_from_docs,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    d = load(spark, "documents", sf)
+    for carry in (("lang", "len_bucket"), ("source",), ()):
+        stored = sorted(
+            tuple(r) for r in exploded_shingles(spark, sf, carry).collect()
+        )
+        inplan = sorted(
+            tuple(r) for r in shingles_from_docs(d, carry).collect()
+        )
+        assert stored == inplan, carry
