@@ -65,6 +65,19 @@ N_PERMS = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
+# Hot-bucket gate for the DEFAULT minhash band join (round-6 verdict
+# task 2): a band bucket of k members yields k(k-1)/2 pairs in a plain
+# self-join, so one adversarial bucket (boilerplate template, spam
+# farm) can quadratic-blow the op. Buckets ≤ cap pair fully — on the
+# real testdata the max bucket is 33 at sf1, so behavior is IDENTICAL
+# to the ungated join at every tested scale — while a hot bucket
+# contributes only doc_id-ordered chains (each member pairs with its
+# MINHASH_HOT_CHAIN_LAGS predecessors), keeping it CONNECTED for the
+# downstream CC ops at O(k·lags) cost. `dedup_minhash_gated` below
+# keeps cap=2 so the oracle compare exercises both paths at sf0.01.
+MINHASH_HOT_BUCKET_CAP = 256
+MINHASH_HOT_CHAIN_LAGS = 8
+
 # 60 bits (not 64): packing stays within positive signed-BIGINT range
 # in both engines, so no two's-complement sign games in the oracle.
 # 15-bit chunks give 32k-key pigeonhole buckets (vs 256 for the old
@@ -264,7 +277,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side partial aggregation, whole-stage codegen, no interpreted
 # higher-order functions. The only shuffles are the signature groupBy
 # and the (band_idx, band_key) bucket join — the canonical LSH shape
-# that holds at 100 TB (salt band keys if a bucket ever explodes).
+# that holds at 100 TB. The bucket join auto-gates hot buckets (see
+# MINHASH_HOT_BUCKET_CAP above) so an adversarial bucket can't
+# quadratic-blow the candidate output.
 # --------------------------------------------------------------------------
 # One md5 per shingle, then 32 universal-hash permutations
 # h_p(v) = (a_p·v + b_p) mod 2³¹-1 over v = md5-prefix mod 2³¹-1.
@@ -318,6 +333,17 @@ _BAND_KEYS_SQL = ", ".join(
     for b in range(N_BANDS)
 )
 
+_HOT_LAGS_SQL = ",\n         ".join(
+    f"LAG(doc_id, {j}) OVER (PARTITION BY band_idx, band_key "
+    f"ORDER BY doc_id) AS p{j}"
+    for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1)
+)
+_HOT_ARMS_SQL = "\n    UNION ALL\n".join(
+    f"    SELECT p{j} AS doc_id_1, doc_id AS doc_id_2 "
+    f"FROM lagged WHERE p{j} IS NOT NULL"
+    for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1)
+)
+
 _EST_MATCH_SQL = " + ".join(
     f"(CASE WHEN s1.h{p} = s2.h{p} THEN 1 ELSE 0 END)" for p in range(N_PERMS)
 )
@@ -338,12 +364,31 @@ bands AS (
          generate_subscripts([{_BAND_KEYS_SQL}], 1) AS band_idx
   FROM sigs
 ),
+sized AS (
+  SELECT doc_id, band_idx, band_key,
+         COUNT(*) OVER (PARTITION BY band_idx, band_key) AS cnt
+  FROM bands
+),
+lagged AS (
+  -- adaptive gate (module comment at MINHASH_HOT_BUCKET_CAP): the
+  -- chain window runs only over rows of buckets above the cap (lag
+  -- values are unchanged by the filter since bucket membership is
+  -- all-hot or all-small)
+  SELECT doc_id,
+         {_HOT_LAGS_SQL}
+  FROM sized WHERE cnt > {MINHASH_HOT_BUCKET_CAP}
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-  FROM bands a
-  JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM sized a
+    JOIN sized b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE a.cnt <= {MINHASH_HOT_BUCKET_CAP}
+    UNION ALL
+{_HOT_ARMS_SQL}
+  )
 )
 SELECT doc_id_1, doc_id_2,
        ROUND(({_EST_MATCH_SQL}) / {N_PERMS}.0, 6) AS est_jaccard
@@ -408,27 +453,71 @@ def minhash_lsh_pairs(
 
 
 def lsh_pairs_from_sigs_bands(
-    sigs: DataFrame, bands: DataFrame, n_perms: int = N_PERMS
+    sigs: DataFrame, bands: DataFrame, n_perms: int = N_PERMS,
+    cap: int = MINHASH_HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Pair generation from MATERIALIZED signatures and band keys —
     the probe half of the LSH pipeline, shared by the in-plan path
     (minhash_lsh_pairs) and the persisted store
-    (sources/dedup_index.py::corpus_minhash_store)."""
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
+    (sources/dedup_index.py::corpus_minhash_store).
+
+    The band self-join carries the ADAPTIVE hot-bucket gate (module
+    comment at MINHASH_HOT_BUCKET_CAP): a sort-free count window sizes
+    each bucket, buckets ≤ cap go straight to the full pair join, and
+    the doc_id-ordered multi-lag chain runs ONLY over rows of buckets
+    above the cap — so a gate-friendly corpus pays zero chain overhead
+    while an adversarial bucket of k members costs O(k·lags) candidate
+    rows, not O(k²). Mirrored bit-exactly by the sized/lagged/cand
+    CTEs of MINHASH_SQL."""
+    wb = W.partitionBy("band_idx", "band_key")
+    sized = bands.select(
+        "doc_id",
+        "band_idx",
+        "band_key",
+        F.count("*").over(wb).alias("cnt"),
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    small = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.cnt") <= cap)
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
         )
-        .distinct()
     )
+    wo = wb.orderBy("doc_id")
+    lagged = sized.filter(F.col("cnt") > cap).select(
+        "doc_id",
+        *[
+            F.lag("doc_id", j).over(wo).alias(f"p{j}")
+            for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1)
+        ],
+    )
+    # one explode over the lag array, not 8 filtered union arms — the
+    # arms each re-scan the band table (plan digest: file_scans 4→12)
+    # for a branch that is EMPTY on any non-adversarial corpus
+    hot = (
+        lagged.select(
+            F.col("doc_id").alias("doc_id_2"),
+            F.explode(
+                F.array(
+                    *[
+                        F.col(f"p{j}")
+                        for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1)
+                    ]
+                )
+            ).alias("doc_id_1"),
+        )
+        .filter(F.col("doc_id_1").isNotNull())
+        .select("doc_id_1", "doc_id_2")
+    )
+    cand = small.unionAll(hot).distinct()
     s1 = sigs.alias("s1")
     s2 = sigs.alias("s2")
     est_match = sum(
@@ -839,8 +928,20 @@ def _seq_norm(mat):
 # (256² doubles = 0.5 MiB), independent of the corpus size.
 CHUNK_ROWS = 256
 
+# Registry scale cap (round-6 verdict task 3): all-pairs cosine is
+# intrinsically quadratic, so the op REFUSES corpora above this bound
+# instead of silently burning a cluster — the production path for
+# gapped corpora is dedup_embedding_lsh. 4000 vectors ≈ 8M pairs keeps
+# the exact baseline (recall ground truth for the LSH variant) usable
+# at sf ≤ 0.1 while sf1+ is a hard error, not a timeout.
+EXACT_EMB_MAX_ROWS = 4000
 
-@register("dedup_embedding", DEDUP_EMB_SQL)
+
+@register(
+    "dedup_embedding",
+    DEDUP_EMB_SQL,
+    max_rows=("embeddings", EXACT_EMB_MAX_ROWS),
+)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine via a DISTRIBUTED block-matrix sweep.
 
@@ -871,6 +972,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single scalar action (count-star over parquet metadata) that
     # sizes the block grid; the data itself never leaves the cluster.
     n_rows = e.count()
+    if n_rows > EXACT_EMB_MAX_ROWS:
+        from kinesis_to_firehose_spark.registry import ScaleCapExceeded
+
+        raise ScaleCapExceeded(
+            f"dedup_embedding is the EXACT all-pairs baseline, capped at "
+            f"{EXACT_EMB_MAX_ROWS} vectors ({n_rows} given): all-pairs "
+            f"cosine is intrinsically quadratic. Use dedup_embedding_lsh "
+            f"(banded-LSH candidates, same scoring kernel) on real corpora."
+        )
     n_blocks = max(1, -(-n_rows // CHUNK_ROWS))
     # Each vector is replicated to its B grid cells (min(b,j), max(b,j))
     # as FLAT rows — no collect_list nesting, so the Arrow transfer
@@ -1175,13 +1285,26 @@ def emb_band_candidates(
             for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
         ],
     )
-    hot = None
-    for j in range(1, EMB_HOT_CHAIN_LAGS + 1):
-        part = lagged.filter(F.col(f"p{j}").isNotNull()).select(
-            F.least(f"p{j}", "vec_id").alias("vec_id_1"),
-            F.greatest(f"p{j}", "vec_id").alias("vec_id_2"),
+    # one explode over the lag array, not 8 filtered union arms (each
+    # arm re-scans the band table for a usually-empty hot branch)
+    hot = (
+        lagged.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.col(f"p{j}")
+                        for j in range(1, EMB_HOT_CHAIN_LAGS + 1)
+                    ]
+                )
+            ).alias("prev"),
         )
-        hot = part if hot is None else hot.unionAll(part)
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.least("prev", "vec_id").alias("vec_id_1"),
+            F.greatest("prev", "vec_id").alias("vec_id_2"),
+        )
+    )
     return small.unionAll(hot).distinct()
 
 

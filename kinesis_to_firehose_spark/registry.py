@@ -27,19 +27,52 @@ class Op:
     name: str
     fn: SparkFn
     sql: str | None  # DuckDB oracle; None → rows-only check
+    # Scale cap for intrinsically-quadratic baseline ops (table, rows):
+    # the op refuses inputs where count(table) > rows, and bench.py /
+    # regress.py --parity skip-and-log instead of burning the budget.
+    # None → the op scales (the default; only measured-truth baselines
+    # like the exact all-pairs dedup_embedding carry a cap).
+    max_rows: tuple[str, int] | None = None
 
 
 _REGISTRY: dict[str, Op] = {}
 
 
-def register(name: str, sql: str | None = None) -> Callable[[SparkFn], SparkFn]:
+def register(
+    name: str,
+    sql: str | None = None,
+    max_rows: tuple[str, int] | None = None,
+) -> Callable[[SparkFn], SparkFn]:
     def deco(fn: SparkFn) -> SparkFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate op {name!r}")
-        _REGISTRY[name] = Op(name, fn, sql)
+        _REGISTRY[name] = Op(name, fn, sql, max_rows)
         return fn
 
     return deco
+
+
+class ScaleCapExceeded(RuntimeError):
+    """Raised by a max_rows-capped op pointed at a corpus above its
+    documented scale bound (e.g. the exact all-pairs dedup_embedding
+    baseline on >max_rows vectors — use the LSH variant instead)."""
+
+
+def over_cap(op: Op, sf_dir: str) -> int | None:
+    """Row count of op's capped table at sf_dir if it exceeds the cap,
+    else None. Reads only parquet metadata (duckdb count-star)."""
+    if op.max_rows is None:
+        return None
+    table, cap = op.max_rows
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):  # Spark-written dataset: glob part files
+        path = f"{path}/*.parquet"
+    n = duckdb.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    return n if n > cap else None
 
 
 def all_ops() -> dict[str, Op]:

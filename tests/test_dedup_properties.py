@@ -181,6 +181,38 @@ def test_dedup_embedding_has_no_driver_collect():
     assert ".broadcast(" not in src
 
 
+def test_dedup_embedding_scale_cap(spark, tmp_path):
+    """The exact all-pairs baseline REFUSES corpora above its registry
+    max_rows bound (round-6 verdict task 3): over-cap input raises
+    ScaleCapExceeded (pointing at the LSH variant), over_cap() flags it
+    for bench/sweep skip-and-log, and an at-cap corpus still runs."""
+    import pytest
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        EXACT_EMB_MAX_ROWS,
+        dedup_embedding,
+    )
+    from kinesis_to_firehose_spark.registry import (
+        ScaleCapExceeded,
+        all_ops,
+        over_cap,
+    )
+
+    op = all_ops()["dedup_embedding"]
+    assert op.max_rows == ("embeddings", EXACT_EMB_MAX_ROWS)
+    assert over_cap(op, "/root/testdata/sf0.1") is None  # 2000 rows: runs
+
+    big = tmp_path / "big"
+    big.mkdir()
+    n = EXACT_EMB_MAX_ROWS + 1
+    spark.range(n).selectExpr(
+        "id AS vec_id", "array(CAST(id AS DOUBLE)) AS embedding"
+    ).coalesce(1).write.parquet(str(big / "embeddings.parquet"))
+    assert over_cap(op, str(big)) == n
+    with pytest.raises(ScaleCapExceeded, match="dedup_embedding_lsh"):
+        dedup_embedding(spark, str(big)).count()
+
+
 def test_dedup_embedding_block_sweep_matches_local_reference(spark):
     """Distributed block-matrix sweep == local numpy all-pairs."""
     import numpy as np
@@ -720,6 +752,97 @@ def test_gated_minhash_equals_plain_below_cap(spark, planted):
         tuple(r) for r in minhash_lsh_pairs_gated(df, cap=10_000).collect()
     }
     assert plain == gated
+
+
+def test_default_minhash_band_join_autogates(spark):
+    """The DEFAULT op's band join (lsh_pairs_from_sigs_bands via
+    minhash_lsh_pairs, cap = MINHASH_HOT_BUCKET_CAP) bounds an
+    adversarial bucket: a planted block of identical docs LARGER than
+    the cap emits O(k·lags) chain pairs, not k(k-1)/2, stays fully
+    connected for downstream CC, and the sub-cap remainder of the
+    corpus is bit-identical to the ungated join (round-6 verdict
+    task 2)."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        MINHASH_HOT_BUCKET_CAP,
+        MINHASH_HOT_CHAIN_LAGS,
+        minhash_lsh_pairs,
+        star_components,
+    )
+    from kinesis_to_firehose_spark.sources.synth import skewed_corpus
+
+    n_hot = MINHASH_HOT_BUCKET_CAP + 44  # one bucket above the cap
+    n_docs = n_hot * 2
+    ex = _explode_text(skewed_corpus(spark, n_docs, 0.5)).localCheckpoint()
+
+    pairs = minhash_lsh_pairs(ex).collect()
+    hot_pairs = [
+        r for r in pairs if r.doc_id_1 < n_hot and r.doc_id_2 < n_hot
+    ]
+    quad = n_hot * (n_hot - 1) // 2
+    bound = n_hot * MINHASH_HOT_CHAIN_LAGS
+    assert len(hot_pairs) <= bound, (
+        f"hot bucket emitted {len(hot_pairs)} pairs "
+        f"(chain bound {bound}, ungated {quad})"
+    )
+    # identical docs: chain pairs carry full signature agreement
+    assert all(r.est_jaccard == 1.0 for r in hot_pairs)
+
+    # connectivity: CC over the gated pairs keeps ONE hot cluster
+    edges = spark.createDataFrame(
+        [(r.doc_id_1, r.doc_id_2) for r in pairs], "src long, dst long"
+    )
+    labels, _ = star_components(edges)
+    hot_labels = {r.l for r in labels.collect() if r.v < n_hot}
+    assert len(hot_labels) == 1, f"hot cluster fragmented: {hot_labels}"
+
+    # sub-cap pairs are untouched by the gate
+    ungated = minhash_lsh_pairs(ex)  # rebuild, then recompare capless
+    from kinesis_to_firehose_spark.operators.dedup import (
+        lsh_pairs_from_sigs_bands,
+    )
+
+    cold = {
+        tuple(r)
+        for r in pairs
+        if not (r.doc_id_1 < n_hot and r.doc_id_2 < n_hot)
+    }
+    del ungated
+    plain = minhash_lsh_pairs_capless(ex)
+    cold_plain = {
+        tuple(r)
+        for r in plain.collect()
+        if not (r.doc_id_1 < n_hot and r.doc_id_2 < n_hot)
+    }
+    assert cold == cold_plain
+
+
+def minhash_lsh_pairs_capless(ex):
+    """minhash_lsh_pairs with the gate effectively disabled."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        N_BANDS,
+        N_PERMS,
+        _band_keys_spark,
+        _sig_agg_spark,
+        _V_SPARK,
+        lsh_pairs_from_sigs_bands,
+    )
+
+    hashed_v = ex.select("doc_id", F.expr(_V_SPARK).alias("v"))
+    sigs = (
+        hashed_v.groupBy("doc_id")
+        .agg(*[F.expr(e) for e in _sig_agg_spark(N_PERMS)])
+        .localCheckpoint(eager=True)
+    )
+    band_keys = _band_keys_spark(N_PERMS, N_BANDS)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_keys})")).alias(
+            "band_idx0", "band_key"
+        ),
+    ).withColumn("band_idx", F.col("band_idx0") + 1)
+    return lsh_pairs_from_sigs_bands(sigs, bands, cap=1 << 30)
 
 
 def test_pq_codes_bounded_and_adc_recall(spark):
