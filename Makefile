@@ -19,6 +19,13 @@ parity-sf1:
 bench:
 	python bench.py | python regress.py -
 
+# sf1 per-op bench anchor (Spark side only): writes BENCH_SF1.json,
+# then checks every op against the 10x row-growth scale envelope
+bench-sf1:
+	SPARK_GRAFT_SF_DIR=.testdata/sf1 SPARK_GRAFT_BENCH_REPEATS=2 \
+	SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json python bench.py >/dev/null
+	python regress.py --scale BENCH_SF1.json
+
 digest:
 	python -m kinesis_to_firehose_spark.plans.digest
 

