@@ -2183,33 +2183,26 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("ann_index_search", IVF_SQL)
 def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-    from pathlib import Path
-
     from kinesis_to_firehose_spark.sources.ann_index import (
         build_ann_index,
         search_ann_index,
     )
 
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
     # content-keyed store (same convention as the codebook / minhash /
     # band stores): the corpus pass is a build step — a warm store
     # makes this op pure probe, and a data change rebuilds
-    st = (Path(sf_dir) / "embeddings.parquet").stat()
-    key = hashlib.sha256(
-        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
-        f"|{N_CENTROIDS}|ivf-index-v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    path = ensure_store(
+        store_path(
+            "ann_index", sf_dir, "embeddings", f"{N_CENTROIDS}|ivf-index-v1"
+        ),
+        lambda tmp: build_ann_index(spark, sf_dir, tmp),
+        success_rel="assignment/_SUCCESS",
     )
-    path = os.path.join(root, f"ann_index_{key}")
-    if not os.path.exists(
-        os.path.join(path, "assignment", "_SUCCESS")
-    ):
-        build_ann_index(spark, sf_dir, path)
     queries = normed_embeddings(spark, sf_dir).filter(
         F.col("vec_id") < N_QUERIES
     )

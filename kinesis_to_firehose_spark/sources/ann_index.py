@@ -21,10 +21,6 @@ map) + append into the cell partitions.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,24 +45,26 @@ def trained_centroids(
         train_ivf_centroids,
     )
 
-    src = Path(sf_dir) / "embeddings.parquet"
-    st = src.stat()
-    key = hashlib.sha256(
-        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
-        f"|{n_centroids}|{iters}|ivf-codebook-v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
     )
-    path = os.path.join(root, f"ivf_codebook_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    path = store_path(
+        "ivf_codebook",
+        sf_dir,
+        "embeddings",
+        f"{n_centroids}|{iters}|ivf-codebook-v1",
+    )
+
+    def _build(tmp: str) -> None:
         cents = train_ivf_centroids(
             spark, sf_dir, n_centroids, iters, prenormed=prenormed
         )
         # K rows — one file, broadcastable at read time.
-        cents.coalesce(1).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        cents.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    return spark.read.parquet(ensure_store(path, _build))
 
 
 def emb_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,23 +84,25 @@ def emb_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinesis_to_firehose_spark.sources.tables import load
 
-    src = Path(sf_dir) / "embeddings.parquet"
-    st = src.stat()
-    key = hashlib.sha256(
-        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
-        f"|{EMB_LSH_BANDS}|{EMB_LSH_ROWS}|emb-bands-v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
     )
-    path = os.path.join(root, f"emb_bands_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    path = store_path(
+        "emb_bands",
+        sf_dir,
+        "embeddings",
+        f"{EMB_LSH_BANDS}|{EMB_LSH_ROWS}|emb-bands-v1",
+    )
+
+    def _build(tmp: str) -> None:
         e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
         emb_band_table(e).repartition("band_key").write.mode(
             "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+        ).parquet(tmp)
+
+    return spark.read.parquet(ensure_store(path, _build))
 
 
 def build_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:

@@ -34,10 +34,7 @@ preserving the join shape.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,23 +53,20 @@ def corpus_shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinesis_to_firehose_spark.sources.tables import load
 
-    src = Path(sf_dir) / "documents.parquet"
-    st = src.stat()
-    key = hashlib.sha256(
-        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
-        f"|shingles-v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
     )
-    path = os.path.join(root, f"shingles_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    path = store_path("shingles", sf_dir, "documents", "shingles-v1")
+
+    def _build(tmp: str) -> None:
         shingles_from_docs(
             load(spark, "documents", sf_dir),
             carry=("lang", "len_bucket", "source"),
-        ).repartition("shingle").write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        ).repartition("shingle").write.mode("overwrite").parquet(tmp)
+
+    return spark.read.parquet(ensure_store(path, _build))
 
 
 def corpus_minhash_store(spark: SparkSession, sf_dir: str) -> str:
@@ -95,29 +89,30 @@ def corpus_minhash_store(spark: SparkSession, sf_dir: str) -> str:
         exploded_shingles,
     )
 
-    src = Path(sf_dir) / "documents.parquet"
-    st = src.stat()
-    key = hashlib.sha256(
-        f"{Path(sf_dir).resolve()}|{st.st_mtime_ns}|{st.st_size}"
-        f"|{N_PERMS}|{N_BANDS}|minhash-store-v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_cache"),
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
     )
-    path = os.path.join(root, f"minhash_{key}")
-    if not os.path.exists(os.path.join(path, "bands", "_SUCCESS")):
+
+    path = store_path(
+        "minhash",
+        sf_dir,
+        "documents",
+        f"{N_PERMS}|{N_BANDS}|minhash-store-v1",
+    )
+
+    def _build(tmp: str) -> None:
         ex = exploded_shingles(spark, sf_dir).select("doc_id", "shingle")
         hashed_v = ex.select("doc_id", F.expr(_V_SPARK).alias("v"))
         sigs = hashed_v.groupBy("doc_id").agg(
             *[F.expr(e) for e in _sig_agg_spark(N_PERMS)]
         )
-        sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+        sigs.write.mode("overwrite").parquet(f"{tmp}/sigs")
         # derive bands from the WRITTEN sigs — the signature chain
         # runs exactly once per corpus, ever
         band_keys = _band_keys_spark(N_PERMS, N_BANDS)
         (
-            spark.read.parquet(f"{path}/sigs")
+            spark.read.parquet(f"{tmp}/sigs")
             .select(
                 "doc_id",
                 F.posexplode(F.expr(f"array({band_keys})")).alias(
@@ -131,9 +126,10 @@ def corpus_minhash_store(spark: SparkSession, sf_dir: str) -> str:
             )
             .repartition("band_key")
             .write.mode("overwrite")
-            .parquet(f"{path}/bands")
+            .parquet(f"{tmp}/bands")
         )
-    return path
+
+    return ensure_store(path, _build, success_rel="bands/_SUCCESS")
 
 
 def build_dedup_index(

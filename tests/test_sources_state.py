@@ -1324,17 +1324,20 @@ def test_knn_store_built_once_and_value_identical(spark):
     edges are value-identical to a direct build — which is why every
     family oracle is unchanged by the store."""
     from kinesis_to_firehose_spark.operators.similarity import (
+        KNN_K,
         build_knn_graph,
         knn_graph,
     )
     from kinesis_to_firehose_spark.sources import knn_store
+    from kinesis_to_firehose_spark.sources.store_cache import store_path
 
     sf = "/root/testdata/sf0.001"
-    knn_store._BUILT.pop(os.path.abspath(sf), None)
+    path = store_path("knn_edges", sf, "embeddings", f"{KNN_K}|knn-edges-v1")
     first = knn_store.knn_edges(spark, sf)
-    path = knn_store._BUILT[os.path.abspath(sf)]
-    again = knn_store.knn_edges(spark, sf)
-    assert knn_store._BUILT[os.path.abspath(sf)] == path  # no rebuild
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    stamp = os.stat(path).st_mtime_ns
+    knn_store.knn_edges(spark, sf)
+    assert os.stat(path).st_mtime_ns == stamp  # no rebuild
     # the served op's plan is a store scan, not the band join
     plan = knn_graph(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert path in plan
@@ -1455,3 +1458,66 @@ def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
         )
 
     assert rows(h_path) == rows(z_path)
+
+
+def test_store_cache_digest_and_atomic_build(spark, tmp_path, monkeypatch):
+    """sources/store_cache.py contracts (ADVICE r6 #3): (1) the cache
+    key digests the PART-FILE LISTING of a Spark-written dataset dir,
+    so an in-place part-file rewrite reroutes the key even when the
+    directory inode's stat is unchanged; (2) builds land via tempdir +
+    atomic rename — a reader never sees a half-built store, and the
+    loser of a concurrent-build race serves the winner's store."""
+    import os
+
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        source_digest,
+        store_path,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.range(10).selectExpr("id AS doc_id").coalesce(2).write.parquet(
+        str(sf / "documents.parquet")
+    )
+
+    d1 = source_digest(str(sf), "documents")
+    # in-place rewrite of ONE part file: same directory, same file
+    # names/count — only a part file's bytes (and mtime) change
+    part = sorted((sf / "documents.parquet").glob("part-*.parquet"))[0]
+    os.utime(part, ns=(123456789, 987654321000000000))
+    d2 = source_digest(str(sf), "documents")
+    assert d1 != d2, "part-file rewrite must change the digest"
+
+    # params/version distinguish stores on the same corpus
+    p_a = store_path("x", str(sf), "documents", "v1")
+    p_b = store_path("x", str(sf), "documents", "v2")
+    assert p_a != p_b
+
+    builds = []
+
+    def _build(tmp: str) -> None:
+        builds.append(tmp)
+        assert tmp != p_a  # never builds in the final path
+        spark.range(3).write.parquet(tmp)
+
+    got = ensure_store(p_a, _build)
+    assert got == p_a and os.path.exists(os.path.join(p_a, "_SUCCESS"))
+    assert spark.read.parquet(got).count() == 3
+    # warm: second call serves without rebuilding
+    ensure_store(p_a, _build)
+    assert len(builds) == 1
+
+    # race-loser path: final dir appears while our build is running
+    p_c = store_path("y", str(sf), "documents", "v1")
+
+    def _racing_build(tmp: str) -> None:
+        spark.range(5).write.parquet(tmp)
+        # the "other process" wins the rename while we were building
+        spark.range(5).write.parquet(p_c)
+
+    got_c = ensure_store(p_c, _racing_build)
+    assert spark.read.parquet(got_c).count() == 5
+    leftovers = [p for p in (tmp_path / "cache").iterdir() if ".tmp." in p.name]
+    assert not leftovers, f"tmp dirs leaked: {leftovers}"
