@@ -1324,6 +1324,67 @@ def test_boto3_transport_maps_put_record_batch_contract():
     assert t3.attempts_made == 2
 
 
+def test_boto3_transport_client_knobs_match_reference():
+    """The lazily-built boto3 client carries BOTH reference parity
+    knobs (firehose_sender.go:47-50): retries max_attempts=10 at the
+    SDK level, and the endpoint_url resolved from
+    FIREHOSE_AWS_ENDPOINT (main.go:59) — asserted through an injected
+    fake boto3 module, then wired from a resolved PipelineEnvConfig
+    via from_config (round-6 verdict residuals 1-2)."""
+    from kinesis_to_firehose_spark.streaming.config import config_from_env
+    from kinesis_to_firehose_spark.streaming.firehose import (
+        Boto3FirehoseTransport,
+    )
+
+    built = []
+
+    class FakeBoto3:
+        @staticmethod
+        def client(service, **kwargs):
+            built.append((service, kwargs))
+            return object()
+
+    t = Boto3FirehoseTransport(
+        region_name="us-west-2",
+        endpoint_url="https://firehose.us-west-2.amazonaws.com",
+        boto3_module=FakeBoto3,
+    )
+    t._cli()
+    assert len(built) == 1
+    service, kw = built[0]
+    assert service == "firehose"
+    assert kw["region_name"] == "us-west-2"
+    assert kw["endpoint_url"] == "https://firehose.us-west-2.amazonaws.com"
+    retries = (
+        kw["config"]["retries"]
+        if isinstance(kw["config"], dict)  # no botocore in container
+        else kw["config"].retries
+    )
+    assert retries == {"max_attempts": 10, "mode": "standard"}
+    # second call reuses the built client — still exactly one build
+    t._cli()
+    assert len(built) == 1
+
+    # endpoint + region plumb from the resolved env surface
+    env = {
+        "KINESIS_AWS_REGION": "us-east-1",
+        "KINESIS_STREAM_NAME": "in",
+        "KINESIS_APPLICATION_NAME": "app",
+        "KINESIS_INITIAL_POSITION": "LATEST",
+        "FIREHOSE_AWS_REGION": "eu-central-1",
+        "FIREHOSE_STREAM_NAME": "out",
+        "FIREHOSE_AWS_ENDPOINT": "http://localhost:4573",
+        "LOG_FILE": "/tmp/fail.log",
+        "READ_RATE_LIMIT": "100",
+        "_DEPLOY_ENV": "test",
+    }
+    cfg = config_from_env(env)
+    t2 = Boto3FirehoseTransport.from_config(cfg)
+    kw2 = t2.client_kwargs()
+    assert kw2["region_name"] == "eu-central-1"
+    assert kw2["endpoint_url"] == "http://localhost:4573"
+
+
 def test_cli_consume_runs_forwarder_end_to_end(spark, tmp_path):
     """`python -m kinesis_to_firehose_spark consume --once` drives the
     full forwarder (stream source -> decode/enhance -> Firehose sink)
@@ -1354,3 +1415,125 @@ def test_cli_consume_runs_forwarder_end_to_end(spark, tmp_path):
     files = glob.glob(f"{tmp_path}/out/**/*.jsonl", recursive=True)
     n = sum(sum(1 for _ in open(f, "rb")) for f in files)
     assert n == 1000
+
+
+def test_chaos_soak_kill_resume_mid_delivery(spark, tmp_path):
+    """End-to-end chaos soak (round-6 verdict task 8): the full
+    composed pipeline — kinesis_replay connector → decode/enhance →
+    Firehose-protocol sink — driven by a transport that (a) fails
+    individual records transiently (exercising the 250ms×2ⁿ resend
+    loop) and (b) CRASHES the query once mid-epoch AFTER part of the
+    epoch's files hit disk. The restarted query replays the torn epoch
+    over the same (epoch, task, seq) file names, a second tranche
+    arrives after the resume, and the delivered set is EXACTLY the
+    input: no loss, no duplicates, no dead letters."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        write_replay_slices,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+    from kinesis_to_firehose_spark.streaming.firehose import (
+        LocalDirTransport,
+        read_delivered,
+    )
+    from kinesis_to_firehose_spark.streaming.pipeline import (
+        run_pipeline_replay,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "stream")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    dl = str(tmp_path / "dl")
+    crash_marker = str(tmp_path / "crashed-once")
+
+    ev = load(spark, "events", sf).select(
+        "user_id",
+        F.to_json(
+            F.struct(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            )
+        ).alias("data"),
+    )
+    rows = [(str(r["user_id"]), r["data"]) for r in ev.collect()]
+    tranche1, tranche2 = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+
+    class ChaosTransport:
+        """Deterministic chaos: every 7th record (by content hash)
+        fails its first attempt (send_batch must resend just that
+        record); one global crash AFTER delivering a call's records,
+        gated by a marker file so the resumed run is crash-free."""
+
+        def __init__(self, epoch_id: int):
+            self.epoch = epoch_id
+            self._inner = None
+            self._failed_once: set[bytes] = set()
+
+        def __call__(self, records, stream):
+            from pyspark import TaskContext
+
+            if self._inner is None:
+                tc = TaskContext.get()
+                tid = (
+                    f"p{tc.partitionId():05d}" if tc is not None else "p00000"
+                )
+                self._inner = LocalDirTransport(out, self.epoch, task_id=tid)
+            failed = [
+                i
+                for i, r in enumerate(records)
+                if hash(r) % 7 == 0 and r not in self._failed_once
+            ]
+            self._failed_once.update(records[i] for i in failed)
+            ok = [r for i, r in enumerate(records) if i not in set(failed)]
+            self._inner(ok, stream)
+            if not os.path.exists(crash_marker):
+                with open(crash_marker, "w") as f:
+                    f.write("1")
+                raise ConnectionError("chaos: transport died mid-epoch")
+            return failed
+
+    def start():
+        return run_pipeline_replay(
+            spark, d, out, ck, dead_letter_dir=dl,
+            transport_factory=ChaosTransport,
+        )
+
+    write_replay_slices(d, tranche1, n_shards=4)
+    q = start()
+    with pytest.raises(StreamingQueryException, match="chaos"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    assert os.path.exists(crash_marker), "the chaos crash never fired"
+    # partial epoch files are on disk from the crashed attempt
+    assert any(os.scandir(out)), "crash should land after partial writes"
+
+    # resume from the checkpoint; second tranche arrives mid-run
+    q = start()
+    try:
+        q.processAllAvailable()
+        write_replay_slices(d, tranche2, n_shards=4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    expected: dict[str, set] = {}
+    for _, data in rows:
+        rec = json.loads(data)
+        expected.setdefault(rec["event_type"], set()).add(rec["event_id"])
+    for stream, ids in expected.items():
+        got = read_delivered(out, stream)
+        # exactly once: delivered count == distinct ids == input ids
+        # (payloads are the decode/enhance output, so identity is the
+        # event_id the pipeline carries through)
+        assert len(got) == len(ids), (
+            f"{stream}: delivered {len(got)} != expected {len(ids)}"
+        )
+        assert {g["event_id"] for g in got} == ids
+    assert not os.path.isdir(dl) or not os.listdir(dl), "dead letters"
