@@ -48,6 +48,55 @@ def test_repartition_by_bytes(spark):
     assert out.rdd.getNumPartitions() >= 1
 
 
+def test_media_repartition_packs_bytes(spark):
+    """TRUE byte-packing under a planted heavy-tail blob mix (round-6
+    verdict task 6): every output partition's blob bytes stay within
+    target + max_blob (a contiguous prefix-sum bin), and no partition
+    co-locates two over-target blobs — the failure mode of the old
+    round-robin assignment."""
+    from pyspark.sql import functions as F
+
+    target = 50_000
+    giant = 40_000
+    # 6 giant blobs + 3000 tiny ones, shuffled across input partitions
+    rows = [(i, bytes([i % 251]) * giant) for i in range(6)] + [
+        (1000 + i, bytes([i % 251]) * 50) for i in range(3000)
+    ]
+    m = spark.createDataFrame(
+        rows, "media_id long, content binary"
+    ).repartition(16)
+    out = media_repartition_by_bytes(m, target_partition_bytes=target)
+    stats = (
+        out.select(
+            F.spark_partition_id().alias("p"),
+            F.length("content").cast("long").alias("b"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum("b").alias("bytes"),
+            F.sum((F.col("b") > target).cast("int")).alias("n_over"),
+        )
+        .collect()
+    )
+    assert sum(r["bytes"] for r in stats) == 6 * giant + 3000 * 50
+    for r in stats:
+        assert r["bytes"] <= target + giant, (
+            f"partition {r['p']} holds {r['bytes']} bytes "
+            f"(bound {target + giant})"
+        )
+    n_big_together = (
+        out.select(
+            F.spark_partition_id().alias("p"),
+            (F.length("content") >= giant).cast("int").alias("big"),
+        )
+        .groupBy("p")
+        .agg(F.sum("big").alias("n_big"))
+        .agg(F.max("n_big"))
+        .collect()[0][0]
+    )
+    assert n_big_together <= 1, "two giant blobs co-located"
+
+
 def test_frame_sample_fanout_and_determinism(spark):
     """Each video yields ceil(duration/stride) frames; re-running
     produces identical features (codec stub is content+ts seeded)."""
