@@ -120,11 +120,17 @@ def kinesis_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct("event_id", "ts", "event_type", "value")).alias(
             "data"
         ),
+        "ts",
+        "event_id",
     )
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "stream")
-        # executor-side slice write — no record crosses the driver
-        write_replay_slices_distributed(spark, records, src, n_shards=4)
+        # executor-side slice write — no record crosses the driver;
+        # (ts, event_id) is the events table's arrival order, so each
+        # user's records land shard-ordered as the docstring promises
+        write_replay_slices_distributed(
+            spark, records, src, n_shards=4, order_cols=("ts", "event_id")
+        )
         name = "kinesis_replay_smoke"
         q = (
             spark.readStream.format("kinesis_replay")

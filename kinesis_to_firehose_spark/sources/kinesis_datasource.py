@@ -92,6 +92,7 @@ def write_replay_slices_distributed(
     records_df,
     path: str,
     n_shards: int = 4,
+    order_cols: tuple[str, ...] = (),
 ) -> None:
     """Producer half at scale: records (pk STRING, data STRING) are
     routed, serialized, and written by EXECUTORS — same md5 routing
@@ -102,7 +103,17 @@ def write_replay_slices_distributed(
     formulation this replaces died at the driver before the connector
     was even exercised at 100× (round-5 verdict #3). repartition(
     n_shards, shard) gives one task — hence one part file — per
-    shard, which is exactly Kinesis' per-shard single-writer model."""
+    shard, which is exactly Kinesis' per-shard single-writer model.
+
+    In-shard record order (hence assigned sequence numbers) is pinned
+    by sortWithinPartitions — repartition alone leaves shuffle-arrival
+    order, which varies run to run (ADVICE r6 #4). Pass `order_cols`
+    naming the arrival-order columns of records_df (e.g. an event
+    time + id) to get Kinesis' per-key arrival-order semantics; the
+    default () sorts by (pk, data), deterministic but NOT arrival
+    order. `shard` leads the sort so the partitionBy text writer's
+    required ordering is already satisfied and no re-sort scrambles
+    ties."""
     from pyspark.sql import functions as F
 
     staging = path.rstrip("/") + "__stage"
@@ -112,8 +123,9 @@ def write_replay_slices_distributed(
     ).cast("int")
     (
         records_df.withColumn("shard", shard)
-        .select("shard", F.to_json(F.struct("pk", "data")).alias("value"))
         .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", *(order_cols or ("pk", "data")))
+        .select("shard", F.to_json(F.struct("pk", "data")).alias("value"))
         .write.mode("overwrite")
         .partitionBy("shard")
         .text(staging)
@@ -447,6 +459,49 @@ class KinesisReplayDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> KinesisReplayStreamReader:
         return KinesisReplayStreamReader(self.options)
+
+
+def orphaned_lease_positions(checkpoint_dir: str) -> dict[str, int]:
+    """Lease takeover (the KCL failover the reference consumer relies
+    on — consumer.properties.template failoverTimeMillis/workerId:
+    when a worker dies, another adopts its shard leases FROM THE
+    LEASE-TABLE CHECKPOINTS): per-shard next-record positions of a
+    dead consumer's lease, recovered from its Spark checkpoint.
+
+    Reads the offset entry of the last COMMITTED batch — a batch
+    present in offsets/ but missing from commits/ was planned but
+    never fully delivered by the dead worker, so the adopter must
+    re-read it (same rule Spark itself applies on restart). Feed the
+    result to a takeover reader on a FRESH checkpoint:
+
+        pos = orphaned_lease_positions(dead_ck)
+        spark.readStream.format("kinesis_replay")
+             .option("shards", ",".join(pos))
+             .option("initialPosition", "AT_SEQUENCE_NUMBER")
+             .option("startingSequenceNumber", json.dumps(pos))
+
+    Returns {} when the dead worker never committed a batch (adopt
+    from the configured initial position instead). Exactly-once union
+    across the dead worker's output and the adopter's is pytest-
+    asserted (test_datasource.py lease-takeover case)."""
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits_dir):
+        return {}
+    committed = [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
+    if not committed:
+        return {}
+    off_file = os.path.join(
+        checkpoint_dir, "offsets", str(max(committed))
+    )
+    with open(off_file) as f:
+        lines = f.read().splitlines()
+    # line 1: "v1"; line 2: batch metadata; line 3: this source's
+    # offset json — {shard: [next_line, next_byte]}
+    offsets = json.loads(lines[2])
+    return {
+        shard: (pos[0] if isinstance(pos, list) else int(pos))
+        for shard, pos in offsets.items()
+    }
 
 
 def register_replay_source(spark) -> None:
