@@ -13,8 +13,11 @@ test:
 parity:
 	python regress.py --parity --all --budget 120
 
+# budget 300: the slowest KNOWN-good sf1 oracle (dedup_edit_distance,
+# the all-pairs-in-block Levenshtein definition) costs ~190 s on an
+# idle host — 150 falsely timed it out in round 7
 parity-sf1:
-	python regress.py --parity --all --sf-dir .testdata/sf1 --budget 150
+	python regress.py --parity --all --sf-dir .testdata/sf1 --budget 300
 
 bench:
 	python bench.py | python regress.py -
