@@ -56,8 +56,13 @@ def load_baseline() -> tuple[dict[str, float], float | None]:
 
 def load_bench(arg: str) -> tuple[dict[str, float], float | None]:
     text = sys.stdin.read() if arg == "-" else Path(arg).read_text()
-    # a bench emits exactly one JSON object line; driver files are pure JSON
-    for line in text.splitlines():
+    # pretty-printed artifacts (BENCH_OPS.json / BENCH_SF1.json) parse
+    # whole; bench stdout / driver logs carry one JSON line among noise
+    try:
+        candidates = [json.dumps(json.loads(text))]
+    except ValueError:
+        candidates = text.splitlines()
+    for line in candidates:
         line = line.strip()
         if line.startswith("{"):
             d = json.loads(line)
