@@ -184,10 +184,15 @@ def media_repartition_by_bytes(
     for p in sorted(subtotals):
         offsets[p] = cum
         cum += subtotals[p]
+    n_bins = int(cum // target_partition_bytes) + 1
+    if n_bins == 1:
+        # whole corpus fits one target partition — skip the window +
+        # remap machinery (also keeps the common stub-scale bench ops
+        # at one extra collect, not three extra jobs)
+        return media.repartition(1)
     off_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    n_bins = int(cum // target_partition_bytes) + 1
     w = W.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
     binned = pid.withColumn(
         "_bin",
@@ -201,25 +206,26 @@ def media_repartition_by_bytes(
         ).cast("long"),
     )
     # remap table: smallest candidate key per target bin; 128×
-    # oversampling makes a missing bin ~e⁻¹²⁸ improbable, and the
-    # count check catches even that (then just widen the range)
+    # oversampling leaves a bin uncovered with probability ~e⁻¹²⁸ per
+    # bin, and even that degrades to the fallback below instead of
+    # dropping rows — so no extra count-check job runs per invocation
     spark = media.sparkSession
-    mult = 128
-    while True:
-        remap = (
-            spark.range(n_bins * mult)
-            .select(
-                F.col("id").alias("_key"),
-                F.pmod(F.hash(F.col("id")), F.lit(n_bins)).alias("_tb"),
-            )
-            .groupBy("_tb")
-            .agg(F.min("_key").alias("_key"))
+    remap = (
+        spark.range(n_bins * 128)
+        .select(
+            F.col("id").alias("_key"),
+            F.pmod(F.hash(F.col("id")), F.lit(n_bins)).alias("_tb"),
         )
-        if remap.count() == n_bins:
-            break
-        mult *= 2  # pragma: no cover — astronomically unlikely
+        .groupBy("_tb")
+        .agg(F.min("_key").alias("_key"))
+    )
     return (
-        binned.join(F.broadcast(remap), binned["_bin"] == remap["_tb"])
+        binned.join(
+            F.broadcast(remap), binned["_bin"] == remap["_tb"], "left"
+        )
+        # uncovered bin (astronomically rare): fall back to hashing the
+        # bin id itself — keeps every row, merely imperfectly placed
+        .withColumn("_key", F.coalesce("_key", "_bin"))
         .repartition(n_bins, "_key")
         .drop("_bytes", "_pid", "_bin", "_tb", "_key")
     )
