@@ -105,12 +105,41 @@ def never_sampled_ops() -> list[str]:
     )
 
 
+def stale_ops(n_rounds: int) -> list[str]:
+    """Oracle ops whose most recent DRIVER oracle sample is ≥ n_rounds
+    behind the latest recorded round — plus never-sampled ops. With
+    `--all-stale 0` this is the whole oracle registry; any N makes one
+    command cover the registry with no driver dependency (round-7
+    verdict task 7: `--parity` alone re-checks only never-sampled
+    ops, leaving ops last driver-checked rounds ago unswept)."""
+    from kinesis_to_firehose_spark.registry import all_ops
+
+    last: dict[str, int] = {}
+    latest = 0
+    for f in sorted(BASELINE.parent.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
+        rnd = int(m.group(1)) if m else 0
+        latest = max(latest, rnd)
+        for name, rec in json.loads(f.read_text()).items():
+            if isinstance(rec, dict) and rec.get("err") == "no_oracle":
+                continue
+            last[name] = max(last.get(name, 0), rnd)
+    return sorted(
+        name
+        for name, op in all_ops().items()
+        if op.sql is not None
+        and (name not in last or latest - last[name] >= n_rounds)
+    )
+
+
 def parity_main() -> None:
     """Run the driver-gate replica over the never-driver-sampled
-    oracle ops (default) or EVERY oracle op (--all) — the insurance
-    pass and the scale-stress correctness sweep. --budget N puts a
-    watchdog on both engines (Spark job-group cancel + DuckDB
-    interrupt) so one runaway op costs N seconds, not the sweep."""
+    oracle ops (default), EVERY oracle op (--all), or never-sampled
+    plus ops whose last driver check is ≥N rounds old
+    (--all-stale N) — the insurance pass and the scale-stress
+    correctness sweep. --budget N puts a watchdog on both engines
+    (Spark job-group cancel + DuckDB interrupt) so one runaway op
+    costs N seconds, not the sweep."""
     import os
     import threading
     import time
@@ -134,6 +163,14 @@ def parity_main() -> None:
     if "--all" in sys.argv:
         todo = sorted(n for n, op in ops.items() if op.sql is not None)
         print(f"ALL {len(todo)} oracle ops at {sf_dir}")
+    elif "--all-stale" in sys.argv:
+        n_rounds = int(sys.argv[sys.argv.index("--all-stale") + 1])
+        todo = stale_ops(n_rounds)
+        print(
+            f"{len(todo)} oracle ops never-sampled or driver-checked "
+            f"≥{n_rounds} rounds ago (of "
+            f"{sum(1 for o in ops.values() if o.sql)}) at {sf_dir}"
+        )
     else:
         todo = never_sampled_ops()
         print(
@@ -245,7 +282,20 @@ def scale_main() -> None:
 
     Usage: python regress.py --scale [BENCH_SF1.json] [--growth 10]
     """
-    args = [a for a in sys.argv[2:] if not a.startswith("--")]
+    # collect positionals, skipping flag VALUES too: `--growth 12
+    # BENCH.json` must not take '12' as the bench file (ADVICE r7)
+    flags_with_value = {"--growth"}
+    args = []
+    skip_next = False
+    for a in sys.argv[2:]:
+        if skip_next:
+            skip_next = False
+            continue
+        if a in flags_with_value:
+            skip_next = True
+            continue
+        if not a.startswith("--"):
+            args.append(a)
     bench_file = args[0] if args else "BENCH_SF1.json"
     growth = (
         float(sys.argv[sys.argv.index("--growth") + 1])

@@ -57,7 +57,13 @@ def test_media_repartition_packs_bytes(spark):
     from pyspark.sql import functions as F
 
     target = 50_000
-    giant = 40_000
+    # giants are OVER-target: a single giant's exclusive-cumsum step
+    # exceeds the bin width, so two giants sharing a bin is impossible
+    # under exact prefix-sum packing — the co-location assert below is
+    # an invariant, not an ordering accident (an UNDER-target 40k
+    # giant pair may legally pack into one 90k ≤ target+max_blob bin
+    # whenever the row order makes them adjacent)
+    giant = 60_000
     # 6 giant blobs + 3000 tiny ones, shuffled across input partitions
     rows = [(i, bytes([i % 251]) * giant) for i in range(6)] + [
         (1000 + i, bytes([i % 251]) * 50) for i in range(3000)

@@ -1385,6 +1385,21 @@ def test_boto3_transport_client_knobs_match_reference():
     assert kw2["endpoint_url"] == "http://localhost:4573"
 
 
+def test_sdk_retry_budget_matches_reference_withmaxretries():
+    """firehose_sender.go:48 configures the AWS SDK client with
+    WithMaxRetries(10); the boto3 transport's DEFAULT retry budget must
+    equal that value — not merely be configurable to it (round-7
+    verdict task 6). Distinct from RetryingTransport's per-record
+    partial-failure loop (firehose_sender.go:93-134, 5 retries)."""
+    from kinesis_to_firehose_spark.streaming.firehose import (
+        Boto3FirehoseTransport,
+    )
+
+    assert Boto3FirehoseTransport.MAX_API_RETRIES == 10
+    # the default wiring actually uses it
+    assert Boto3FirehoseTransport()._max_attempts == 10
+
+
 def test_cli_consume_runs_forwarder_end_to_end(spark, tmp_path):
     """`python -m kinesis_to_firehose_spark consume --once` drives the
     full forwarder (stream source -> decode/enhance -> Firehose sink)
