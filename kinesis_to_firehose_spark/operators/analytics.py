@@ -552,18 +552,55 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct", None)  # HLL — engine-specific, rows-only check
+# HLL sketch values have no DuckDB twin, but the CLAIM "the sketch
+# lands within its error bound of the exact count" does: emit a
+# deterministic within_bound BOOLEAN computed in-plan against the
+# exact aggregate both engines agree on, and the row becomes
+# hash-checkable (round-7 verdict task 2 — these were the only two
+# non-green driver rows). Bound mirrors the pytest error-bound test:
+# |approx − exact| ≤ max(5, 5·rsd·exact) with rsd = 0.01. HLL++ is
+# hash-deterministic and merge-order-free, so the boolean is stable
+# under any partitioning.
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("approx_distinct", APPROX_DISTINCT_SQL)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the 100 TB path for distincts —
-    single pass, no shuffle of raw values, mergeable sketches."""
+    single pass, no shuffle of raw values, mergeable sketches. The
+    sketch estimate itself is engine-specific, so the hash-checked
+    surface is (exact count, within_bound) — see APPROX_DISTINCT_SQL;
+    the raw estimate stays available via approx_distinct_raw for the
+    pytest error study."""
+    agg = approx_distinct_raw(spark, sf_dir)
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        "n_events",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+            <= F.greatest(
+                F.lit(5.0), F.lit(0.05) * F.col("n_users_exact")
+            )
+        ).alias("within_bound"),
+    ).orderBy("event_type")
+
+
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over events: exact + HLL++ distincts side by side."""
     e = load(spark, "events", sf_dir)
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
-            F.count("*").alias("n_events"),
-        )
-        .orderBy("event_type")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
     )
 
 
@@ -978,24 +1015,58 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_by_group", None)  # t-digest-style sketch: engine-specific
+# Same within_bound pattern as APPROX_DISTINCT_SQL: the GK-sketch
+# quantiles have no DuckDB twin, but "sketch within ±2.0 of the exact
+# percentile" is checkable in both engines (exact expressions proven
+# green cross-engine in percentile_by_group). Bound = the pytest
+# error-bound test's ±2.0.
+APPROX_PCTL_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("approx_percentile_by_group", APPROX_PCTL_SQL)
 def approx_percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the 100 TB path for quantiles — one pass,
     mergeable sketches, no per-group sort of raw values (the exact
-    twin is `percentile_by_group`). Rows-only like approx_distinct;
-    pytest bounds the error against the exact percentiles."""
+    twin is `percentile_by_group`). Hash-checked surface is (exact
+    percentiles, within_bound booleans) — see APPROX_PCTL_SQL; raw
+    estimates via approx_percentile_raw for the pytest error study."""
+    agg = approx_percentile_raw(spark, sf_dir)
+    bound = F.lit(2.0)
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p95_exact",
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) < bound).alias(
+            "p50_within_bound"
+        ),
+        (F.abs(F.col("p95_approx") - F.col("p95_exact")) < bound).alias(
+            "p95_within_bound"
+        ),
+    ).orderBy("event_type")
+
+
+def approx_percentile_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over events: exact + GK-sketch percentiles side by
+    side (sketch accuracy 1000)."""
     e = load(spark, "events", sf_dir)
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.round(
-                F.expr("approx_percentile(value, 0.5, 1000)"), 4
-            ).alias("p50_approx"),
-            F.round(
-                F.expr("approx_percentile(value, 0.95, 1000)"), 4
-            ).alias("p95_approx"),
-        )
-        .orderBy("event_type")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 1000)"), 4
+        ).alias("p50_approx"),
+        F.round(
+            F.expr("approx_percentile(value, 0.95, 1000)"), 4
+        ).alias("p95_approx"),
     )
 
 

@@ -86,6 +86,15 @@ SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # 4 chunks of 15 bits ⇒ hamming ≤ 3 has an equal chunk
 HAMMING_TAU = 3
 
+# Hot-bucket gate for the simhash pigeonhole chunk join (round-7
+# verdict task 1: this and mm_phash_dedup were the last two candidate
+# self-joins WITHOUT the gate). Pigeonhole buckets are 15-bit chunk
+# values; boilerplate-heavy or near-constant corpora collapse many
+# docs onto one chunk value and the plain join's output goes O(k²).
+# Same cap/lag machinery as the minhash gate (gated_candidate_pairs);
+# the chain keeps hot buckets connected for downstream clustering.
+SIMHASH_HOT_BUCKET_CAP = 256
+
 
 def exploded_shingles(
     spark: SparkSession,
@@ -452,6 +461,111 @@ def minhash_lsh_pairs(
     return lsh_pairs_from_sigs_bands(sigs, bands, n_perms)
 
 
+def gated_candidate_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    key_cols: tuple[str, ...],
+    cap: int = MINHASH_HOT_BUCKET_CAP,
+    lags: int = MINHASH_HOT_CHAIN_LAGS,
+) -> DataFrame:
+    """GENERIC adaptive hot-bucket gate over (id, bucket-key) rows —
+    the one candidate-pair generator every banded dedup family rides
+    (minhash LSH bands, simhash pigeonhole chunks, multimodal pHash
+    chunks; round-7 verdict task 1 closed the last two ungated
+    self-joins onto this). A sort-free count window sizes each
+    bucket; buckets ≤ cap emit ALL pairs via the equi-self-join, and
+    buckets above the cap emit only the id-ordered multi-lag CHAIN
+    (member i paired with its `lags` predecessors) — O(k·lags)
+    candidate rows for a k-member hot bucket, not O(k²), while the
+    chain keeps the bucket CONNECTED for downstream clustering.
+    Returns distinct (<id>_1, <id>_2) with _1 < _2. Mirrored
+    bit-exactly by the SQL CTEs from gated_cand_cte_sql."""
+    wb = W.partitionBy(*key_cols)
+    sized = buckets.select(
+        id_col, *key_cols, F.count("*").over(wb).alias("cnt")
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    small = (
+        a.join(b, cond)
+        .filter(F.col("a.cnt") <= cap)
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_1"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_2"),
+        )
+    )
+    wo = wb.orderBy(id_col)
+    lagged = sized.filter(F.col("cnt") > cap).select(
+        id_col,
+        *[
+            F.lag(id_col, j).over(wo).alias(f"p{j}")
+            for j in range(1, lags + 1)
+        ],
+    )
+    # one explode over the lag array, not `lags` filtered union arms —
+    # the arms each re-scan the bucket table (plan digest: file_scans
+    # 4→12) for a branch that is EMPTY on any non-adversarial corpus
+    hot = (
+        lagged.select(
+            F.col(id_col).alias(f"{id_col}_2"),
+            F.explode(
+                F.array(*[F.col(f"p{j}") for j in range(1, lags + 1)])
+            ).alias(f"{id_col}_1"),
+        )
+        .filter(F.col(f"{id_col}_1").isNotNull())
+        .select(f"{id_col}_1", f"{id_col}_2")
+    )
+    return small.unionAll(hot).distinct()
+
+
+def gated_cand_cte_sql(
+    src: str,
+    id_col: str,
+    key_cols: tuple[str, ...],
+    cap: int,
+    lags: int = MINHASH_HOT_CHAIN_LAGS,
+) -> str:
+    """DuckDB CTE text mirroring gated_candidate_pairs bit-exactly:
+    `sized`/`lagged`/`cand` over bucket table `src`, emitting
+    cand(<id>_1, <id>_2). Shared by the simhash + pHash oracles (the
+    minhash oracle spells the same shape inline in MINHASH_SQL)."""
+    keys = ", ".join(key_cols)
+    part = f"PARTITION BY {keys} ORDER BY {id_col}"
+    lag_cols = ",\n         ".join(
+        f"LAG({id_col}, {j}) OVER ({part}) AS p{j}"
+        for j in range(1, lags + 1)
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT p{j} AS {id_col}_1, {id_col} AS {id_col}_2 "
+        f"FROM lagged WHERE p{j} IS NOT NULL"
+        for j in range(1, lags + 1)
+    )
+    join_on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    return f"""sized AS (
+  SELECT {id_col}, {keys},
+         COUNT(*) OVER (PARTITION BY {keys}) AS cnt
+  FROM {src}
+),
+lagged AS (
+  SELECT {id_col},
+         {lag_cols}
+  FROM sized WHERE cnt > {cap}
+),
+cand AS (
+  SELECT DISTINCT {id_col}_1, {id_col}_2 FROM (
+    SELECT a.{id_col} AS {id_col}_1, b.{id_col} AS {id_col}_2
+    FROM sized a
+    JOIN sized b ON {join_on} AND a.{id_col} < b.{id_col}
+    WHERE a.cnt <= {cap}
+    UNION ALL
+{arms}
+  )
+)"""
+
+
 def lsh_pairs_from_sigs_bands(
     sigs: DataFrame, bands: DataFrame, n_perms: int = N_PERMS,
     cap: int = MINHASH_HOT_BUCKET_CAP,
@@ -462,62 +576,17 @@ def lsh_pairs_from_sigs_bands(
     (sources/dedup_index.py::corpus_minhash_store).
 
     The band self-join carries the ADAPTIVE hot-bucket gate (module
-    comment at MINHASH_HOT_BUCKET_CAP): a sort-free count window sizes
-    each bucket, buckets ≤ cap go straight to the full pair join, and
-    the doc_id-ordered multi-lag chain runs ONLY over rows of buckets
-    above the cap — so a gate-friendly corpus pays zero chain overhead
-    while an adversarial bucket of k members costs O(k·lags) candidate
-    rows, not O(k²). Mirrored bit-exactly by the sized/lagged/cand
-    CTEs of MINHASH_SQL."""
-    wb = W.partitionBy("band_idx", "band_key")
-    sized = bands.select(
+    comment at MINHASH_HOT_BUCKET_CAP) via gated_candidate_pairs —
+    a gate-friendly corpus pays zero chain overhead while an
+    adversarial bucket of k members costs O(k·lags) candidate rows,
+    not O(k²). Mirrored bit-exactly by the sized/lagged/cand CTEs of
+    MINHASH_SQL."""
+    cand = gated_candidate_pairs(
+        bands.select("doc_id", "band_idx", "band_key"),
         "doc_id",
-        "band_idx",
-        "band_key",
-        F.count("*").over(wb).alias("cnt"),
+        ("band_idx", "band_key"),
+        cap=cap,
     )
-    a = sized.alias("a")
-    b = sized.alias("b")
-    small = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(F.col("a.cnt") <= cap)
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-        )
-    )
-    wo = wb.orderBy("doc_id")
-    lagged = sized.filter(F.col("cnt") > cap).select(
-        "doc_id",
-        *[
-            F.lag("doc_id", j).over(wo).alias(f"p{j}")
-            for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1)
-        ],
-    )
-    # one explode over the lag array, not 8 filtered union arms — the
-    # arms each re-scan the band table (plan digest: file_scans 4→12)
-    # for a branch that is EMPTY on any non-adversarial corpus
-    hot = (
-        lagged.select(
-            F.col("doc_id").alias("doc_id_2"),
-            F.explode(
-                F.array(
-                    *[
-                        F.col(f"p{j}")
-                        for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1)
-                    ]
-                )
-            ).alias("doc_id_1"),
-        )
-        .filter(F.col("doc_id_1").isNotNull())
-        .select("doc_id_1", "doc_id_2")
-    )
-    cand = small.unionAll(hot).distinct()
     s1 = sigs.alias("s1")
     s2 = sigs.alias("s2")
     est_match = sum(
@@ -765,27 +834,26 @@ hashed AS (
   SELECT doc_id, {_simhash_pack()} AS simhash FROM votes
 ),
 chunked AS (
-  SELECT doc_id, simhash, c AS chunk_idx,
+  SELECT doc_id, c AS chunk_idx,
          (simhash >> ((c - 1) * {_CHUNK_BITS})) & {_CHUNK_MASK} AS chunk
   FROM hashed, generate_series(1, {SIMHASH_CHUNKS}) AS g(c)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-         a.simhash AS h1, b.simhash AS h2
-  FROM chunked a
-  JOIN chunked b
-    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-)
+{gated_cand_cte_sql("chunked", "doc_id", ("chunk_idx", "chunk"), SIMHASH_HOT_BUCKET_CAP)}
 SELECT doc_id_1, doc_id_2,
-       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(h1.simhash, h2.simhash)) AS BIGINT) AS hamming
 FROM cand
-WHERE bit_count(xor(h1, h2)) <= {HAMMING_TAU}
+JOIN hashed h1 ON h1.doc_id = cand.doc_id_1
+JOIN hashed h2 ON h2.doc_id = cand.doc_id_2
+WHERE bit_count(xor(h1.simhash, h2.simhash)) <= {HAMMING_TAU}
 ORDER BY doc_id_1, doc_id_2
 """
 
 
-@register("dedup_simhash", SIMHASH_SQL_Q)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan (doc_id, simhash) fingerprints of the documents table —
+    the build half of the per-corpus simhash store
+    (sources/dedup_index.py::corpus_simhash_store). Kept separate so
+    pytest can assert store == in-plan bit-exactly."""
     d = load(spark, "documents", sf_dir)
     exploded = d.select(
         "doc_id", F.explode(F.expr(TOK_EXPR)).alias("tok")
@@ -801,12 +869,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tok"),
         *[F.expr(e) for e in _simhash_vote_sums()],
     )
-    hashed = votes.select(
+    return votes.select(
         "doc_id", F.expr(_simhash_pack()).alias("simhash")
     )
+
+
+def simhash_pairs_from_table(hashed: DataFrame) -> DataFrame:
+    """Gated pigeonhole pair generation over a (doc_id, simhash)
+    table: explode the 4 15-bit chunks, run the hot-bucket-gated
+    candidate join (gated_candidate_pairs — round-7 verdict task 1:
+    the raw chunk self-join was one of the two remaining O(k²)
+    pair generators), then verify candidates with bit_count(xor)
+    against the signatures joined back by id."""
     chunked = hashed.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.expr(
                 "array("
@@ -818,30 +894,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx0", "chunk"),
     ).withColumn("chunk_idx", F.col("chunk_idx0") + 1)
-    a = chunked.alias("a")
-    b = chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
-        )
-        .distinct()
+    cand = gated_candidate_pairs(
+        chunked.select("doc_id", "chunk_idx", "chunk"),
+        "doc_id",
+        ("chunk_idx", "chunk"),
+        cap=SIMHASH_HOT_BUCKET_CAP,
     )
-    hamming = F.bit_count(F.expr("h1 ^ h2")).cast("bigint")
+    h1 = hashed.alias("h1")
+    h2 = hashed.alias("h2")
+    hamming = F.bit_count(
+        F.expr("h1.simhash ^ h2.simhash")
+    ).cast("bigint")
     return (
-        cand.withColumn("hamming", hamming)
+        cand.join(h1, F.col("h1.doc_id") == F.col("doc_id_1"))
+        .join(h2, F.col("h2.doc_id") == F.col("doc_id_2"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_TAU)
         .select("doc_id_1", "doc_id_2", "hamming")
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+@register("dedup_simhash", SIMHASH_SQL_Q)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated simhash near-dup pairs served from the PERSISTED
+    per-corpus fingerprint store (round-7 verdict task 5: the
+    fingerprints were the one repeated-pass primitive still recomputed
+    per query). Store rows are the same deterministic integer
+    computation as simhash_table, so the oracle and every consumer
+    see identical values (pytest asserts store == in-plan)."""
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_simhash_store,
+    )
+
+    return simhash_pairs_from_table(corpus_simhash_store(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

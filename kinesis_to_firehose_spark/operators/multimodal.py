@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
+from kinesis_to_firehose_spark.operators.dedup import (
+    gated_cand_cte_sql,
+    gated_candidate_pairs,
+)
 from kinesis_to_firehose_spark.registry import register
 from kinesis_to_firehose_spark.sources.tables import load
 
@@ -171,7 +175,17 @@ def media_repartition_by_bytes(
     sampling. Property test:
     tests/test_multimodal.py::test_media_repartition_packs_bytes."""
     sized = media.withColumn("_bytes", F.length("content").cast("long"))
-    pid = sized.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint BEFORE the subtotal collect: spark_partition_id
+    # and the window's monotonically_increasing_id are evaluated in
+    # TWO jobs (the collect below + the final shuffle), and a
+    # nondeterministic upstream (sample, limit, AQE coalesce) could
+    # shift partition membership between them — offsets would then
+    # mismatch the recomputed _pids and the ≤ target + max_blob bound
+    # silently degrades (ADVICE r7). Pinning the partitioning once
+    # makes both jobs read the same blocks.
+    pid = sized.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     subtotals = {
         r["_pid"]: r["s"]
         for r in pid.groupBy("_pid").agg(F.sum("_bytes").alias("s")).collect()
@@ -579,6 +593,13 @@ PHASH_TAU = 3
 _PH_CHUNK_BITS = 15
 _PH_CHUNKS = 4
 _PH_MASK = (1 << _PH_CHUNK_BITS) - 1
+# Hot-bucket gate on the pigeonhole chunk join (round-7 verdict task
+# 1: this was one of the two remaining UNGATED pair self-joins, and
+# the worst sf1 scale ratio in the suite). Near-constant media
+# (boilerplate templates, black frames) collapse onto one chunk value;
+# the gate caps that bucket's output at O(k·lags) chain pairs. Same
+# cap as the simhash twin.
+PHASH_HOT_BUCKET_CAP = 256
 
 
 def _phash_slice_counts(engine: str) -> list[str]:
@@ -636,28 +657,25 @@ hashed AS (
   SELECT media_id, kind, {_phash_pack()} AS phash FROM totaled
 ),
 chunked AS (
-  SELECT media_id, kind, phash, c AS chunk_idx,
+  SELECT media_id, c AS chunk_idx,
          (phash >> ((c - 1) * {_PH_CHUNK_BITS})) & {_PH_MASK} AS chunk
   FROM hashed, generate_series(1, {_PH_CHUNKS}) AS g(c)
 ),
-cand AS (
-  SELECT DISTINCT a.media_id AS media_id_1, b.media_id AS media_id_2,
-         a.phash AS h1, b.phash AS h2
-  FROM chunked a
-  JOIN chunked b
-    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
-   AND a.media_id < b.media_id
-)
+{gated_cand_cte_sql("chunked", "media_id", ("chunk_idx", "chunk"), PHASH_HOT_BUCKET_CAP)}
 SELECT media_id_1, media_id_2,
-       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(h1.phash, h2.phash)) AS BIGINT) AS hamming
 FROM cand
-WHERE bit_count(xor(h1, h2)) <= {PHASH_TAU}
+JOIN hashed h1 ON h1.media_id = cand.media_id_1
+JOIN hashed h2 ON h2.media_id = cand.media_id_2
+WHERE bit_count(xor(h1.phash, h2.phash)) <= {PHASH_TAU}
 ORDER BY media_id_1, media_id_2
 """
 
 
-@register("mm_phash_dedup", MM_PHASH_SQL)
-def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan (media_id, phash) fingerprints — the build half of the
+    per-corpus pHash store (sources/dedup_index.py::
+    corpus_phash_store); pytest asserts store == in-plan."""
     media = synthetic_media(spark, sf_dir)
     blobs = media.select(
         "media_id",
@@ -670,12 +688,25 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(e) for e in _phash_slice_counts("spark")],
     )
     totaled = sliced.withColumn("sp_total", F.expr(_phash_total()))
-    hashed = totaled.select(
-        "media_id", "kind", F.expr(_phash_pack()).alias("phash")
+    return totaled.select(
+        "media_id", F.expr(_phash_pack()).alias("phash")
     )
+
+
+@register("mm_phash_dedup", MM_PHASH_SQL)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated pHash near-dup pairs from the PERSISTED per-corpus
+    fingerprint store (round-7 verdict tasks 1+5): the pigeonhole
+    chunk join rides the shared hot-bucket gate
+    (operators/dedup.py::gated_candidate_pairs), and the blob-decode →
+    slice-mass fingerprint pass is paid once per corpus."""
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_phash_store,
+    )
+
+    hashed = corpus_phash_store(spark, sf_dir)
     chunked = hashed.select(
         "media_id",
-        "phash",
         F.posexplode(
             F.expr(
                 "array("
@@ -687,26 +718,20 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx0", "chunk"),
     ).withColumn("chunk_idx", F.col("chunk_idx0") + 1)
-    a = chunked.alias("a")
-    b = chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_id_1"),
-            F.col("b.media_id").alias("media_id_2"),
-            F.col("a.phash").alias("h1"),
-            F.col("b.phash").alias("h2"),
-        )
-        .distinct()
+    cand = gated_candidate_pairs(
+        chunked.select("media_id", "chunk_idx", "chunk"),
+        "media_id",
+        ("chunk_idx", "chunk"),
+        cap=PHASH_HOT_BUCKET_CAP,
     )
+    h1 = hashed.alias("h1")
+    h2 = hashed.alias("h2")
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.expr("h1 ^ h2")).cast("bigint")
+        cand.join(h1, F.col("h1.media_id") == F.col("media_id_1"))
+        .join(h2, F.col("h2.media_id") == F.col("media_id_2"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("h1.phash ^ h2.phash")).cast("bigint"),
         )
         .filter(F.col("hamming") <= PHASH_TAU)
         .select("media_id_1", "media_id_2", "hamming")

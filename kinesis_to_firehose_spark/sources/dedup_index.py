@@ -132,6 +132,65 @@ def corpus_minhash_store(spark: SparkSession, sf_dir: str) -> str:
     return ensure_store(path, _build, success_rel="bands/_SUCCESS")
 
 
+def corpus_simhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, simhash) fingerprints of the documents
+    table — the simhash op's token-explode → 60 vote-sum aggregate is
+    a BUILD step paid once per corpus, not once per query (round-7
+    verdict task 5). Rows are the exact integer computation of
+    operators/dedup.py::simhash_table, so the oracle (which recomputes
+    from scratch) and every consumer see identical values (pytest
+    asserts store == in-plan)."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_CHUNKS,
+        simhash_table,
+    )
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    path = store_path(
+        "simhash",
+        sf_dir,
+        "documents",
+        f"{SIMHASH_BITS}|{SIMHASH_CHUNKS}|simhash-store-v1",
+    )
+
+    def _build(tmp: str) -> None:
+        simhash_table(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+
+    return spark.read.parquet(ensure_store(path, _build))
+
+
+def corpus_phash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (media_id, phash) perceptual fingerprints of the
+    synthetic media corpus — the blob-decode → 60 slice-mass pass paid
+    once per corpus (round-7 verdict task 5), probed by
+    mm_phash_dedup. Values are bit-identical to
+    operators/multimodal.py::phash_table (pytest-asserted)."""
+    from kinesis_to_firehose_spark.operators.multimodal import (
+        PHASH_SLICES,
+        phash_table,
+    )
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    path = store_path(
+        "phash",
+        sf_dir,
+        "documents",  # synthetic_media derives from the documents table
+        f"{PHASH_SLICES}|phash-store-v1",
+    )
+
+    def _build(tmp: str) -> None:
+        phash_table(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+
+    return spark.read.parquet(ensure_store(path, _build))
+
+
 def build_dedup_index(
     spark: SparkSession,
     docs: DataFrame,

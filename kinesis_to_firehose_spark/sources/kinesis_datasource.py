@@ -63,6 +63,145 @@ def shard_for_key(partition_key: str, n_shards: int) -> int:
     return h % n_shards
 
 
+# --------------------------------------------------------------------------
+# Resharding (round-7 verdict task 3). The real KCL tracks shard
+# lineage — a split/merge CLOSES the parent shard(s) at SHARD_END and
+# opens children owning the parents' hash-key ranges, and a compliant
+# consumer must checkpoint a parent through SHARD_END before touching
+# its children (amazon-kinesis-client shard-sync; the reference runs
+# it via run_kcl.sh's MultiLangDaemon under main.go:49). The simulator
+# models that with a `_shards.json` lineage file next to the logs:
+#
+#   {"next_id": N, "shards": {"shard-0": {"lo": 0, "hi": 2**31,
+#       "parents": [], "status": "OPEN" | "CLOSED"}, ...}}
+#
+# Streams CREATED with a lineage file route records by HASH RANGE
+# (each open shard owns [lo, hi) of the 32-bit md5 space — a key that
+# routed to a parent routes to exactly one of its children after the
+# split, which is what makes per-key order across lineage possible).
+# Legacy streams without the file keep the original mod routing and
+# never reshard. A CLOSED shard's log never grows again: its current
+# complete length IS its SHARD_END.
+# --------------------------------------------------------------------------
+LINEAGE_FILE = "_shards.json"
+HASH_SPACE = 1 << 32
+
+
+def _key_hash(partition_key: str) -> int:
+    return int(hashlib.md5(partition_key.encode()).hexdigest()[:8], 16)
+
+
+def _lineage_path(path: str) -> str:
+    return os.path.join(path, LINEAGE_FILE)
+
+
+def load_lineage(path: str) -> dict | None:
+    fp = _lineage_path(path)
+    if not os.path.exists(fp):
+        return None
+    with open(fp) as f:
+        return json.load(f)
+
+
+def _save_lineage(path: str, lin: dict) -> None:
+    # write-then-rename: a reader polling mid-reshard sees either the
+    # old or the new lineage, never a torn file
+    tmp = _lineage_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(lin, f)
+    os.rename(tmp, _lineage_path(path))
+
+
+def create_stream(path: str, n_shards: int = 4) -> None:
+    """Create a RESHARDABLE stream: n equal hash-range shards plus the
+    lineage file. Streams made by bare write_replay_slices (no
+    lineage) stay on legacy mod routing and cannot split/merge."""
+    os.makedirs(path, exist_ok=True)
+    shards = {}
+    for i in range(n_shards):
+        lo = HASH_SPACE * i // n_shards
+        hi = HASH_SPACE * (i + 1) // n_shards
+        shards[f"shard-{i}"] = {
+            "lo": lo, "hi": hi, "parents": [], "status": "OPEN"
+        }
+        open(os.path.join(path, f"shard-{i}.jsonl"), "a").close()
+    _save_lineage(path, {"next_id": n_shards, "shards": shards})
+
+
+def split_shard(path: str, parent: str) -> tuple[str, str]:
+    """SplitShard: close `parent` at its current end (SHARD_END) and
+    open two children each owning half its hash range. Returns the
+    child shard names. New records for the parent's keys route to
+    exactly one child from now on."""
+    lin = load_lineage(path)
+    if lin is None:
+        raise ValueError(
+            f"{path} has no lineage file; create_stream() it first"
+        )
+    meta = lin["shards"].get(parent)
+    if meta is None or meta["status"] != "OPEN":
+        raise ValueError(f"cannot split {parent}: missing or CLOSED")
+    mid = (meta["lo"] + meta["hi"]) // 2
+    if mid in (meta["lo"], meta["hi"]):
+        raise ValueError(f"{parent} hash range too narrow to split")
+    kids = []
+    for lo, hi in ((meta["lo"], mid), (mid, meta["hi"])):
+        name = f"shard-{lin['next_id']}"
+        lin["next_id"] += 1
+        lin["shards"][name] = {
+            "lo": lo, "hi": hi, "parents": [parent], "status": "OPEN"
+        }
+        open(os.path.join(path, f"{name}.jsonl"), "a").close()
+        kids.append(name)
+    meta["status"] = "CLOSED"
+    _save_lineage(path, lin)
+    return kids[0], kids[1]
+
+
+def merge_shards(path: str, a: str, b: str) -> str:
+    """MergeShards: close two ADJACENT open shards and open one child
+    owning their union range. Returns the child shard name."""
+    lin = load_lineage(path)
+    if lin is None:
+        raise ValueError(
+            f"{path} has no lineage file; create_stream() it first"
+        )
+    ma, mb = lin["shards"].get(a), lin["shards"].get(b)
+    for name, m in ((a, ma), (b, mb)):
+        if m is None or m["status"] != "OPEN":
+            raise ValueError(f"cannot merge {name}: missing or CLOSED")
+    if ma["hi"] != mb["lo"] and mb["hi"] != ma["lo"]:
+        raise ValueError(
+            f"{a} {ma['lo']}..{ma['hi']} and {b} {mb['lo']}..{mb['hi']} "
+            "are not adjacent"
+        )
+    name = f"shard-{lin['next_id']}"
+    lin["next_id"] += 1
+    lin["shards"][name] = {
+        "lo": min(ma["lo"], mb["lo"]),
+        "hi": max(ma["hi"], mb["hi"]),
+        "parents": [a, b],
+        "status": "OPEN",
+    }
+    open(os.path.join(path, f"{name}.jsonl"), "a").close()
+    ma["status"] = "CLOSED"
+    mb["status"] = "CLOSED"
+    _save_lineage(path, lin)
+    return name
+
+
+def _route(lin: dict, partition_key: str) -> str:
+    """The OPEN shard owning this key's hash (ranges partition the
+    space, so exactly one owns it)."""
+    h = _key_hash(partition_key)
+    for name, m in lin["shards"].items():
+        if m["status"] == "OPEN" and m["lo"] <= h < m["hi"]:
+            return name
+    raise ValueError(
+        f"no OPEN shard owns hash {h} — corrupt lineage file"
+    )
+
+
 def write_replay_slices(
     path: str,
     records: Sequence[tuple[str, str]],
@@ -70,21 +209,31 @@ def write_replay_slices(
 ) -> None:
     """Producer half: append (partition_key, data) records to their
     shards' JSONL logs. Append-only — repeated calls extend the
-    stream, which is what the stream reader's offsets track."""
+    stream, which is what the stream reader's offsets track. On a
+    lineage-tracked stream (create_stream) records route by HASH
+    RANGE over the OPEN shards — after a split, a parent's keys land
+    on its children; legacy streams keep mod routing."""
     os.makedirs(path, exist_ok=True)
-    by_shard: dict[int, list[tuple[str, str]]] = {}
+    lin = load_lineage(path)
+    by_shard: dict[str, list[tuple[str, str]]] = {}
     for pk, data in records:
-        by_shard.setdefault(shard_for_key(pk, n_shards), []).append((pk, data))
+        name = (
+            _route(lin, pk)
+            if lin is not None
+            else f"shard-{shard_for_key(pk, n_shards)}"
+        )
+        by_shard.setdefault(name, []).append((pk, data))
     for shard, recs in by_shard.items():
-        with open(os.path.join(path, f"shard-{shard}.jsonl"), "a") as f:
+        with open(os.path.join(path, f"{shard}.jsonl"), "a") as f:
             for pk, data in recs:
                 f.write(json.dumps({"pk": pk, "data": data}) + "\n")
     # shards with no records yet still need their log to exist so the
     # reader's shard discovery is stable from the first batch
-    for shard in range(n_shards):
-        p = os.path.join(path, f"shard-{shard}.jsonl")
-        if not os.path.exists(p):
-            open(p, "a").close()
+    if lin is None:
+        for shard in range(n_shards):
+            p = os.path.join(path, f"shard-{shard}.jsonl")
+            if not os.path.exists(p):
+                open(p, "a").close()
 
 
 def write_replay_slices_distributed(
@@ -299,6 +448,51 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
         # a LATEST-position log may grow between the two calls; both
         # must agree or the first batch's bounds would be inverted.
         self._init_cache: dict[str, tuple[int, int]] = {}
+        # SHARD_END cache for CLOSED shards (their logs never grow
+        # again, so one scan per run suffices) — the resharding gate's
+        # "parent fully consumed" test reads from here.
+        self._closed_end: dict[str, tuple[int, int]] = {}
+        # shard set at the run's first poll: a shard discovered LATER
+        # was created mid-run (a reshard child) and its records are
+        # all post-start, so even a LATEST consumer reads it from its
+        # beginning — Kinesis LATEST skips pre-start records, not
+        # records of shards born after the start.
+        self._start_shards: set[str] | None = None
+
+    def _shard_end(self, shard: str) -> tuple[int, int]:
+        if shard not in self._closed_end:
+            fp = os.path.join(self.path, f"{shard}.jsonl")
+            self._closed_end[shard] = _scan_complete(fp, 0, 0)
+        return self._closed_end[shard]
+
+    def _gated_by_lineage(
+        self, shard: str, lin: dict | None, pos_before: dict
+    ) -> bool:
+        """Resharding gate (KCL shard-sync semantics: a consumer must
+        checkpoint a parent through SHARD_END before reading its
+        children). True while any of this shard's parents still has
+        unconsumed records AS OF THE PREVIOUS trigger — the strict
+        form, so a parent's final records and its child's first
+        records never share a micro-batch and per-key order across
+        the lineage is delivery order. Parents outside this reader's
+        lease are skipped: lease assignment is expected to hand a
+        child to the worker that finished its parent (KCL does the
+        same via lease coordination)."""
+        if lin is None:
+            return False
+        meta = lin["shards"].get(shard)
+        if not meta or not meta["parents"]:
+            return False
+        for p in meta["parents"]:
+            if self._lease is not None and p not in self._lease:
+                continue
+            pmeta = lin["shards"].get(p, {})
+            if pmeta.get("status") != "CLOSED":
+                return True  # parent still open: child can't have data yet
+            consumed = pos_before.get(p) or self._initial_pos(p)
+            if consumed[0] < self._shard_end(p)[0]:
+                return True
+        return False
 
     def _shards(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -329,7 +523,21 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
         fallback agree exactly."""
         if shard not in self._init_cache:
             fp = os.path.join(self.path, f"{shard}.jsonl")
-            if self.initial_position == "LATEST":
+            born_mid_run = (
+                self._start_shards is not None
+                and shard not in self._start_shards
+            )
+            # a reshard child whose parent this run already tracks
+            # (checkpoint-seeded) was created after the consumer
+            # started — even across a restart — so LATEST must not
+            # skip its records
+            if not born_mid_run and self.initial_position == "LATEST":
+                lin = load_lineage(self.path)
+                meta = (lin or {}).get("shards", {}).get(shard, {})
+                born_mid_run = any(
+                    p in self._pos for p in meta.get("parents", [])
+                )
+            if self.initial_position == "LATEST" and not born_mid_run:
                 pos = _scan_complete(fp, 0, 0)
             elif self.initial_position == "AT_SEQUENCE_NUMBER":
                 seq = (
@@ -343,7 +551,14 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
             self._init_cache[shard] = pos
         return self._init_cache[shard]
 
+    def _note_start_shards(self) -> None:
+        if self._start_shards is None:
+            self._start_shards = {
+                f[: -len(".jsonl")] for f in self._shards()
+            }
+
     def initialOffset(self) -> dict:
+        self._note_start_shards()
         return {
             f[: -len(".jsonl")]: list(self._initial_pos(f[: -len(".jsonl")]))
             for f in self._shards()
@@ -351,6 +566,12 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         out = {}
+        self._note_start_shards()
+        lin = load_lineage(self.path)
+        # gate decisions read the PRE-POLL positions: a child opens on
+        # the trigger AFTER its parent reached SHARD_END, never in the
+        # same micro-batch as the parent's final records
+        pos_before = dict(self._pos)
         for f in self._shards():
             shard = f[: -len(".jsonl")]
             if shard not in self._pos:
@@ -363,6 +584,11 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
                 # branch never rewinds past a checkpoint.
                 self._pos[shard] = self._initial_pos(shard)
             line, byte = self._pos[shard]
+            if self._gated_by_lineage(shard, lin, pos_before):
+                # hold at the current position — no records offered
+                # until every parent is checkpoint-complete
+                out[shard] = [line, byte]
+                continue
             line, byte = _scan_complete(
                 os.path.join(self.path, f), line, byte,
                 max_lines=self.max_per_trigger,
@@ -496,7 +722,24 @@ def orphaned_lease_positions(checkpoint_dir: str) -> dict[str, int]:
     with open(off_file) as f:
         lines = f.read().splitlines()
     # line 1: "v1"; line 2: batch metadata; line 3: this source's
-    # offset json — {shard: [next_line, next_byte]}
+    # offset json — {shard: [next_line, next_byte]}. Validate the
+    # layout instead of trusting lines[2] blindly: a multi-source
+    # query or an offset-log format drift would otherwise misparse
+    # SILENTLY (json.loads of the wrong source's line) rather than
+    # failing loudly (ADVICE r7).
+    if not lines:
+        raise ValueError(f"empty offset log {off_file}")
+    if lines[0] != "v1":
+        raise ValueError(
+            f"unsupported offset-log version in {off_file}: "
+            f"expected first line 'v1', got {lines[0]!r}"
+        )
+    if len(lines) != 3:
+        raise ValueError(
+            f"offset log {off_file} has {len(lines) - 2} source lines; "
+            "orphaned_lease_positions supports exactly one source per "
+            "query (v1 layout: version, metadata, one offset line)"
+        )
     offsets = json.loads(lines[2])
     return {
         shard: (pos[0] if isinstance(pos, list) else int(pos))

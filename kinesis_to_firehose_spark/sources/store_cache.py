@@ -82,15 +82,29 @@ def ensure_store(
     `success_rel`, e.g. a parquet write's _SUCCESS) under `tmp`."""
     if os.path.exists(os.path.join(path, success_rel)):
         return path
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)  # stale tmp from a dead run
-    build(tmp)
+    parent = os.path.dirname(path) or "."
+    os.makedirs(parent, exist_ok=True)
+    # mkdtemp, not a pid-derived name: two THREADS of one process
+    # building the same store would collide on path.tmp.<pid> and the
+    # second rmtree would delete the first's half-built tree (ADVICE
+    # r7). mkdtemp is unique per builder; a build that raises cleans
+    # its own tmp in the finally instead of leaking it forever.
+    tmp = tempfile.mkdtemp(
+        prefix=f"{os.path.basename(path)}.tmp.", dir=parent
+    )
+    # Spark's parquet writer refuses an existing dir without overwrite
+    # mode; hand builders a not-yet-existing child path so any write
+    # mode works, and rename that child into place.
+    tmp_store = os.path.join(tmp, "store")
     try:
-        os.rename(tmp, path)
-    except OSError:
-        # lost the race: a concurrent run renamed first — serve theirs
-        if not os.path.exists(os.path.join(path, success_rel)):
-            raise
+        build(tmp_store)
+        try:
+            os.rename(tmp_store, path)
+        except OSError:
+            # lost the race: a concurrent run renamed first — serve
+            # theirs
+            if not os.path.exists(os.path.join(path, success_rel)):
+                raise
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path

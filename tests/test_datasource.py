@@ -614,3 +614,208 @@ def test_replay_options_derive_from_env_surface():
     # no rate limit → no admission cap option at all
     cfg3 = KinesisSourceConfig(stream_name="s", read_rate_limit=None)
     assert "maxRecordsPerShardPerTrigger" not in cfg3.replay_options()
+
+
+# ------------------------------------------------------------------ reshard
+
+
+def _lineage_stream(tmp_path, n_shards=2):
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        create_stream,
+    )
+
+    d = str(tmp_path / "stream")
+    create_stream(d, n_shards=n_shards)
+    return d
+
+
+def test_split_routing_halves_parent_range(tmp_path):
+    """Producer-side lineage semantics: a split CLOSES the parent and
+    its keys route to exactly one of the two children afterwards;
+    splitting a CLOSED shard or merging non-adjacent shards raises."""
+    import pytest as _pytest
+
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        _key_hash,
+        _route,
+        create_stream,
+        load_lineage,
+        merge_shards,
+        split_shard,
+    )
+
+    d = str(tmp_path / "stream")
+    create_stream(d, n_shards=2)
+    lin = load_lineage(d)
+    pre = {f"key-{i}": _route(lin, f"key-{i}") for i in range(200)}
+    kid_a, kid_b = split_shard(d, "shard-0")
+    lin2 = load_lineage(d)
+    assert lin2["shards"]["shard-0"]["status"] == "CLOSED"
+    p0 = lin2["shards"]["shard-0"]
+    for kid in (kid_a, kid_b):
+        m = lin2["shards"][kid]
+        assert m["parents"] == ["shard-0"]
+        assert p0["lo"] <= m["lo"] < m["hi"] <= p0["hi"]
+    for key, shard in pre.items():
+        now = _route(lin2, key)
+        if shard == "shard-0":
+            assert now in (kid_a, kid_b)
+            m = lin2["shards"][now]
+            assert m["lo"] <= _key_hash(key) < m["hi"]
+        else:
+            assert now == shard  # untouched shard keeps its keys
+    with _pytest.raises(ValueError, match="CLOSED"):
+        split_shard(d, "shard-0")
+    with _pytest.raises(ValueError, match="not adjacent"):
+        merge_shards(d, kid_a, "shard-1") if (
+            load_lineage(d)["shards"][kid_a]["hi"]
+            != load_lineage(d)["shards"]["shard-1"]["lo"]
+        ) else merge_shards(d, kid_b, kid_a + "nope")
+
+
+def _run_collecting(spark, d, ck):
+    """Drain the stream through foreachBatch, returning
+    [(epoch, shard_id, sequence_number, partition_key, data), ...]."""
+    got: list[tuple] = []
+
+    def handle(df, epoch_id):
+        for r in df.collect():
+            got.append(
+                (
+                    epoch_id,
+                    r["shard_id"],
+                    r["sequence_number"],
+                    r["partition_key"],
+                    r["data"],
+                )
+            )
+
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", d)
+        .load()
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return got
+
+
+def test_split_mid_stream_exactly_once_parent_before_children(
+    spark, tmp_path
+):
+    """Split with UNCONSUMED parent records: the consumer must drain
+    the parent to SHARD_END before any child record is offered (KCL
+    shard-sync), per-key order across the lineage is delivery order,
+    and the union is exactly-once across the split + a restart."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        load_lineage,
+        split_shard,
+        write_replay_slices,
+    )
+
+    d = _lineage_stream(tmp_path, n_shards=2)
+    ck = str(tmp_path / "ck")
+    write_replay_slices(d, _records(0, 60))
+    kid_a, kid_b = split_shard(d, "shard-0")
+    write_replay_slices(d, _records(60, 120))
+    register_replay_source(spark)
+
+    got = _run_collecting(spark, d, ck)
+    assert {g[4] for g in got} == {f"payload-{i}" for i in range(120)}
+    assert len(got) == 120  # exactly once
+
+    # children only carry post-split records of the parent's keys
+    lin = load_lineage(d)
+    for epoch, shard, seq, pk, data in got:
+        if shard in (kid_a, kid_b):
+            m = lin["shards"][shard]
+            from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+                _key_hash,
+            )
+
+            assert m["lo"] <= _key_hash(pk) < m["hi"]
+
+    # gate: every parent record's epoch strictly precedes every child
+    # record's epoch (children open only after SHARD_END is consumed)
+    parent_epochs = [g[0] for g in got if g[1] == "shard-0"]
+    child_epochs = [g[0] for g in got if g[1] in (kid_a, kid_b)]
+    assert parent_epochs and child_epochs
+    assert max(parent_epochs) < min(child_epochs)
+
+    # per-key order across lineage: parent seqs (in seq order) all
+    # delivered before the child's first record of that key
+    by_key: dict = {}
+    for epoch, shard, seq, pk, data in got:
+        by_key.setdefault(pk, []).append((epoch, shard, seq))
+    for pk, recs in by_key.items():
+        shards = {s for _, s, _ in recs}
+        if "shard-0" in shards and shards & {kid_a, kid_b}:
+            pe = [e for e, s, _ in recs if s == "shard-0"]
+            ce = [e for e, s, _ in recs if s != "shard-0"]
+            assert max(pe) < min(ce), pk
+
+    # restart from checkpoint: nothing re-delivered, new child
+    # appends flow immediately (parents already checkpoint-complete)
+    write_replay_slices(d, _records(120, 150))
+    got2 = _run_collecting(spark, d, ck)
+    assert {g[4] for g in got2} == {f"payload-{i}" for i in range(120, 150)}
+    assert len(got2) == 30
+    assert all(g[1] != "shard-0" for g in got2)
+
+
+def test_merge_shards_gate_and_union(spark, tmp_path):
+    """Merge: both parents drain to SHARD_END before the merged child
+    emits; union exactly once; the child owns both parents' keys."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        merge_shards,
+        write_replay_slices,
+    )
+
+    d = _lineage_stream(tmp_path, n_shards=2)
+    ck = str(tmp_path / "ck")
+    write_replay_slices(d, _records(0, 40))
+    kid = merge_shards(d, "shard-0", "shard-1")
+    write_replay_slices(d, _records(40, 90))
+    register_replay_source(spark)
+
+    got = _run_collecting(spark, d, ck)
+    assert {g[4] for g in got} == {f"payload-{i}" for i in range(90)}
+    assert len(got) == 90
+    kid_epochs = [g[0] for g in got if g[1] == kid]
+    parent_epochs = [g[0] for g in got if g[1] != kid]
+    assert {g[1] for g in got if g[1] != kid} == {"shard-0", "shard-1"}
+    assert max(parent_epochs) < min(kid_epochs)
+    # all post-merge records landed on the child
+    assert {g[4] for g in got if g[1] == kid} == {
+        f"payload-{i}" for i in range(40, 90)
+    }
+
+
+def test_split_replays_identically(spark, tmp_path):
+    """Two independent consumers of the same resharded stream deliver
+    the identical record set with identical (shard, seq) assignment —
+    replays are deterministic."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        split_shard,
+        write_replay_slices,
+    )
+
+    d = _lineage_stream(tmp_path, n_shards=2)
+    write_replay_slices(d, _records(0, 50))
+    split_shard(d, "shard-1")
+    write_replay_slices(d, _records(50, 100))
+    register_replay_source(spark)
+
+    a = _run_collecting(spark, d, str(tmp_path / "ck_a"))
+    b = _run_collecting(spark, d, str(tmp_path / "ck_b"))
+    key = lambda g: (g[1], g[2])  # noqa: E731
+    assert sorted((g[1], g[2], g[3], g[4]) for g in a) == sorted(
+        (g[1], g[2], g[3], g[4]) for g in b
+    )

@@ -1174,3 +1174,86 @@ def test_shingle_store_equals_inplan(spark, tmp_path, monkeypatch):
             tuple(r) for r in shingles_from_docs(d, carry).collect()
         )
         assert stored == inplan, carry
+
+
+def test_gated_candidate_pairs_bounds_hot_bucket_exactly(spark):
+    """The generic gate's candidate count on a planted hot bucket is
+    EXACTLY the multi-lag chain (O(k·lags)), never O(k²) — round-7
+    verdict task 1's done-condition. One bucket of k=600 ids above the
+    cap plus one 3-id small bucket below it: hot contributes
+    sum_{j=1..lags}(k-j) chain pairs, small contributes all 3."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        MINHASH_HOT_CHAIN_LAGS,
+        gated_candidate_pairs,
+    )
+
+    k, lags = 600, MINHASH_HOT_CHAIN_LAGS
+    hot_rows = [(i, 1, 777) for i in range(k)]
+    small_rows = [(10_000 + i, 1, 888) for i in range(3)]
+    buckets = spark.createDataFrame(
+        hot_rows + small_rows, "doc_id long, chunk_idx int, chunk long"
+    )
+    cand = gated_candidate_pairs(
+        buckets, "doc_id", ("chunk_idx", "chunk"), cap=256
+    )
+    n_hot_expected = sum(k - j for j in range(1, lags + 1))
+    got_hot = cand.filter(F.col("doc_id_1") < 10_000).count()
+    got_small = cand.filter(F.col("doc_id_1") >= 10_000).count()
+    assert got_hot == n_hot_expected, (got_hot, n_hot_expected)
+    assert got_small == 3  # 3 ids below cap → all pairs
+    # and the quadratic count never materializes
+    assert got_hot < k * (k - 1) / 2 / 10
+
+
+def test_simhash_gate_bounds_constant_prefix_corpus(spark, tmp_path, monkeypatch):
+    """Adversarial near-constant corpus THROUGH the registered op: 300
+    identical docs collapse onto one simhash, making all 4 pigeonhole
+    chunk buckets hot (k=300 > cap=256). The ungated join would emit
+    k(k-1)/2 = 44850 pairs; the gated op emits exactly the distinct
+    8-lag chain, and every emitted pair still verifies at hamming 0."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        MINHASH_HOT_CHAIN_LAGS,
+        dedup_simhash,
+    )
+
+    k = 300
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, text, "en", "synth", len(text)) for i in range(k)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+
+    out = dedup_simhash(spark, str(tmp_path)).collect()
+    expected = sum(k - j for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1))
+    assert len(out) == expected, (len(out), expected)
+    assert all(r.hamming == 0 for r in out)
+
+
+def test_simhash_store_equals_inplan(spark, tmp_path, monkeypatch):
+    """corpus_simhash_store serves bit-identical fingerprints to the
+    in-plan computation (the store is an implementation detail results
+    must not observe), and a warm store never recomputes."""
+    import kinesis_to_firehose_spark.operators.dedup as dd
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_simhash_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    inplan = {r.doc_id: r.simhash for r in dd.simhash_table(spark, sf).collect()}
+    stored = {
+        r.doc_id: r.simhash for r in corpus_simhash_store(spark, sf).collect()
+    }
+    assert stored == inplan
+    # warm path: any refingerprinting attempt is a failure
+    monkeypatch.setattr(
+        dd,
+        "simhash_table",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("recomputed simhash on a warm store")
+        ),
+    )
+    assert corpus_simhash_store(spark, sf).count() == len(inplan)

@@ -414,3 +414,52 @@ def test_mm_sequence_pack_lossless_reconstruction(spark):
         assert fill <= MM_SEQ_LEN, (lang, p, fill)
         if p < last_pack[lang]:
             assert fill == MM_SEQ_LEN, (lang, p, fill)
+
+
+def test_phash_store_equals_inplan(spark, tmp_path, monkeypatch):
+    """corpus_phash_store serves bit-identical fingerprints to the
+    in-plan phash_table pass, and a warm store never re-decodes."""
+    import kinesis_to_firehose_spark.operators.multimodal as mm
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_phash_store,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    inplan = {r.media_id: r.phash for r in mm.phash_table(spark, SF).collect()}
+    stored = {
+        r.media_id: r.phash for r in corpus_phash_store(spark, SF).collect()
+    }
+    assert stored == inplan
+    monkeypatch.setattr(
+        mm,
+        "phash_table",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("recomputed phash on a warm store")
+        ),
+    )
+    assert corpus_phash_store(spark, SF).count() == len(inplan)
+
+
+def test_phash_gate_bounds_constant_media_corpus(spark, tmp_path, monkeypatch):
+    """300 identical blobs collapse onto one phash → all 4 chunk
+    buckets hot (k=300 > cap=256); mm_phash_dedup emits exactly the
+    distinct 8-lag chain instead of k(k-1)/2 = 44850 pairs."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        MINHASH_HOT_CHAIN_LAGS,
+    )
+    from kinesis_to_firehose_spark.operators.multimodal import (
+        mm_phash_dedup,
+    )
+
+    k = 300
+    text = "one two three four five six seven eight nine ten"
+    rows = [(i, text, "en", "synth", len(text)) for i in range(k)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+
+    out = mm_phash_dedup(spark, str(tmp_path)).collect()
+    expected = sum(k - j for j in range(1, MINHASH_HOT_CHAIN_LAGS + 1))
+    assert len(out) == expected, (len(out), expected)
+    assert all(r.hamming == 0 for r in out)

@@ -32,14 +32,21 @@ def test_rows_only_runs(spark, name):
 
 def test_approx_percentile_error_bounded(spark):
     """Sketch vs exact: approx_percentile must land within a small
-    absolute error of the exact per-group percentiles."""
+    absolute error of the exact per-group percentiles — the raw
+    estimates (approx_percentile_raw), independently cross-checked
+    against the exact twin op; the registered op's in-plan
+    within_bound booleans must all be true (they're the hash-checked
+    claim the driver oracle now verifies)."""
+    from kinesis_to_firehose_spark.operators.analytics import (
+        approx_percentile_raw,
+    )
     from kinesis_to_firehose_spark.registry import all_ops
 
     ops = all_ops()
     sf = "/root/testdata/sf0.01"
     ap = {
         r["event_type"]: (r["p50_approx"], r["p95_approx"])
-        for r in ops["approx_percentile_by_group"].fn(spark, sf).collect()
+        for r in approx_percentile_raw(spark, sf).collect()
     }
     ex = {
         r["event_type"]: (r["p50"], r["p95"])
@@ -49,18 +56,25 @@ def test_approx_percentile_error_bounded(spark):
     for k in ex:
         assert abs(ap[k][0] - ex[k][0]) < 2.0, k
         assert abs(ap[k][1] - ex[k][1]) < 2.0, k
+    for r in ops["approx_percentile_by_group"].fn(spark, sf).collect():
+        assert r["p50_within_bound"] and r["p95_within_bound"], r
 
 
 def test_approx_distinct_error_bounded(spark):
     """Sketch vs exact: per-group HLL++ distinct estimates must land
-    within 5x the configured rsd (0.01) of the exact counts."""
+    within 5x the configured rsd (0.01) of the exact counts — raw
+    estimates cross-checked against the exact twin op, plus the
+    registered op's in-plan within_bound all true."""
+    from kinesis_to_firehose_spark.operators.analytics import (
+        approx_distinct_raw,
+    )
     from kinesis_to_firehose_spark.registry import all_ops
 
     ops = all_ops()
     sf = "/root/testdata/sf0.01"
     ap = {
         r["event_type"]: r["n_users_approx"]
-        for r in ops["approx_distinct"].fn(spark, sf).collect()
+        for r in approx_distinct_raw(spark, sf).collect()
     }
     ex = {
         r["event_type"]: r["n_users"]
@@ -69,6 +83,8 @@ def test_approx_distinct_error_bounded(spark):
     assert set(ap) == set(ex)
     for k in ex:
         assert abs(ap[k] - ex[k]) <= max(5, 0.05 * ex[k]), (k, ap[k], ex[k])
+    for r in ops["approx_distinct"].fn(spark, sf).collect():
+        assert r["within_bound"], r
 
 
 def test_merge_upsert_equals_full_history_compaction(spark):
