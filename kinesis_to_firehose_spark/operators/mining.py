@@ -1138,14 +1138,33 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-merge) is sketch-union over tiny state — contrast approx_distinct
 # which must rescan raw events for each new grain.
 #
-# No DuckDB oracle: sketch binaries are engine-specific (rows-only
-# gate). tests/test_mining.py pins the law that matters: the merged
-# weekly estimate equals the estimate computed directly from raw data
-# at weekly grain (identical sketch algorithm ⇒ identical estimate),
-# and tracks exact distinct counts within HLL error bounds.
+# Oracle surface (round-8, same pattern as approx_distinct): the
+# sketch ESTIMATE is engine-specific, but the CLAIM "the merged
+# weekly sketch lands within its error bound of the exact weekly
+# distinct" is deterministic in both engines — emit
+# (n_users_exact, within_bound) alongside the rollup keys, with the
+# bound |approx − exact| ≤ max(5, 0.05·exact) mirroring the pytest
+# error study. hll_partition_merge_raw keeps the pure
+# never-rescan-raw sketch surface for the merge-consistency tests
+# (test_mining.py, test_streaming.py's hll_stream parity).
 # --------------------------------------------------------------------------
-@register("hll_partition_merge", None)
-def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+HLL_MERGE_SQL = """
+SELECT event_type,
+       date_trunc('week', ts) AS week,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type, date_trunc('week', ts)
+ORDER BY event_type, week
+"""
+
+
+def hll_partition_merge_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pure mergeable-sketch plan: per-day sketches unioned to
+    weekly estimates, raw data touched exactly once."""
     e = load(spark, "events", sf_dir)
     daily = e.groupBy(
         "event_type",
@@ -1159,6 +1178,31 @@ def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hll_sketch_estimate(hll_union_agg(sk))")
             .cast("bigint")
             .alias("approx_users"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+@register("hll_partition_merge", HLL_MERGE_SQL)
+def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = hll_partition_merge_raw(spark, sf_dir)
+    e = load(spark, "events", sf_dir)
+    exact = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("n_users_exact"))
+    return (
+        merged.join(exact, ["event_type", "week"])
+        .select(
+            "event_type",
+            "week",
+            "n_days",
+            "n_users_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users_exact"))
+                <= F.greatest(
+                    F.lit(5.0), F.lit(0.05) * F.col("n_users_exact")
+                )
+            ).alias("within_bound"),
         )
         .orderBy("event_type", "week")
     )

@@ -172,9 +172,13 @@ def test_hll_merge_consistency(spark):
     from pyspark.sql import functions as F
     from kinesis_to_firehose_spark.sources.tables import load
 
+    from kinesis_to_firehose_spark.operators.mining import (
+        hll_partition_merge_raw,
+    )
+
     merged = {
         (r.event_type, r.week): r.approx_users
-        for r in OPS["hll_partition_merge"].fn(spark, SF).collect()
+        for r in hll_partition_merge_raw(spark, SF).collect()
     }
     e = load(spark, "events", SF)
     direct = {

@@ -1315,7 +1315,26 @@ def test_cli_list_and_oracle(capsys):
     assert "FROM lineitem" in capsys.readouterr().out
 
     assert main(["run", "definitely_not_an_op"]) == 2
-    assert main(["oracle", "hll_partition_merge"]) == 1  # rows-only
+
+    # round-8: hll_partition_merge gained a within_bound oracle, so
+    # the registry has NO rows-only op left; pin that invariant and
+    # exercise the rows-only exit path on a synthetic registry entry
+    assert main(["oracle", "hll_partition_merge"]) == 0
+    assert "within_bound" in capsys.readouterr().out
+    assert all(op.sql is not None for op in all_ops().values())
+    import unittest.mock as mock
+
+    from kinesis_to_firehose_spark.registry import Op
+
+    fake = dict(all_ops())
+    fake["sketch_only"] = Op(
+        name="sketch_only", fn=lambda s, d: None, sql=None
+    )
+    # main() imports all_ops from the registry at call time
+    with mock.patch(
+        "kinesis_to_firehose_spark.registry.all_ops", return_value=fake
+    ):
+        assert main(["oracle", "sketch_only"]) == 1  # rows-only
 
 
 def test_knn_store_built_once_and_value_identical(spark):

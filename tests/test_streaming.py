@@ -1134,9 +1134,13 @@ def test_hll_stream_weekly_merge_matches_batch(spark, tmp_path):
         )
         .collect()
     }
+    from kinesis_to_firehose_spark.operators.mining import (
+        hll_partition_merge_raw,
+    )
+
     batch = {
         (r["event_type"], r["week"]): (r["n_days"], r["approx_users"])
-        for r in all_ops()["hll_partition_merge"].fn(spark, sf).collect()
+        for r in hll_partition_merge_raw(spark, sf).collect()
     }
     assert merged == batch
 
