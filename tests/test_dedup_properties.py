@@ -1257,3 +1257,73 @@ def test_simhash_store_equals_inplan(spark, tmp_path, monkeypatch):
         ),
     )
     assert corpus_simhash_store(spark, sf).count() == len(inplan)
+
+
+def test_gated_candidate_pairs_differential_random_buckets(spark):
+    """Differential property test for the generic gate: for ANY
+    bucket layout — overlapping ids across buckets, sizes straddling
+    the cap — the Spark output equals a pure-Python model computed
+    from the gate's definition (below-cap buckets emit all pairs,
+    above-cap buckets emit the id-ordered multi-lag chain, pairs
+    dedup across buckets). Also pins the connectivity guarantee the
+    chain exists for: every hot bucket's members stay in ONE
+    connected component of the candidate graph."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        gated_candidate_pairs,
+    )
+
+    CAP, LAGS = 5, 3
+
+    def model(buckets: dict[tuple[int, int], list[int]]) -> set:
+        pairs = set()
+        for ids in buckets.values():
+            ids = sorted(set(ids))
+            if len(ids) <= CAP:
+                pairs |= {
+                    (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+                }
+            else:
+                for i in range(len(ids)):
+                    for j in range(1, LAGS + 1):
+                        if i - j >= 0:
+                            pairs.add((ids[i - j], ids[i]))
+        return pairs
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.dictionaries(
+            st.tuples(st.integers(1, 3), st.integers(0, 4)),
+            st.lists(st.integers(0, 25), min_size=1, max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(layout):
+        rows = [
+            (doc_id, idx, chunk)
+            for (idx, chunk), ids in layout.items()
+            for doc_id in set(ids)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, chunk_idx int, chunk long"
+        )
+        got = {
+            (r.doc_id_1, r.doc_id_2)
+            for r in gated_candidate_pairs(
+                df, "doc_id", ("chunk_idx", "chunk"), cap=CAP, lags=LAGS
+            ).collect()
+        }
+        want = model(layout)
+        assert got == want, (sorted(got - want), sorted(want - got))
+        # connectivity: within each hot bucket the lag-1 chain links
+        # consecutive members, so the bucket is one component
+        for ids in layout.values():
+            ids = sorted(set(ids))
+            if len(ids) > CAP:
+                for a, b in zip(ids, ids[1:]):
+                    assert (a, b) in got
+
+    check()

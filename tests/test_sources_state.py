@@ -1540,3 +1540,15 @@ def test_store_cache_digest_and_atomic_build(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(got_c).count() == 5
     leftovers = [p for p in (tmp_path / "cache").iterdir() if ".tmp." in p.name]
     assert not leftovers, f"tmp dirs leaked: {leftovers}"
+
+    # failing build: re-raises AND cleans its own tmp (ADVICE r7 —
+    # the old pid-keyed tempdir leaked on every raise), leaving the
+    # store absent so the next call can rebuild
+    p_d = store_path("z", str(sf), "documents", "v1")
+    with pytest.raises(RuntimeError, match="boom"):
+        ensure_store(p_d, lambda tmp: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert not os.path.exists(p_d)
+    leftovers = [p for p in (tmp_path / "cache").iterdir() if ".tmp." in p.name]
+    assert not leftovers, f"failed build leaked tmp dirs: {leftovers}"
+    got_d = ensure_store(p_d, lambda tmp: spark.range(7).write.parquet(tmp))
+    assert spark.read.parquet(got_d).count() == 7
