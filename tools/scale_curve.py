@@ -1,0 +1,101 @@
+"""Scale-curvature probe for the heaviest ops: time the Spark side at
+two generated decades (default .testdata/sf1, .testdata/sf3) and
+report each op's growth exponent alpha = log(t_hi/t_lo)/log(rows_hi/
+rows_lo). alpha <= 1 is sub-linear; the 100 TB question is whether
+the curve BENDS between decades, which a single sf1 point can't show.
+
+Usage: python tools/scale_curve.py [lo_dir hi_dir growth out.json]
+       (growth = hi rows / lo rows, default 3.0)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from kinesis_to_firehose_spark.registry import all_ops
+from kinesis_to_firehose_spark.session import get_spark
+
+# The sf1 per-op bench's heavy tail: every op over ~5.5 s at sf1 plus
+# the two formerly-ungated pair joins (the round-7 scale charges).
+CURVE_OPS = [
+    "dedup_edit_distance",
+    "dedup_provenance_chain",
+    "dedup_containment",
+    "dedup_minhash_eval",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "dedup_ngram_jaccard",
+    "doc_tf_search",
+    "curate_to_splits",
+    "dedup_substring",
+    "dedup_keep_best",
+    "pq_quantize",
+    "dedup_cc_star",
+    "dedup_simhash",
+    "mm_phash_dedup",
+]
+
+REPEATS = 2  # repeat 1 builds the per-corpus stores; min() reads warm
+
+
+def time_op(spark, fn, sf_dir: str) -> tuple[float, int]:
+    best, n = None, 0
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3), n
+
+
+def main() -> None:
+    lo = sys.argv[1] if len(sys.argv) > 1 else ".testdata/sf1"
+    hi = sys.argv[2] if len(sys.argv) > 2 else ".testdata/sf3"
+    growth = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    out_path = sys.argv[4] if len(sys.argv) > 4 else "SCALE_CURVE.json"
+    spark = get_spark("scale-curve")
+    ops = all_ops()
+    rows = {}
+    for name in CURVE_OPS:
+        t_lo, n_lo = time_op(spark, ops[name].fn, lo)
+        t_hi, n_hi = time_op(spark, ops[name].fn, hi)
+        alpha = math.log(t_hi / t_lo) / math.log(growth)
+        # output curvature: near-dup PAIR counts grow super-linearly
+        # in any corpus where duplication density rises with size (the
+        # honest 100 TB shape) — an op whose runtime grows SLOWER than
+        # its own output is sub-linear in the work actually demanded,
+        # whatever its row-growth alpha says
+        out_alpha = (
+            math.log(n_hi / n_lo) / math.log(growth)
+            if n_lo and n_hi
+            else None
+        )
+        rows[name] = {
+            "t_lo": t_lo,
+            "t_hi": t_hi,
+            "ratio": round(t_hi / t_lo, 2),
+            "alpha": round(alpha, 2),
+            "rows_lo": n_lo,
+            "rows_hi": n_hi,
+            "out_alpha": round(out_alpha, 2) if out_alpha is not None else None,
+        }
+        print(
+            f"{name:28} {t_lo:8.2f}s -> {t_hi:8.2f}s  "
+            f"x{t_hi / t_lo:5.2f}  alpha={alpha:5.2f}  "
+            f"out_alpha={out_alpha if out_alpha is None else round(out_alpha, 2)}",
+            flush=True,
+        )
+    artifact = {"lo": lo, "hi": hi, "growth": growth, "ops": rows}
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
