@@ -2,7 +2,7 @@
 SHELL := /bin/bash
 SF_DIR ?= /root/testdata/sf0.1
 
-.PHONY: test parity parity-sf1 bench digest image
+.PHONY: test parity parity-sf1 bench bench-sf1 scale-curve digest image
 
 test:
 	python -m pytest tests/ -x -q
@@ -28,6 +28,13 @@ bench-sf1:
 	SPARK_GRAFT_SF_DIR=.testdata/sf1 SPARK_GRAFT_BENCH_REPEATS=2 \
 	SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json python bench.py >/dev/null
 	python regress.py --scale BENCH_SF1.json
+
+# two-decade curvature probe for the heavy ops (sf1 vs sf3): writes
+# SCALE_CURVE.json with per-op time alpha + output alpha
+scale-curve:
+	python tools/gen_scale.py /root/testdata/sf0.1 .testdata/sf1 10
+	python tools/gen_scale.py /root/testdata/sf0.1 .testdata/sf3 30
+	python tools/scale_curve.py
 
 digest:
 	python -m kinesis_to_firehose_spark.plans.digest
