@@ -819,3 +819,110 @@ def test_split_replays_identically(spark, tmp_path):
     assert sorted((g[1], g[2], g[3], g[4]) for g in a) == sorted(
         (g[1], g[2], g[3], g[4]) for g in b
     )
+
+
+def test_chained_resharding_random_sequence_invariants(spark, tmp_path):
+    """Multi-generation reshard soak (seeded): four reshard events —
+    random valid splits/merges, so children of children and merges of
+    split-children occur — interleaved with production over a
+    40-key pool, the reader resuming from its checkpoint between
+    phases. The per-event tests above pin each mechanism; this pins
+    the GENERAL invariants on an arbitrary lineage DAG:
+
+      1. exactly-once union across all resume sessions;
+      2. hash-range ownership: every record is delivered from a shard
+         whose [lo, hi) owns its key's hash;
+      3. transitive lineage gate: within a session, a shard's records
+         all arrive in strictly later epochs than every delivery from
+         every ANCESTOR (not just direct parents);
+      4. per-key total order: each key's payload indices strictly
+         increase in delivery order (session, epoch, seq).
+    """
+    import random
+
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        _key_hash,
+        load_lineage,
+        merge_shards,
+        split_shard,
+        write_replay_slices,
+    )
+
+    rng = random.Random(8)
+    d = _lineage_stream(tmp_path, n_shards=3)
+    ck = str(tmp_path / "ck")
+    register_replay_source(spark)
+
+    def recs(lo, hi):
+        return [(f"user-{i % 37}", f"payload-{i}") for i in range(lo, hi)]
+
+    def random_reshard():
+        lin = load_lineage(d)
+        open_shards = sorted(
+            (m["lo"], name)
+            for name, m in lin["shards"].items()
+            if m["status"] == "OPEN"
+        )
+        adjacent = [
+            (a[1], b[1])
+            for a, b in zip(open_shards, open_shards[1:])
+            if lin["shards"][a[1]]["hi"] == lin["shards"][b[1]]["lo"]
+        ]
+        if adjacent and rng.random() < 0.5:
+            merge_shards(d, *rng.choice(adjacent))
+        else:
+            split_shard(d, rng.choice(open_shards)[1])
+
+    sessions = []
+    lo = 0
+    for phase in range(4):
+        write_replay_slices(d, recs(lo, lo + 60))
+        lo += 60
+        random_reshard()
+        write_replay_slices(d, recs(lo, lo + 60))
+        lo += 60
+        sessions.append(_run_collecting(spark, d, ck))
+
+    lin = load_lineage(d)
+
+    # 1. exactly-once union over all sessions
+    all_got = [g for s in sessions for g in s]
+    assert len(all_got) == lo
+    assert {g[4] for g in all_got} == {f"payload-{i}" for i in range(lo)}
+
+    # 2. delivery-shard hash-range ownership
+    for _, shard, _, pk, _ in all_got:
+        m = lin["shards"][shard]
+        assert m["lo"] <= _key_hash(pk) < m["hi"], (shard, pk)
+
+    # 3. transitive gate per session: ancestors fully precede
+    def ancestors(shard: str) -> set:
+        out, todo = set(), list(lin["shards"][shard]["parents"])
+        while todo:
+            p = todo.pop()
+            if p not in out:
+                out.add(p)
+                todo.extend(lin["shards"][p]["parents"])
+        return out
+
+    for got in sessions:
+        epochs: dict[str, list] = {}
+        for epoch, shard, _, _, _ in got:
+            epochs.setdefault(shard, []).append(epoch)
+        for shard, es in epochs.items():
+            for anc in ancestors(shard) & set(epochs):
+                assert max(epochs[anc]) < min(es), (anc, shard)
+
+    # 4. per-key total order: payload index increases along
+    # (session, epoch, seq) — write order survives the whole DAG
+    by_key: dict[str, list] = {}
+    for si, got in enumerate(sessions):
+        for epoch, shard, seq, pk, data in got:
+            by_key.setdefault(pk, []).append(
+                (si, epoch, seq, int(data.rsplit("-", 1)[1]))
+            )
+    assert len(by_key) == 37
+    for pk, entries in by_key.items():
+        idxs = [i for *_, i in sorted(entries)]
+        assert idxs == sorted(idxs), pk
+        assert len(set(idxs)) == len(idxs), pk
