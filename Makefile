@@ -2,7 +2,7 @@
 SHELL := /bin/bash
 SF_DIR ?= /root/testdata/sf0.1
 
-.PHONY: test parity parity-sf1 bench bench-sf1 scale-curve digest image
+.PHONY: test parity parity-sf1 bench bench-sf1 scale-curve forwarder-throughput digest image
 
 test:
 	python -m pytest tests/ -x -q
@@ -41,3 +41,8 @@ digest:
 
 image:
 	docker build -t kinesis-to-firehose-spark .
+
+# end-to-end forwarder throughput (records/sec + MiB/sec, exactly-once
+# verified): writes FORWARDER_THROUGHPUT.json
+forwarder-throughput:
+	python tools/forwarder_throughput.py --mult 20
