@@ -2447,3 +2447,158 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# bpe_train_merges — BPE tokenizer-vocabulary induction (Sennrich et
+# al., ACL'16): iteratively merge the most frequent adjacent symbol
+# pair across the corpus word table. Round-9 addition (r8 verdict task
+# 7) — collocations_pmi computes the merge SIGNAL but nothing
+# performed the iterative merges.
+#
+# THE scale insight (why this survives 100 TB): BPE training never
+# touches the corpus again after one scan — it operates on the
+# (word, freq) table, which is vocabulary-sized (Heaps' law: ~10⁶ rows
+# at web scale, top-K capped here), so each merge round is an
+# explode + groupBy over a broadcast-sized table. The loop follows the
+# graph_pagerank unroll pattern: a bounded number of rounds, each a
+# declarative plan with the 1-row argmax broadcast-cross-joined in and
+# a localCheckpoint lineage cut — no per-round driver collect of data
+# rows.
+#
+# Determinism contract (both engines, any partitioning): pair counts
+# count EVERY adjacent occurrence (Sennrich's get_stats); the winning
+# pair breaks count ties by (lhs, rhs) lexicographic order; merge
+# application is left-to-right non-overlapping, which both engines'
+# non-regex replace() implement over the parenthesis-wrapped symbol
+# encoding "(h)(e)(l)(l)(o)(</w>)" — wrapping makes adjacent-pair
+# occurrences share no characters, so replace('(l)(o)') is exactly the
+# greedy BPE merge.
+# --------------------------------------------------------------------------
+BPE_TOP_WORDS = 1500
+BPE_MERGES = 12
+_BPE_EOW = "</w>"
+
+
+def _bpe_oracle_sql() -> str:
+    rounds = []
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(f"""p{k} AS (
+  SELECT (pr).lhs AS lhs, (pr).rhs AS rhs, SUM(freq) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                  i -> struct_pack(lhs := syms[i], rhs := syms[i + 1])))
+             AS pr,
+           freq
+    FROM (
+      SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS syms,
+             freq
+      FROM w{k - 1}
+    )
+    WHERE len(syms) >= 2
+  )
+  GROUP BY 1, 2
+),
+t{k} AS MATERIALIZED (
+  SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs,
+         lhs || rhs AS merged, CAST(cnt AS BIGINT) AS pair_count
+  FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT replace(seq, '(' || t.lhs || ')(' || t.rhs || ')',
+                 '(' || t.lhs || t.rhs || ')') AS seq, freq
+  FROM w{k - 1}, t{k} t
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{k}" for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH words_all AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({TOK_SQL}) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+top_words AS (
+  SELECT w, freq FROM words_all ORDER BY freq DESC, w LIMIT {BPE_TOP_WORDS}
+),
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') || '({_BPE_EOW})' AS seq,
+         freq
+  FROM top_words
+),
+{','.join(rounds)}
+{union}
+ORDER BY merge_rank
+"""
+
+
+def bpe_merges_from_words(words: DataFrame, n_merges: int) -> DataFrame:
+    """Merge loop over a (w, freq) table — the testable core; the
+    registered op feeds it the corpus-scan word counts."""
+    from functools import reduce
+
+    spark_w = words.select(
+        F.concat(
+            F.regexp_replace("w", "(.)", "($1)"), F.lit(f"({_BPE_EOW})")
+        ).alias("seq"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    tops: list[DataFrame] = []
+    for k in range(1, n_merges + 1):
+        syms = spark_w.select(
+            F.split(
+                F.expr("substring(seq, 2, length(seq) - 2)"), r"\)\("
+            ).alias("syms"),
+            "freq",
+        ).filter(F.size("syms") >= 2)
+        pairs = syms.select(
+            F.expr(
+                "explode(transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs)))"
+            ).alias("pr"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy(
+                F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(k).cast("bigint").alias("merge_rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tops.append(top)
+        spark_w = (
+            spark_w.crossJoin(F.broadcast(top.select("lhs", "rhs")))
+            .select(
+                F.expr(
+                    "replace(seq, '(' || lhs || ')(' || rhs || ')',"
+                    " '(' || lhs || rhs || ')')"
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return reduce(DataFrame.unionAll, tops).orderBy("merge_rank")
+
+
+@register("bpe_train_merges", _bpe_oracle_sql())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    words = (
+        d.select(F.explode(F.expr(TOK_EXPR)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(BPE_TOP_WORDS)
+    )
+    return bpe_merges_from_words(words, BPE_MERGES)

@@ -192,12 +192,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# dedup_ngram_jaccard — blocked Jaccard on word-bigram shingles via an
-# INVERTED-INDEX join (explode shingles → self-join on shingle → count
-# matches per pair). No per-pair array scans: pairs sharing zero shingles
-# never materialize, and every aggregate is a codegen'd count. This is
-# the shape that survives 100 TB; a naive per-pair array_intersect is
-# interpreted per element in Spark and quadratic in doc length.
+# dedup_ngram_jaccard — blocked Jaccard on word-bigram shingles via the
+# AllPairs/PPJoin PREFIX FILTER (Bayardo et al. WWW'07, Xiao et al.
+# WWW'08) over an inverted index. Candidate pairs come from a self-join
+# of each doc's PREFIX ONLY — its n − ⌈τ·n⌉ + 1 rarest shingles under
+# the global (df, shingle) order — plus the size-ratio filter
+# τ·n1 ≤ n2 ∧ τ·n2 ≤ n1; survivors are exact-verified against the full
+# capped index. EXACT, not approximate: for any pair with J ≥ τ the
+# overlap is ≥ α = ⌈τ/(1+τ)·(n1+n2)⌉, and the (n−α+1)-prefix lemma
+# (all elements ≤ min(last(P₁), last(P₂)) of either set lie in that
+# set's prefix, so a disjoint-prefix pair can share at most α−1
+# elements) guarantees a common prefix shingle; per-record
+# ⌈τ·n⌉-prefixes are supersets of the α-prefixes whenever the size
+# filter holds, so no false negatives. Round-9 rework: the previous
+# full-index self-join was candidate-bound super-linear (SCALE_CURVE
+# time-α 1.41 sf1→sf3) because within-cluster candidates grow ~n²; the
+# prefix join generates candidates only through RARE shingles (the
+# prefix is the low-df end of each doc), bounding fan-out by rare-df²
+# instead of df-cap².
 # --------------------------------------------------------------------------
 NGRAM_JACCARD_SQL = f"""
 {SHINGLES_CTE},
@@ -210,19 +222,34 @@ df_capped AS (
     FROM raw_exploded
   ) WHERE df_cnt <= {MAX_SHINGLE_DF}
 ),
-exploded AS (
+ranked AS (
   SELECT doc_id, lang, len_bucket, shingle,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY df_cnt, shingle) AS rn
   FROM df_capped
 ),
-matches AS (
-  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-         MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2, COUNT(*) AS inter
-  FROM exploded a
-  JOIN exploded b
+pref AS (
+  SELECT * FROM ranked
+  WHERE rn <= n_sh - CEIL({JACCARD_TAU} * n_sh) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                  a.n_sh AS n1, b.n_sh AS n2
+  FROM pref a
+  JOIN pref b
     ON a.shingle = b.shingle AND a.lang = b.lang
    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-  GROUP BY doc_id_1, doc_id_2
+   AND a.n_sh * {JACCARD_TAU} <= b.n_sh
+   AND b.n_sh * {JACCARD_TAU} <= a.n_sh
+),
+matches AS (
+  SELECT c.doc_id_1, c.doc_id_2, MIN(c.n1) AS n1, MIN(c.n2) AS n2,
+         COUNT(*) AS inter
+  FROM cand c
+  JOIN ranked fa ON fa.doc_id = c.doc_id_1
+  JOIN ranked fb ON fb.doc_id = c.doc_id_2 AND fb.shingle = fa.shingle
+  GROUP BY c.doc_id_1, c.doc_id_2
 )
 SELECT doc_id_1, doc_id_2,
        ROUND(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
@@ -235,38 +262,59 @@ ORDER BY doc_id_1, doc_id_2
 @register("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = exploded_shingles(spark, sf_dir)
-    capped = (
-        ex.withColumn(
-            "df_cnt",
-            F.count("*").over(W.partitionBy("lang", "len_bucket", "shingle")),
+    capped = ex.withColumn(
+        "df_cnt",
+        F.count("*").over(W.partitionBy("lang", "len_bucket", "shingle")),
+    ).filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
+    # Materialize the ranked shingle index once: the prefix join (both
+    # sides) and the verification join (both sides) all consume it,
+    # and without a cut the explode + three window shuffles replay per
+    # consumer. Same materialize-the-index shape as the MinHash
+    # signature table below.
+    ranked = (
+        capped.withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df_cnt", "shingle")
+            ),
         )
-        .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
         .drop("df_cnt")
+        .localCheckpoint(eager=True)
     )
-    # Materialize the capped shingle index once: both sides of the
-    # self-join consume it, and without a cut the explode + two window
-    # shuffles replay per side. Same materialize-the-index shape as
-    # the MinHash signature table below.
-    exploded = capped.withColumn(
-        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
-    ).localCheckpoint(eager=True)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    matches = (
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh") - F.ceil(F.lit(JACCARD_TAU) * F.col("n_sh")) + 1
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * JACCARD_TAU <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * JACCARD_TAU <= F.col("a.n_sh")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
         )
+        .distinct()
+    )
+    fa = ranked.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    fb = ranked.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    matches = (
+        cand.join(fa, "doc_id_1")
+        .join(fb, ["doc_id_2", "shingle"])
+        .groupBy("doc_id_1", "doc_id_2")
         .agg(
-            F.min("a.n_sh").alias("n1"),
-            F.min("b.n_sh").alias("n2"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
             F.count("*").alias("inter"),
         )
     )
@@ -1501,18 +1549,38 @@ ORDER BY doc_id_1, doc_id_2
 
 @register("dedup_edit_distance", EDIT_SQL)
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-block Levenshtein pairs via PassJoin segment filtering.
+    """In-block Levenshtein pairs via PassJoin (Li, Deng, Feng,
+    VLDB'12) with the paper's length-aware even partition and
+    multi-match-aware substring selection.
 
     Same logical result as the oracle's all-pairs-in-block filter, but
-    the plan never enumerates the quadratic in-block pair space:
-    partition each probe prefix into τ+1 = 4 segments of 8 chars — if
-    edit(a, b) ≤ τ, at least one segment of a occurs VERBATIM in b at
-    a position shifted by at most τ (pigeonhole over edit ops). So the
-    index side emits substrings at each segment position ±τ and
-    candidates come from a DISTINCT equi-join on (block, seg_idx,
-    content) — measured ~0.5% of the in-block pair count on this
-    corpus, with cardinality bounded by 8-char-content selectivity
-    rather than block population — followed by exact verification.
+    the plan never enumerates the quadratic in-block pair space. The
+    probe doc (smaller doc_id) with prefix length ℓ is partitioned
+    into τ+1 = 4 even segments (lengths ⌊ℓ/4⌋/⌈ℓ/4⌉ — for the common
+    capped ℓ = 32 that is the 4×8 layout); if edit(a, b) ≤ τ, some
+    segment of a occurs VERBATIM in b at a bounded shift (pigeonhole).
+    Round-9 rework (the candidate:survivor ratio dominated sf3 wall):
+
+    - the index side emits substrings PER CANDIDATE PROBE LENGTH
+      ℓ ∈ [plen_b − τ, plen_b + τ], so Δ = plen_b − ℓ is known at
+      emission and the full multi-match-aware window
+      o ∈ [max(−i, Δ−(τ−i)), min(i, Δ+(τ−i))] (complete per the
+      paper's Lemma 3: taking the last error-free segment bounds the
+      shift by the i preceding segments' errors, the first bounds it
+      around Δ by the τ−i following ones) is applied BEFORE the join.
+      For an all-32-char corpus this emits just 1+3+3+1 = 8 rows at
+      Δ = 0 — candidates for equal-length pairs come only from those;
+      the blanket ±τ scheme emitted 22;
+    - the join is a pure 5-key equi-join (block, ℓ, segment, content)
+      with no residual window predicate, and the length filter
+      |Δ| ≤ τ is structural (only those ℓ are emitted);
+    - probes shorter than 4 chars can have empty segments (the
+      pigeonhole degenerates), so pairs where either side's prefix is
+      ≤ τ chars go through a tiny-docs arm: all-pairs among docs with
+      plen ≤ τ against partners with plen ≤ 2τ — degenerate strings,
+      O(tiny²) with tiny ≈ 0 on real corpora;
+    - banded verification: levenshtein(p1, p2, τ) early-exits via the
+      threshold DP band (O(τ·n) per pair, not O(n²)).
     """
     d = load(spark, "documents", sf_dir)
     p = d.select(
@@ -1520,49 +1588,82 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
         F.substring(F.expr(NORM_EXPR), 1, _PREFIX).alias("prefix"),
+    ).withColumn("plen", F.length("prefix"))
+
+    def seg_layout(length: int) -> list[tuple[int, int]]:
+        """(start, seg_len) per segment for an even τ+1 partition —
+        the last (length mod 4) segments take the extra char."""
+        base, rem = divmod(length, _N_SEGS)
+        out, pos = [], 1
+        for i in range(_N_SEGS):
+            seg = base + (1 if i >= _N_SEGS - rem else 0)
+            out.append((pos, seg))
+            pos += seg
+        return out
+
+    # The (ℓ, segment, offset) enumeration lives in TINY broadcast
+    # dimension tables (≈120 / ≈1300 rows) with the multi-match
+    # windows and substring-fit conditions precomputed — a literal
+    # struct-array explode of the same enumeration blew past the
+    # 64 KB codegen method limit and fell back to interpreted eval.
+    # Probe side: each doc emits its own τ+1 pieces for ℓ = plen.
+    probe_layout = spark.createDataFrame(
+        [
+            (length, i, s, seg)
+            for length in range(_N_SEGS, _PREFIX + 1)
+            for i, (s, seg) in enumerate(seg_layout(length))
+            if seg > 0
+        ],
+        "l int, seg_idx int, s int, seg_len int",
     )
-    seg_a = p.select(
-        "doc_id",
-        "lang",
-        "len_bucket",
-        "prefix",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("prefix", 1 + i * _SEG_LEN, _SEG_LEN)
-                    for i in range(_N_SEGS)
-                ]
-            )
-        ).alias("seg_idx", "content"),
-    ).filter(F.col("seg_idx") * _SEG_LEN < F.length("prefix"))
-    entries = [
-        F.struct(
-            F.lit(i).alias("seg_idx"),
-            F.lit(pos).alias("pos"),
-            F.substring("prefix", pos, _SEG_LEN).alias("content"),
-        )
-        for i in range(_N_SEGS)
-        for o in range(-EDIT_TAU, EDIT_TAU + 1)
-        if (pos := 1 + i * _SEG_LEN + o) >= 1
-    ]
-    seg_b = (
-        p.select(
-            "doc_id",
-            "lang",
-            "len_bucket",
-            "prefix",
-            F.explode(F.array(*entries)).alias("e"),
-        )
+    seg_a = (
+        p.filter(F.col("plen") > EDIT_TAU)
+        .join(F.broadcast(probe_layout), F.col("plen") == F.col("l"))
         .select(
             "doc_id",
             "lang",
             "len_bucket",
             "prefix",
-            F.col("e.seg_idx").alias("seg_idx"),
-            F.col("e.pos").alias("pos"),
-            F.col("e.content").alias("content"),
+            "l",
+            "seg_idx",
+            F.expr("substring(prefix, s, seg_len)").alias("content"),
         )
-        .filter(F.col("pos") <= F.length("prefix"))
+    )
+    # Index side: for every candidate probe length ℓ within ±τ of this
+    # doc's length (plen_match = ℓ + Δ), emit the ℓ-layout substrings
+    # inside the multi-match-aware window o ∈ [max(−i, Δ−(τ−i)),
+    # min(i, Δ+(τ−i))] — Δ is static per dimension row, so both the
+    # window and the pos+len≤plen fit check are precomputed.
+    index_rows = []
+    for length in range(_N_SEGS, _PREFIX + 1):
+        for i, (s, seg) in enumerate(seg_layout(length)):
+            if seg == 0:
+                continue
+            for delta in range(-EDIT_TAU, EDIT_TAU + 1):
+                plen_match = length + delta
+                if not (1 <= plen_match <= _PREFIX):
+                    continue
+                lo = max(-i, delta - (EDIT_TAU - i))
+                hi = min(i, delta + (EDIT_TAU - i))
+                for o in range(lo, hi + 1):
+                    pos = s + o
+                    if pos >= 1 and pos + seg - 1 <= plen_match:
+                        index_rows.append(
+                            (length, i, pos, seg, plen_match)
+                        )
+    index_layout = spark.createDataFrame(
+        index_rows, "l int, seg_idx int, pos int, seg_len int, plen_match int"
+    )
+    seg_b = p.join(
+        F.broadcast(index_layout), F.col("plen") == F.col("plen_match")
+    ).select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        "prefix",
+        "l",
+        "seg_idx",
+        F.expr("substring(prefix, pos, seg_len)").alias("content"),
     )
     a = seg_a.alias("a")
     b = seg_b.alias("b")
@@ -1571,6 +1672,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.l") == F.col("b.l"))
             & (F.col("a.seg_idx") == F.col("b.seg_idx"))
             & (F.col("a.content") == F.col("b.content"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1581,12 +1683,41 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.prefix").alias("p1"),
             F.col("b.prefix").alias("p2"),
         )
-        .distinct()
     )
-    dist = F.levenshtein(F.col("p1"), F.col("p2"))
+    # Tiny-docs arm: prefixes ≤ τ chars break the pigeonhole (empty
+    # segments). Their partners are ≤ 2τ chars by the length filter.
+    t_a = p.filter(F.col("plen") <= EDIT_TAU).alias("ta")
+    t_b = p.filter(F.col("plen") <= 2 * EDIT_TAU).alias("tb")
+    tiny = t_a.join(
+        t_b,
+        (F.col("ta.lang") == F.col("tb.lang"))
+        & (F.col("ta.len_bucket") == F.col("tb.len_bucket"))
+        & (F.col("ta.doc_id") != F.col("tb.doc_id"))
+        & (
+            (F.col("tb.plen") - F.col("ta.plen")).between(
+                -EDIT_TAU, EDIT_TAU
+            )
+        ),
+    ).select(
+        F.least("ta.doc_id", "tb.doc_id").alias("doc_id_1"),
+        F.greatest("ta.doc_id", "tb.doc_id").alias("doc_id_2"),
+        F.when(
+            F.col("ta.doc_id") < F.col("tb.doc_id"), F.col("ta.prefix")
+        )
+        .otherwise(F.col("tb.prefix"))
+        .alias("p1"),
+        F.when(
+            F.col("ta.doc_id") < F.col("tb.doc_id"), F.col("tb.prefix")
+        )
+        .otherwise(F.col("ta.prefix"))
+        .alias("p2"),
+    )
+    dist = F.levenshtein(F.col("p1"), F.col("p2"), EDIT_TAU)
     return (
-        cand.withColumn("edit_dist", dist.cast("bigint"))
-        .filter(F.col("edit_dist") <= EDIT_TAU)
+        cand.unionAll(tiny)
+        .distinct()
+        .withColumn("edit_dist", dist.cast("bigint"))
+        .filter(F.col("edit_dist").between(0, EDIT_TAU))
         .select("doc_id_1", "doc_id_2", "edit_dist")
         .orderBy("doc_id_1", "doc_id_2")
     )

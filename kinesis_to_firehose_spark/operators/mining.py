@@ -1138,24 +1138,49 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-merge) is sketch-union over tiny state — contrast approx_distinct
 # which must rescan raw events for each new grain.
 #
-# Oracle surface (round-8, same pattern as approx_distinct): the
-# sketch ESTIMATE is engine-specific, but the CLAIM "the merged
-# weekly sketch lands within its error bound of the exact weekly
-# distinct" is deterministic in both engines — emit
-# (n_users_exact, within_bound) alongside the rollup keys, with the
-# bound |approx − exact| ≤ max(5, 0.05·exact) mirroring the pytest
-# error study. hll_partition_merge_raw keeps the pure
-# never-rescan-raw sketch surface for the merge-consistency tests
-# (test_mining.py, test_streaming.py's hll_stream parity).
+# Oracle surface (round-9 single-scan rework; round-8's version
+# joined the rollup against a SECOND raw scan for an exact weekly
+# countDistinct — 2.31× the baseline and a contradiction of the op's
+# own never-rescan charter): the sketch ESTIMATE is engine-specific,
+# but per-day EXACT distincts fall out of the SAME daily aggregation
+# that builds the sketches, and the weekly exact distinct is provably
+# inside [max(daily exacts), sum(daily exacts)]. So the deterministic
+# audit is one-sided bounds against those two numbers — raw events
+# are touched exactly once, and the oracle's columns (n_days,
+# sum_daily_users, max_daily_users) are exact in both engines.
+#
+# TRIPWIRE (by design, do not "fix" as an engine bug): the oracle
+# hard-codes within_bound = TRUE, so parity encodes a PROBABILISTIC
+# HLL claim as a hard invariant. lgK=12 sketch error is ~1.6%; the
+# bound allows 5% + a HLL_ABS_TOL floor on each side, so a failure
+# here on freshly generated data (gen_scale sf3+) is far more likely
+# a legitimate sketch outlier than a regression — triage it as
+# data-dependent before touching the plan.
+#
+# hll_partition_merge_raw keeps the pure sketch-only surface for the
+# merge-consistency tests (test_mining.py, test_streaming.py's
+# hll_stream parity).
 # --------------------------------------------------------------------------
+# Shared absolute floor for HLL error bounds — the op's within_bound
+# audit and test_mining.py's error study use this same constant.
+HLL_ABS_TOL = 5.0
+
 HLL_MERGE_SQL = """
-SELECT event_type,
-       date_trunc('week', ts) AS week,
-       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+WITH daily AS (
+  SELECT event_type,
+         date_trunc('week', ts) AS week,
+         CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS d_exact
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, week,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d_exact) AS BIGINT) AS sum_daily_users,
+       CAST(MAX(d_exact) AS BIGINT) AS max_daily_users,
        TRUE AS within_bound
-FROM events
-GROUP BY event_type, date_trunc('week', ts)
+FROM daily
+GROUP BY event_type, week
 ORDER BY event_type, week
 """
 
@@ -1185,27 +1210,48 @@ def hll_partition_merge_raw(
 
 @register("hll_partition_merge", HLL_MERGE_SQL)
 def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merged = hll_partition_merge_raw(spark, sf_dir)
+    """One raw scan: pre-distinct to (type, week, day, user) grain —
+    duplicate events collapse map-side and don't change HLL registers
+    (nor the HIP estimate, which only moves on register updates) — then
+    the daily agg emits BOTH the sketch and the exact daily distinct as
+    count(*). Weekly rollup merges sketches and audits the estimate
+    against the deterministic [max_daily, sum_daily] envelope of the
+    true weekly distinct."""
     e = load(spark, "events", sf_dir)
-    exact = e.groupBy(
-        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
-    ).agg(F.countDistinct("user_id").cast("bigint").alias("n_users_exact"))
-    return (
-        merged.join(exact, ["event_type", "week"])
-        .select(
-            "event_type",
-            "week",
-            "n_days",
-            "n_users_exact",
-            (
-                F.abs(F.col("approx_users") - F.col("n_users_exact"))
-                <= F.greatest(
-                    F.lit(5.0), F.lit(0.05) * F.col("n_users_exact")
-                )
-            ).alias("within_bound"),
-        )
-        .orderBy("event_type", "week")
+    per_user_day = e.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    daily = per_user_day.groupBy("event_type", "week", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count("*").alias("d_exact"),
     )
+    weekly = daily.groupBy("event_type", "week").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("d_exact").cast("bigint").alias("sum_daily_users"),
+        F.max("d_exact").cast("bigint").alias("max_daily_users"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("approx_users"),
+    )
+    lo = F.col("max_daily_users") - F.greatest(
+        F.lit(HLL_ABS_TOL), F.lit(0.05) * F.col("max_daily_users")
+    )
+    hi = F.col("sum_daily_users") + F.greatest(
+        F.lit(HLL_ABS_TOL), F.lit(0.05) * F.col("sum_daily_users")
+    )
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_days",
+        "sum_daily_users",
+        "max_daily_users",
+        ((F.col("approx_users") >= lo) & (F.col("approx_users") <= hi)).alias(
+            "within_bound"
+        ),
+    ).orderBy("event_type", "week")
 
 
 # --------------------------------------------------------------------------

@@ -491,3 +491,67 @@ def test_epoch_shuffle_is_reproducible_distinct_permutations(spark):
     assert len(set(orders)) == SHUFFLE_EPOCHS  # epochs differ
     rerun = epoch_shuffle(spark, sf).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
+
+
+def test_bpe_merges_reproduce_reference_implementation(spark):
+    """bpe_merges_from_words must reproduce a straight Sennrich-style
+    reference BPE (get_stats + left-to-right merge, ties broken by
+    (lhs, rhs) lexicographic order — the op's documented determinism
+    contract) on a planted corpus, merge for merge."""
+    from collections import Counter
+
+    from kinesis_to_firehose_spark.operators.curation import (
+        _BPE_EOW,
+        bpe_merges_from_words,
+    )
+
+    corpus = {
+        "low": 5,
+        "lower": 2,
+        "newest": 6,
+        "widest": 3,
+        "lowest": 4,
+        "newer": 2,
+    }
+    n_merges = 8
+
+    # reference implementation (Sennrich ACL'16 pseudo-code)
+    vocab = {
+        tuple(list(w) + [_BPE_EOW]): f for w, f in corpus.items()
+    }
+    expect = []
+    for rank in range(1, n_merges + 1):
+        stats: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        # tie-break: highest count, then lexicographically smallest pair
+        top_cnt = max(stats.values())
+        best = min(p for p, c in stats.items() if c == top_cnt)
+        expect.append((rank, best[0], best[1], best[0] + best[1], top_cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+
+    words = spark.createDataFrame(
+        [(w, f) for w, f in corpus.items()], "w string, freq long"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges_from_words(words, n_merges).collect()
+    ]
+    assert got == expect

@@ -367,6 +367,162 @@ def test_edit_distance_passjoin_matches_naive_blocked_join(spark, tmp_path):
     assert got == naive
 
 
+def test_edit_distance_passjoin_short_and_varied_lengths(spark, tmp_path):
+    """Round-9 truncated-piece emission: docs SHORTER than the 32-char
+    prefix cap have a short final segment whose error-free image in a
+    longer neighbour is not the neighbour's full 8-char substring.
+    Plant mutations across lengths 8–40 (including pure end-insertions
+    and end-deletions, the exact fork case) and require equality with
+    the naive in-block all-pairs filter."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        EDIT_TAU,
+        _PREFIX,
+        NORM_EXPR,
+        dedup_edit_distance,
+    )
+
+    rng = random.Random(29)
+    alpha = "abcdefghij "
+    docs = []
+    for n in (8, 12, 20, 26, 28, 29, 30, 31, 32, 36, 40):
+        for _ in range(3):
+            s = "".join(rng.choice(alpha) for _ in range(n))
+            docs.append(s)
+            # end-insertion twin: dist = #appended chars, image of the
+            # short doc's last segment sits strictly inside the twin
+            docs.append(s + "".join(rng.choice("xyz") for _ in range(rng.randint(1, EDIT_TAU))))
+            # end-deletion twin
+            if n > EDIT_TAU + 1:
+                docs.append(s[: n - rng.randint(1, EDIT_TAU)])
+            # interior mutation twin
+            mut = list(s)
+            for _e in range(rng.randint(1, EDIT_TAU)):
+                kind = rng.choice(("sub", "ins", "del"))
+                pos = rng.randrange(max(1, len(mut) - 1))
+                if kind == "sub":
+                    mut[pos] = rng.choice(alpha)
+                elif kind == "ins":
+                    mut.insert(pos, rng.choice(alpha))
+                elif len(mut) > 1:
+                    del mut[pos]
+            docs.append("".join(mut))
+    path = str(tmp_path / "edshort")
+    _write_documents(spark, path, docs)
+
+    got = {
+        (r["doc_id_1"], r["doc_id_2"], r["edit_dist"])
+        for r in dedup_edit_distance(spark, path).collect()
+    }
+    d = spark.read.parquet(f"{path}/documents.parquet")
+    p = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        F.substring(F.expr(NORM_EXPR), 1, _PREFIX).alias("prefix"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    naive = {
+        (r["doc_id_1"], r["doc_id_2"], r["edit_dist"])
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_TAU)
+        .collect()
+    }
+    assert got == naive
+    assert len(got) > 30  # the corpus actually planted matches
+
+
+def test_ngram_jaccard_prefix_filter_matches_naive(spark, tmp_path):
+    """Round-9 AllPairs prefix filter: candidates from rare-shingle
+    prefixes + size-ratio must reproduce the full inverted-index
+    result exactly on a corpus with varied doc lengths (the size
+    filter and ceil(τ·n) prefix bound both depend on n)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        JACCARD_TAU,
+        MAX_SHINGLE_DF,
+        dedup_ngram_jaccard,
+        shingles_from_docs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(120)]
+    docs = []
+    for n in (6, 10, 20, 40, 70):
+        for _ in range(8):
+            toks = [rng.choice(vocab) for _ in range(n)]
+            docs.append(" ".join(toks))
+            # near-dup twin: mutate ~20% of tokens
+            mut = list(toks)
+            for _e in range(max(1, n // 5)):
+                mut[rng.randrange(n)] = rng.choice(vocab)
+            docs.append(" ".join(mut))
+            # subset twin: drop a tail chunk (length-skewed pair)
+            docs.append(" ".join(toks[: max(3, n - n // 3)]))
+    path = str(tmp_path / "njpf")
+    _write_documents(spark, path, docs)
+
+    got = {
+        (r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, path).collect()
+    }
+
+    d = spark.read.parquet(f"{path}/documents.parquet")
+    ex = shingles_from_docs(d)
+    capped = ex.withColumn(
+        "df_cnt",
+        F.count("*").over(W.partitionBy("lang", "len_bucket", "shingle")),
+    ).filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
+    full = capped.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
+    )
+    a, b = full.alias("a"), full.alias("b")
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    naive = {
+        (r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+        for r in a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(
+            F.min("a.n_sh").alias("n1"),
+            F.min("b.n_sh").alias("n2"),
+            F.count("*").alias("inter"),
+        )
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_id_1", "doc_id_2", F.round(jac, 6).alias("jaccard"))
+        .collect()
+    }
+    assert got == naive
+    assert len(got) > 10  # planted twins actually matched
+
+
 def test_ivf_training_beats_seed_on_clustered_data(spark, tmp_path):
     """Lloyd-trained centroids must rescue the degenerate-seed case:
     the first 8 vectors (= the seed centroids AND the queries) are all

@@ -173,6 +173,7 @@ def test_hll_merge_consistency(spark):
     from kinesis_to_firehose_spark.sources.tables import load
 
     from kinesis_to_firehose_spark.operators.mining import (
+        HLL_ABS_TOL,
         hll_partition_merge_raw,
     )
 
@@ -198,7 +199,7 @@ def test_hll_merge_consistency(spark):
     for k, approx in merged.items():
         d, exact = direct[k]
         assert approx == d, k  # lossless merge
-        assert abs(approx - exact) <= max(3, 0.05 * exact), k
+        assert abs(approx - exact) <= max(HLL_ABS_TOL, 0.05 * exact), k
 
 
 def test_dp_release_mechanism_properties(spark):

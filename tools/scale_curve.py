@@ -5,7 +5,10 @@ rows_lo). alpha <= 1 is sub-linear; the 100 TB question is whether
 the curve BENDS between decades, which a single sf1 point can't show.
 
 Usage: python tools/scale_curve.py [lo_dir hi_dir growth out.json]
-       (growth = hi rows / lo rows, default 3.0)
+       (growth = nominal hi/lo factor, default 3.0 — used only as a
+       fallback; the exponent denominator is the MEASURED events-table
+       row ratio of the two dirs, recorded in the artifact, so an
+       approximate gen_scale multiplier can't skew alphas)
 """
 
 from __future__ import annotations
@@ -53,11 +56,36 @@ def time_op(spark, fn, sf_dir: str) -> tuple[float, int]:
     return round(best, 3), n
 
 
+def measured_growth(lo: str, hi: str) -> tuple[int, int]:
+    """Actual input row counts of the two decades (events table, the
+    largest input) — ADVICE r8: the nominal gen_scale factor is
+    approximate, so exponents must divide by the measured ratio."""
+    import duckdb
+
+    counts = []
+    for d in (lo, hi):
+        path = f"{d}/events.parquet"
+        import os
+
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        counts.append(
+            duckdb.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+        )
+    return counts[0], counts[1]
+
+
 def main() -> None:
     lo = sys.argv[1] if len(sys.argv) > 1 else ".testdata/sf1"
     hi = sys.argv[2] if len(sys.argv) > 2 else ".testdata/sf3"
-    growth = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    growth_nominal = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
     out_path = sys.argv[4] if len(sys.argv) > 4 else "SCALE_CURVE.json"
+    in_lo, in_hi = measured_growth(lo, hi)
+    growth = (in_hi / in_lo) if in_lo and in_hi else growth_nominal
+    print(
+        f"input rows (events): {in_lo} -> {in_hi}, measured growth "
+        f"x{growth:.3f} (nominal x{growth_nominal})"
+    )
     spark = get_spark("scale-curve")
     ops = all_ops()
     rows = {}
@@ -90,7 +118,15 @@ def main() -> None:
             f"out_alpha={out_alpha if out_alpha is None else round(out_alpha, 2)}",
             flush=True,
         )
-    artifact = {"lo": lo, "hi": hi, "growth": growth, "ops": rows}
+    artifact = {
+        "lo": lo,
+        "hi": hi,
+        "growth": round(growth, 4),
+        "growth_nominal": growth_nominal,
+        "input_rows_lo": in_lo,
+        "input_rows_hi": in_hi,
+        "ops": rows,
+    }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
         f.write("\n")
