@@ -2,7 +2,7 @@
 SHELL := /bin/bash
 SF_DIR ?= /root/testdata/sf0.1
 
-.PHONY: test parity parity-sf1 bench bench-sf1 scale-curve forwarder-throughput digest image
+.PHONY: test parity parity-sf1 parity-sf3 bench bench-sf1 scale-curve forwarder-throughput digest image
 
 test:
 	python -m pytest tests/ -x -q
@@ -18,6 +18,15 @@ parity:
 # idle host — 150 falsely timed it out in round 7
 parity-sf1:
 	python regress.py --parity --all --sf-dir .testdata/sf1 --budget 300
+
+# third-decade parity exposure (r8 verdict task 6): the SCALE_CURVE
+# heavy-op subset, oracle-checked at sf3. Stamped into
+# PARITY_SWEEP.json as a named-subset (partial) sweep. Budget 2400:
+# the readable-definition DuckDB oracles are intentionally quadratic
+# (all-pairs-in-block levenshtein ~9x its ~190 s sf1 cost).
+parity-sf3:
+	python regress.py --parity --sf-dir .testdata/sf3 --budget 2400 \
+	  --ops $$(python -c "from tools.scale_curve import CURVE_OPS; print(','.join(CURVE_OPS))")
 
 bench:
 	python bench.py | python regress.py -

@@ -222,34 +222,19 @@ df_capped AS (
     FROM raw_exploded
   ) WHERE df_cnt <= {MAX_SHINGLE_DF}
 ),
-ranked AS (
+exploded AS (
   SELECT doc_id, lang, len_bucket, shingle,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY df_cnt, shingle) AS rn
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
   FROM df_capped
 ),
-pref AS (
-  SELECT * FROM ranked
-  WHERE rn <= n_sh - CEIL({JACCARD_TAU} * n_sh) + 1
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-                  a.n_sh AS n1, b.n_sh AS n2
-  FROM pref a
-  JOIN pref b
+matches AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2, COUNT(*) AS inter
+  FROM exploded a
+  JOIN exploded b
     ON a.shingle = b.shingle AND a.lang = b.lang
    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-   AND a.n_sh * {JACCARD_TAU} <= b.n_sh
-   AND b.n_sh * {JACCARD_TAU} <= a.n_sh
-),
-matches AS (
-  SELECT c.doc_id_1, c.doc_id_2, MIN(c.n1) AS n1, MIN(c.n2) AS n2,
-         COUNT(*) AS inter
-  FROM cand c
-  JOIN ranked fa ON fa.doc_id = c.doc_id_1
-  JOIN ranked fb ON fb.doc_id = c.doc_id_2 AND fb.shingle = fa.shingle
-  GROUP BY c.doc_id_1, c.doc_id_2
+  GROUP BY doc_id_1, doc_id_2
 )
 SELECT doc_id_1, doc_id_2,
        ROUND(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
@@ -258,70 +243,156 @@ WHERE inter * 1.0 / (n1 + n2 - inter) >= {JACCARD_TAU}
 ORDER BY doc_id_1, doc_id_2
 """
 
+# Exact-rational prefix lengths (τ = TAU_P/TAU_Q): float ceil(τ·n) can
+# land one ULP above an exact integer and silently SHORTEN a prefix —
+# a completeness bug — so both bounds use integer ceil-division.
+TAU_P, TAU_Q = 1, 2  # JACCARD_TAU as a fraction
+assert TAU_P / TAU_Q == JACCARD_TAU
+
 
 @register("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = exploded_shingles(spark, sf_dir)
-    capped = ex.withColumn(
-        "df_cnt",
-        F.count("*").over(W.partitionBy("lang", "len_bucket", "shingle")),
-    ).filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
-    # Materialize the ranked shingle index once: the prefix join (both
-    # sides) and the verification join (both sides) all consume it,
-    # and without a cut the explode + three window shuffles replay per
-    # consumer. Same materialize-the-index shape as the MinHash
-    # signature table below.
-    ranked = (
-        capped.withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df_cnt", "shingle")
-            ),
-        )
-        .drop("df_cnt")
-        .localCheckpoint(eager=True)
+    """AllPairs candidate generation, array-intersect verification.
+
+    The oracle is the readable full inverted-index definition; the
+    Spark plan produces the identical result without ever grouping
+    the full co-shingle pair space:
+
+    - ASYMMETRIC prefixes (Bayardo et al.): under the global
+      (df, shingle) rarity order, the PROBE side keeps each doc's
+      first n − ⌈τ·n⌉ + 1 shingles, the INDEX side only
+      n − ⌈2τ·n/(1+τ)⌉ + 1, with the join constrained to
+      index-(n_sh, doc_id) < probe-(n_sh, doc_id) — the classic
+      size-ordered processing expressed as a join predicate. For any
+      pair with J ≥ τ the required overlap α = ⌈τ/(1+τ)(n1+n2)⌉
+      satisfies α ≥ ⌈τ·n_probe⌉ and α ≥ ⌈2τ/(1+τ)·n_index⌉ (the
+      index side is the smaller doc), so both prefixes contain an
+      element of the intersection and — since every element of
+      either set ranked at-or-below the shorter prefix's last
+      element IS in that set's prefix — they share one. Both prefix
+      bounds use exact integer ceil-division (see TAU_P/TAU_Q).
+    - Verification joins the DISTINCT candidate pairs to a per-doc
+      shingle-ARRAY table (doc grain, AQE-broadcastable at bench
+      scale, a keyed shuffle at 100 TB — never per-shingle rows) and
+      computes the exact intersection with array_intersect, a
+      codegen'd hash-set probe per pair.
+    """
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_rarity_docs_store,
     )
-    pref = ranked.filter(
-        F.col("rn")
-        <= F.col("n_sh") - F.ceil(F.lit(JACCARD_TAU) * F.col("n_sh")) + 1
+
+    # Doc-grain rarity-sorted shingle arrays from the persisted
+    # per-corpus store (the df-count + rollup is a BUILD step —
+    # queries pay a parquet scan); prefixes explode from array slices.
+    docs_g = corpus_rarity_docs_store(spark, sf_dir)
+    # exact integer ceil-division prefix bounds (see TAU_P/TAU_Q)
+    probe = docs_g.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        "n_sh",
+        F.explode(
+            F.expr(
+                f"slice(sh, 1, size(sh)"
+                f" - (({TAU_P} * size(sh) + {TAU_Q} - 1) DIV {TAU_Q}) + 1)"
+            )
+        ).alias("shingle"),
     )
-    a = pref.alias("a")
-    b = pref.alias("b")
+    index = docs_g.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        "n_sh",
+        F.explode(
+            F.expr(
+                f"slice(sh, 1, size(sh)"
+                f" - ((2 * {TAU_P} * size(sh) + {TAU_P} + {TAU_Q} - 1)"
+                f" DIV ({TAU_P} + {TAU_Q})) + 1)"
+            )
+        ).alias("shingle"),
+    )
+    a = probe.alias("a")
+    b = index.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") * JACCARD_TAU <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * JACCARD_TAU <= F.col("a.n_sh")),
+            & (
+                (F.col("b.n_sh") < F.col("a.n_sh"))
+                | (
+                    (F.col("b.n_sh") == F.col("a.n_sh"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id"))
+                )
+            )
+            # size filter: τ·n_probe ≤ n_index (exact integers)
+            & (TAU_P * F.col("a.n_sh") <= TAU_Q * F.col("b.n_sh")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
+            F.col("a.doc_id").alias("doc_p"),
+            F.col("b.doc_id").alias("doc_i"),
+            F.col("a.n_sh").alias("np"),
+            F.col("b.n_sh").alias("ni"),
         )
-        .distinct()
+        # aggregate the match MULTISET per pair: p = |P_A ∩ P_B|
+        # feeds the suffix bound below (and dedupes, so each pair
+        # rides the array-verify joins once)
+        .groupBy("doc_p", "doc_i", "np", "ni")
+        .agg(F.count("*").alias("p"))
     )
-    fa = ranked.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    fb = ranked.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    matches = (
-        cand.join(fa, "doc_id_1")
-        .join(fb, ["doc_id_2", "shingle"])
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(
-            F.min("n1").alias("n1"),
-            F.min("n2").alias("n2"),
-            F.count("*").alias("inter"),
+    # Pair-level suffix bound (PPJoin-style, set-exact): with
+    # w* = min(last(P_A), last(P_B)) under the global order, every
+    # intersection element ≤ w* lies in BOTH prefixes (it ranks at or
+    # below the prefix cut of each side), so at most p intersection
+    # elements rank ≤ w*; elements beyond w* number ≤ n − L on the
+    # side whose prefix ends at w* and ≤ n − p on the other. Which
+    # side w* belongs to is unknown per pair, so take the max of both
+    # cases — a sound upper bound on |A ∩ B|; pairs whose bound can't
+    # reach α = ⌈τ/(1+τ)(n1+n2)⌉ never touch the verify joins. On the
+    # sf3 decade this prunes ~98% of candidates (intra-cluster pairs
+    # below τ).
+    lp = F.col("np") - F.expr(
+        f"({TAU_P} * np + {TAU_Q} - 1) DIV {TAU_Q}"
+    ) + 1
+    li = F.col("ni") - F.expr(
+        f"(2 * {TAU_P} * ni + {TAU_P} + {TAU_Q} - 1)"
+        f" DIV ({TAU_P} + {TAU_Q})"
+    ) + 1
+    alpha = F.expr(
+        f"({TAU_P} * (np + ni) + {TAU_P} + {TAU_Q} - 1)"
+        f" DIV ({TAU_P} + {TAU_Q})"
+    )
+    ub = F.col("p") + F.greatest(
+        F.least(F.col("np") - lp, F.col("ni") - F.col("p")),
+        F.least(F.col("ni") - li, F.col("np") - F.col("p")),
+    )
+    cand = cand.filter(ub >= alpha)
+    v = (
+        cand.join(
+            docs_g.select(
+                F.col("doc_id").alias("doc_p"), F.col("sh").alias("sh_p")
+            ),
+            "doc_p",
+        )
+        .join(
+            docs_g.select(
+                F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")
+            ),
+            "doc_i",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_p", "sh_i"))
         )
     )
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    jac = F.col("inter") / (F.col("np") + F.col("ni") - F.col("inter"))
     return (
-        matches.filter(jac >= JACCARD_TAU)
-        .select("doc_id_1", "doc_id_2", F.round(jac, 6).alias("jaccard"))
+        v.filter(jac >= JACCARD_TAU)
+        .select(
+            F.least("doc_p", "doc_i").alias("doc_id_1"),
+            F.greatest("doc_p", "doc_i").alias("doc_id_2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
         .orderBy("doc_id_1", "doc_id_2")
     )
 

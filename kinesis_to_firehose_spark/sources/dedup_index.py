@@ -427,3 +427,57 @@ def compact_dedup_index(spark: SparkSession, path: str) -> None:
         )
         shutil.rmtree(f"{path}/{sub}")
         shutil.move(tmp, f"{path}/{sub}")
+
+
+def corpus_rarity_docs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain rarity-sorted shingle arrays for the documents table:
+    (doc_id, lang, len_bucket, n_sh, sh) with `sh` the doc's df-capped
+    shingles sorted by (block document-frequency, shingle) ascending —
+    the global rarity order the AllPairs prefix filter slices, AND the
+    exact-verification payload, persisted once per corpus (round-9:
+    the df-count + join + doc rollup was rebuilt inside every
+    dedup_ngram_jaccard/dedup_minhash_eval call and dominated the op).
+    The df cap rides the store version so a MAX_SHINGLE_DF change
+    rebuilds."""
+    from kinesis_to_firehose_spark.operators.dedup import MAX_SHINGLE_DF
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    path = store_path(
+        "raritydocs",
+        sf_dir,
+        "documents",
+        f"rarity-docs-v1|cap={MAX_SHINGLE_DF}",
+    )
+
+    def _build(tmp: str) -> None:
+        ex = corpus_shingle_store(spark, sf_dir).select(
+            "doc_id", "lang", "len_bucket", "shingle"
+        )
+        df_tab = (
+            ex.groupBy("lang", "len_bucket", "shingle")
+            .agg(F.count("*").alias("df_cnt"))
+            .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
+        )
+        (
+            ex.join(df_tab, ["lang", "len_bucket", "shingle"])
+            .groupBy("doc_id", "lang", "len_bucket")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("df_cnt", "shingle"))
+                ).alias("ss")
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "len_bucket",
+                F.expr("transform(ss, x -> x.shingle)").alias("sh"),
+                F.size("ss").alias("n_sh"),
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    return spark.read.parquet(ensure_store(path, _build))

@@ -160,7 +160,14 @@ def parity_main() -> None:
     from tests.oracle_harness import compare
 
     ops = all_ops()
-    if "--all" in sys.argv:
+    if "--ops" in sys.argv:
+        names = sys.argv[sys.argv.index("--ops") + 1].split(",")
+        unknown = [n for n in names if n not in ops]
+        if unknown:
+            raise SystemExit(f"unknown ops: {unknown}")
+        todo = sorted(n for n in names if ops[n].sql is not None)
+        print(f"{len(todo)} named oracle ops at {sf_dir}")
+    elif "--all" in sys.argv:
         todo = sorted(n for n, op in ops.items() if op.sql is not None)
         print(f"ALL {len(todo)} oracle ops at {sf_dir}")
     elif "--all-stale" in sys.argv:
@@ -251,12 +258,14 @@ def parity_main() -> None:
         + (f"; TIMEOUTS: {timeouts}" if timeouts else "")
         + (f"; SCALE-CAPPED (skipped by design): {capped}" if capped else "")
     )
-    if "--all" in sys.argv:
+    if "--all" in sys.argv or "--ops" in sys.argv:
         # stamp the sweep (green or red) against the current operator
         # source hash — tests/test_parity_stamp.py and the pre-commit
         # hook refuse a stale/red stamp, so an unswept aggregate edit
         # can't ship again (round-5 q1 postmortem). Budget timeouts
-        # are recorded but don't redden the stamp.
+        # are recorded but don't redden the stamp. A named-subset
+        # sweep (--ops) stamps with `partial` so it can't masquerade
+        # as a full sweep.
         from tools.parity_stamp import write as stamp_write
 
         stamp_write(
@@ -266,6 +275,11 @@ def parity_main() -> None:
             failures,
             timeouts,
             capped,
+            partial=(
+                f"named subset ({len(todo)} ops): {','.join(todo)}"
+                if "--ops" in sys.argv
+                else None
+            ),
         )
         print(f"PARITY_SWEEP.json stamped for {sf_dir}")
     sys.exit(1 if failures else 0)
