@@ -1483,3 +1483,69 @@ def test_gated_candidate_pairs_differential_random_buckets(spark):
                     assert (a, b) in got
 
     check()
+
+
+def test_allpairs_suffix_bound_is_sound_on_random_sets():
+    """Pure-Python model of the ngram-jaccard candidate math: on random
+    set pairs under a global order, (a) the asymmetric prefixes of any
+    pair with J >= tau share an element, and (b) the pair-level suffix
+    bound p + max(min(n1-L1, n2-p), min(n2-L2, n1-p)) is >= the true
+    intersection — i.e. the filter can never drop a qualifying pair.
+    Guards the TAU_P/TAU_Q integer-ceil formulas and the bound's
+    case analysis against future edits."""
+    import random
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        JACCARD_TAU,
+        TAU_P,
+        TAU_Q,
+    )
+
+    rng = random.Random(99)
+    universe = list(range(500))
+
+    def prefix_probe(n):
+        return n - ((TAU_P * n + TAU_Q - 1) // TAU_Q) + 1
+
+    def prefix_index(n):
+        return n - (
+            (2 * TAU_P * n + TAU_P + TAU_Q - 1) // (TAU_P + TAU_Q)
+        ) + 1
+
+    checked_pairs = 0
+    for trial in range(4000):
+        n1 = rng.randint(1, 40)
+        a = set(rng.sample(universe, n1))
+        if trial % 2:
+            # near-duplicate twin: drop/add a few elements (J >= tau
+            # cases come from here)
+            b = set(a)
+            for _ in range(rng.randint(0, max(1, n1 // 3))):
+                if b and rng.random() < 0.5:
+                    b.discard(rng.choice(sorted(b)))
+                else:
+                    b.add(rng.choice(universe))
+            if not b:
+                b = {rng.choice(universe)}
+        else:
+            b = set(rng.sample(universe, rng.randint(1, 40)))
+        n1, n2 = len(a), len(b)
+        inter = len(a & b)
+        jac = inter / (n1 + n2 - inter)
+        # orient: probe = larger (or tie-broken) side, index = smaller
+        (np_, pa), (ni_, pb) = sorted(
+            [(n1, a), (n2, b)], key=lambda t: -t[0]
+        )
+        pref_a = set(sorted(pa)[: prefix_probe(np_)])
+        pref_b = set(sorted(pb)[: prefix_index(ni_)])
+        p = len(pref_a & pref_b)
+        lp, li = prefix_probe(np_), prefix_index(ni_)
+        ub = p + max(min(np_ - lp, ni_ - p), min(ni_ - li, np_ - p))
+        # the suffix bound is an upper bound on the TRUE intersection
+        # for every pair (whichever side w* falls on, one of the two
+        # max-arms is the valid case bound)
+        assert ub >= inter, (p, ub, inter, np_, ni_)
+        if jac >= JACCARD_TAU and TAU_P * np_ <= TAU_Q * ni_:
+            checked_pairs += 1
+            assert p >= 1, (sorted(pa), sorted(pb))  # prefixes collide
+    assert checked_pairs > 200  # the generator produced real cases
