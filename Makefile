@@ -2,7 +2,7 @@
 SHELL := /bin/bash
 SF_DIR ?= /root/testdata/sf0.1
 
-.PHONY: test parity parity-sf1 parity-sf3 bench bench-sf1 scale-curve forwarder-throughput digest image
+.PHONY: test parity parity-sf1 parity-sf3 bench bench-sf1 scale-curve scale-curve-sf10 forwarder-throughput digest image
 
 test:
 	python -m pytest tests/ -x -q
@@ -44,6 +44,12 @@ scale-curve:
 	python tools/gen_scale.py /root/testdata/sf0.1 .testdata/sf1 10
 	python tools/gen_scale.py /root/testdata/sf0.1 .testdata/sf3 30
 	python tools/scale_curve.py
+
+# fourth-decade envelope (Spark side only, no oracles): the 5 heaviest
+# main-stanza ops re-timed at sf3 -> sf10, appended to SCALE_CURVE.json
+scale-curve-sf10:
+	python tools/gen_scale.py /root/testdata/sf0.1 .testdata/sf10 100
+	python tools/scale_curve.py --sf10
 
 digest:
 	python -m kinesis_to_firehose_spark.plans.digest

@@ -2469,11 +2469,15 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism contract (both engines, any partitioning): pair counts
 # count EVERY adjacent occurrence (Sennrich's get_stats); the winning
 # pair breaks count ties by (lhs, rhs) lexicographic order; merge
-# application is left-to-right non-overlapping, which both engines'
-# non-regex replace() implement over the parenthesis-wrapped symbol
-# encoding "(h)(e)(l)(l)(o)(</w>)" — wrapping makes adjacent-pair
-# occurrences share no characters, so replace('(l)(o)') is exactly the
-# greedy BPE merge.
+# application is left-to-right non-overlapping. The real invariant
+# (ADVICE r9 — repeated-symbol pairs like '(l)(l)' in '(l)(l)(l)' DO
+# overlap): both engines' non-regex replace() scans left-to-right and
+# never rescans replaced output, so over the parenthesis-wrapped
+# encoding "(h)(e)(l)(l)(o)(</w>)" replace('(l)(l)' → '(ll)') consumes
+# occurrences greedily from the left — exactly the greedy BPE merge —
+# and the wrapping pins token boundaries so '(l)(o)' can only match a
+# genuine adjacent symbol pair, never a substring spanning longer
+# symbols.
 # --------------------------------------------------------------------------
 BPE_TOP_WORDS = 1500
 BPE_MERGES = 12

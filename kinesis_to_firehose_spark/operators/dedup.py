@@ -250,8 +250,7 @@ TAU_P, TAU_Q = 1, 2  # JACCARD_TAU as a fraction
 assert TAU_P / TAU_Q == JACCARD_TAU
 
 
-@register("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AllPairs candidate generation, array-intersect verification.
 
     The oracle is the readable full inverted-index definition; the
@@ -394,6 +393,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
         .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact τ-Jaccard pairs, served from the persisted per-corpus
+    pair store (round-10, verdict task 4): the AllPairs plan
+    (`ngram_jaccard_plan`, unchanged) is the store's BUILD step, paid
+    once per corpus content; queries — this op and every consumer
+    that needs the exact truth set (dedup_minhash_eval's recall
+    denominator) — pay a parquet scan. Store == direct is pinned by
+    tests/test_dedup_properties.py."""
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_jaccard_pairs_store,
+    )
+
+    return corpus_jaccard_pairs_store(spark, sf_dir).orderBy(
+        "doc_id_1", "doc_id_2"
     )
 
 
@@ -2574,8 +2591,16 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2")
         .withColumn("in_pred", F.lit(1))
     )
+    # truth pairs straight from the persisted store (round-10 task 4:
+    # both sides of the eval are now store probes — no signature or
+    # AllPairs re-run per invocation), skipping dedup_ngram_jaccard's
+    # presentation sort, dead weight under a join
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_jaccard_pairs_store,
+    )
+
     truth = (
-        dedup_ngram_jaccard(spark, sf_dir)
+        corpus_jaccard_pairs_store(spark, sf_dir)
         .select("doc_id_1", "doc_id_2")
         .withColumn("in_truth", F.lit(1))
     )
@@ -2620,23 +2645,29 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# dedup_provenance_chain — duplicate PROVENANCE via native recursion
-# (Spark 4.1 WITH RECURSIVE): each near-dup's minimum-id candidate
-# partner becomes its parent (parent < child by construction, so the
-# parent map is a FOREST — recursion provably terminates under
-# Spark's UNION ALL-only recursive CTEs, where a cyclic closure like
-# the CC fixpoint cannot run); walking parent links yields, for every
-# duplicated document, the ORIGINAL it ultimately derives from and
-# the chain depth — the "who copied whom, transitively" audit that
-# cluster ids alone don't give. The recursion text from `parents`
-# down is identical in both engines; the pairs come from the shared
-# minhash chain (temp view Spark-side, the MINHASH_SQL body in the
-# oracle).
+# dedup_provenance_chain — duplicate PROVENANCE: each near-dup's
+# minimum-id candidate partner becomes its parent (parent < child by
+# construction, so the parent map is a FOREST — acyclic, every walk
+# terminates); walking parent links yields, for every duplicated
+# document, the ORIGINAL it ultimately derives from and the chain
+# depth — the "who copied whom, transitively" audit that cluster ids
+# alone don't give.
 #
-# Scale shape: all recursion tables are bounded by the candidate-pair
-# set (≪ corpus); each recursive step is one equi-join of the current
-# frontier against the parent forest, and chain depth is bounded by
-# the longest duplication chain, not the corpus.
+# Spark side is POINTER DOUBLING, not the naive walk (round-10 rework;
+# was a WITH RECURSIVE walk whose round count equals the longest chain
+# DEPTH, each round re-joining the frontier against the full parent
+# forest — 36s at sf3, the largest wall on SCALE_CURVE): the mapping
+# doc → (ancestor at distance d) is composed with ITSELF each round,
+# so reach doubles — ⌈log₂ depth⌉ self-joins of a table bounded by the
+# duplicate-doc count, each localCheckpoint-ed so lineage stays flat.
+# The DuckDB oracle keeps the readable recursive-CTE definition; both
+# compute root = deepest ancestor and depth = chain length, exact
+# integers, so results agree bit-for-bit.
+#
+# Scale shape: all tables are bounded by the candidate-pair set
+# (≪ corpus); round count is log of the longest duplication chain —
+# a 2^40-deep chain (never) would take 40 self-joins of a pair-bounded
+# table. No full-forest re-walk per level.
 # --------------------------------------------------------------------------
 _PROV_RECURSION = """
 WITH RECURSIVE parents AS (
@@ -2674,6 +2705,56 @@ PROVENANCE_SQL = f"""
 """
 
 
+# log₂ bound on chain depth: 2^48 parent hops would need more docs
+# than any corpus holds; a non-converged exit past this is a cycle,
+# which the parent<child forest construction makes impossible.
+_PROV_MAX_ROUNDS = 48
+
+
+def pointer_double_forest(parents: DataFrame) -> tuple[DataFrame, int]:
+    """Collapse a parent FOREST ``(doc, parent)`` (parent < doc, so
+    acyclic) into ``(doc, anc, depth)`` where anc is each doc's root
+    ancestor and depth its chain length, in O(log depth) self-joins.
+
+    Round k maps every doc to its ancestor at distance min(2^k, true
+    depth): compose the mapping with itself — a doc whose current
+    ancestor is still someone's child splices that ancestor's own
+    (reach, depth) onto its own; a doc whose ancestor is a root is
+    finished and passes through untouched. Converged when no row
+    spliced. Each round is one equi-join of the mapping against
+    itself (both sides the same checkpointed table, size = #dup
+    docs), never against the corpus.
+    """
+    m = parents.select(
+        "doc", F.col("parent").alias("anc"), F.lit(1).alias("depth")
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(_PROV_MAX_ROUNDS):
+        b = m.select(
+            F.col("doc").alias("b_doc"),
+            F.col("anc").alias("b_anc"),
+            F.col("depth").alias("b_depth"),
+        )
+        nxt = (
+            m.join(b, m["anc"] == b["b_doc"], "left")
+            .select(
+                "doc",
+                F.coalesce("b_anc", "anc").alias("anc"),
+                (F.col("depth") + F.coalesce("b_depth", F.lit(0))).alias(
+                    "depth"
+                ),
+                F.col("b_doc").isNotNull().alias("spliced"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        extended = nxt.filter("spliced").limit(1).count()
+        m = nxt.drop("spliced")
+        if extended == 0:
+            break
+    return m, rounds
+
+
 @register("dedup_provenance_chain", PROVENANCE_SQL)
 def dedup_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
@@ -2681,5 +2762,25 @@ def dedup_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= CLUSTER_TAU)
         .select("doc_id_1", "doc_id_2")
     )
-    pairs.createOrReplaceTempView("prov_pairs_rec")
-    return spark.sql(_PROV_RECURSION.format(pairs="prov_pairs_rec"))
+    parents = pairs.groupBy(F.col("doc_id_2").alias("doc")).agg(
+        F.min("doc_id_1").alias("parent")
+    )
+    m, _ = pointer_double_forest(parents)
+    # chains ∪ roots, the oracle's output grain: at convergence every
+    # anc is a root (∉ parents), so the oracle's NOT IN filter on
+    # root_id is the identity here — distinct(anc) IS the root set.
+    chains = m.select(
+        F.col("doc").alias("doc_id"),
+        F.col("anc").alias("root_id"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+    roots = (
+        m.select(F.col("anc").alias("doc_id"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("root_id"),
+            F.lit(0).cast("bigint").alias("depth"),
+        )
+    )
+    return chains.unionAll(roots).orderBy("doc_id")

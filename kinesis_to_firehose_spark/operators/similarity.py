@@ -1359,38 +1359,78 @@ def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
 
-def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, code): nearest per-subspace centroid ids."""
-    subs = _pq_subs(spark, sf_dir)
-    cents = subs.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+def _collect_vectors(df: DataFrame, id_col: str = "vec_id"):
+    """Driver-side float64 matrix of a TINY vector table (codebook
+    seeds / coarse centroids — tens of rows by convention), indexed
+    densely by id rank. Returns (ids, matrix)."""
+    import numpy as np
+
+    rows = sorted(df.select(id_col, "embedding").collect(), key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _pq_codebook_np(mat):
+    """(M, K, DSUB) float64 subspace codebook from K seed vectors."""
+    return mat.reshape(PQ_K, PQ_M, PQ_DSUB).transpose(1, 0, 2)
+
+
+def _encode_codes_np(E, C):
+    """Vectorized nearest-subspace-centroid encode; bit-compatible
+    with the SQL definition: squared-L2 folds dim-by-dim from 0.0
+    (elementwise numpy adds are the same IEEE op sequence per element
+    as aggregate/list_reduce), distances round to 8dp before argmin,
+    and np.argmin's first-minimum rule IS the ORDER BY d, cid
+    tie-break. E: (n, dim); C: (M, K, DSUB); → (n, M) int64."""
+    import numpy as np
+
+    n = E.shape[0]
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = E[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        acc = np.zeros((n, PQ_K), dtype=np.float64)
+        for d in range(PQ_DSUB):  # fold order == aggregate/list_reduce
+            diff = sub[:, d, None] - C[m, None, :, d]
+            acc = acc + diff * diff
+        codes[:, m] = np.argmin(np.round(acc, 8), axis=1)
+    return codes
+
+
+def _pq_code_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes array<bigint>): per-vector PQ codes via one
+    Arrow-batched pass (round-10 rework; was an N×M×K interpreted-HOF
+    distance join + row_number window — 17.8s at sf3 for what is
+    ~60k×8×16 fused float ops). The codebook (16 seed vectors) rides
+    the closure — the broadcast-small-dim pattern with a numpy body."""
+    import numpy as np
+    import pandas as pd
+
+    _, seeds = _collect_vectors(
+        load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < PQ_K)
     )
-    d = F.round(F.expr(l2sq_expr("sv", "cv", "spark")), 8)
-    wk = W.partitionBy("vec_id", "m").orderBy("d", "cid")
-    return (
-        subs.join(F.broadcast(cents), "m")
-        .select("vec_id", "m", "cid", d.alias("d"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
-    )
+    C = _pq_codebook_np(seeds)
+    e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+
+    def _encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = _encode_codes_np(E, C)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return e.mapInPandas(_encode, schema="vec_id long, codes array<bigint>")
 
 
 @register("pq_quantize", PQ_QUANTIZE_SQL)
 def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes = _pq_codes(spark, sf_dir)
-    return (
-        codes.select(
-            "vec_id",
-            F.struct("m", F.col("code").cast("bigint").alias("c")).alias("mc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr("transform(array_sort(collect_list(mc)), s -> s.c)")
-            .alias("codes")
-        )
-        .orderBy("vec_id")
-    )
+    return _pq_code_arrays(spark, sf_dir).orderBy("vec_id")
 
 
 ANN_PQ_SQL = f"""
@@ -1436,7 +1476,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.alias("d"),
         )
     )
-    codes = _pq_codes(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
+    # candidate codes from the Arrow encode kernel; posexplode's
+    # 0-based position IS the subspace index m
+    codes = (
+        _pq_code_arrays(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", F.posexplode("codes").alias("m", "code"))
+    )
     adc = (
         codes.join(F.broadcast(qtab), ["m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
@@ -2001,46 +2047,107 @@ def _slice_resid_subs(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _assign_cells_np(E, Cn):
+    """Nearest coarse cell per row, bit-compatible with _ranked_cells'
+    rk=1: cosine folds dim-by-dim (dot_expr order), divides by the
+    nrm product (_ASSIGN_COS_SQL's tree), rounds to 6dp; np.argmax's
+    first-maximum rule IS the DESC, centroid_id tie-break."""
+    import numpy as np
+
+    from kinesis_to_firehose_spark.operators.dedup import _seq_norm
+
+    acc = np.zeros((E.shape[0], Cn.shape[0]), dtype=np.float64)
+    for d in range(E.shape[1]):  # fold order == aggregate/list_reduce
+        acc = acc + E[:, d, None] * Cn[None, :, d]
+    cos = acc / (_seq_norm(E)[:, None] * _seq_norm(Cn)[None, :])
+    return np.argmax(np.round(cos, 6), axis=1)
+
+
+def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
+    """Driver-side (Cn, RC): the N_CENTROIDS coarse centroids and the
+    (M, K, DSUB) residual codebook — the 16 seeds' exact IEEE
+    residuals v − centroid[assigned cell], from 24 collected rows."""
+    head = load(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < N_CENTROIDS + PQ_K
+    )
+    _, mat = _collect_vectors(head)
+    Cn = mat[:N_CENTROIDS]
+    seeds = mat[N_CENTROIDS:]
+    seed_cells = _assign_cells_np(seeds, Cn)
+    return Cn, _pq_codebook_np(seeds - Cn[seed_cells])
+
+
+def _ivfpq_candidate_codes(
+    spark: SparkSession, sf_dir: str, Cn, RC
+) -> DataFrame:
+    """(vec_id, cell, codes array<bigint>) for every candidate
+    (vec_id ≥ N_QUERIES): coarse assignment + residual PQ encode fused
+    into ONE Arrow pass (round-10 rework; was two interpreted-HOF
+    joins — N×8 assignment cosines plus the N×M×K residual argmin —
+    18.7s at sf3). Codebooks ride the closure — broadcast-small-dim
+    with a numpy body."""
+    import numpy as np
+    import pandas as pd
+
+    e = (
+        load(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "embedding")
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cells = _assign_cells_np(E, Cn)
+            codes = _encode_codes_np(E - Cn[cells], RC)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cells,
+                    "codes": list(codes),
+                }
+            )
+
+    return e.mapInPandas(
+        _encode, schema="vec_id long, cell long, codes array<bigint>"
+    )
+
+
 @register("ann_ivfpq_topk", IVFPQ_SQL)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # query side (N_QUERIES rows): keep the declarative path, but rank
+    # cells for the QUERIES only — the corpus-wide ranking the old
+    # plan paid here lives in the candidate kernel now
     n = normed_embeddings(spark, sf_dir)
     cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    ranked = _ranked_cells(n, cents)
+    ranked_q = _ranked_cells(n.filter(F.col("vec_id") < N_QUERIES), cents)
     e = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     cent_emb = cents.select(F.col("centroid_id").alias("cell"), "c_emb")
 
-    assignment = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
-    resid = (
-        e.join(assignment, "vec_id")
-        .join(F.broadcast(cent_emb), "cell")
-        .select("vec_id", "cell", F.expr(_RESID_SPARK).alias("r"))
-    )
-    rsubs = _slice_resid_subs(resid, ["vec_id", "cell"])
-    rcents = rsubs.filter(
-        (F.col("vec_id") >= N_CENTROIDS)
-        & (F.col("vec_id") < N_CENTROIDS + PQ_K)
-    ).select(
-        "m",
-        (F.col("vec_id") - N_CENTROIDS).alias("cid"),
-        F.col("sv").alias("cv"),
+    Cn, RC = _ivfpq_codebooks(spark, sf_dir)
+    # the rcents CTE as driver data: 128 (m, cid, codeword) rows of
+    # exact IEEE doubles — identical values to the SQL construction
+    rcents = spark.createDataFrame(
+        [
+            (m, cid, [float(x) for x in RC[m, cid]])
+            for m in range(PQ_M)
+            for cid in range(PQ_K)
+        ],
+        schema="m int, cid int, cv array<double>",
     )
 
     d = F.round(F.expr(l2sq_expr("sv", "cv", "spark")), 8)
-    wk = W.partitionBy("vec_id", "m").orderBy("d", "cid")
-    codes = (
-        rsubs.filter(F.col("vec_id") >= N_QUERIES)
-        .join(F.broadcast(rcents), "m")
-        .select("vec_id", "cell", "m", "cid", d.alias("d"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cell", "m", F.col("cid").alias("code"))
+    codes = _ivfpq_candidate_codes(spark, sf_dir, Cn, RC).select(
+        "vec_id", "cell", F.posexplode("codes").alias("m", "code")
     )
 
-    probes = ranked.filter(
+    probes = ranked_q.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE)
     ).select(F.col("vec_id").alias("query_id"), "cell")
     qres = (

@@ -40,6 +40,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Version strings are CHAINED: a downstream store's cache key embeds
+# its upstream's version+params, so bumping e.g. the shingle
+# definition reroutes every derived store too — a stale derivation
+# can't silently serve arrays built from the old definition
+# (ADVICE r9).
+_SHINGLES_VERSION = "shingles-v1"
+
+
+def _rarity_params() -> str:
+    from kinesis_to_firehose_spark.operators.dedup import MAX_SHINGLE_DF
+
+    return f"rarity-docs-v1|up={_SHINGLES_VERSION}|cap={MAX_SHINGLE_DF}"
+
+
 def corpus_shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted distinct word-bigram shingles of the documents table
     (doc_id, lang, len_bucket, source, shingle) — the tokenize →
@@ -58,7 +72,7 @@ def corpus_shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         store_path,
     )
 
-    path = store_path("shingles", sf_dir, "documents", "shingles-v1")
+    path = store_path("shingles", sf_dir, "documents", _SHINGLES_VERSION)
 
     def _build(tmp: str) -> None:
         shingles_from_docs(
@@ -437,20 +451,16 @@ def corpus_rarity_docs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verification payload, persisted once per corpus (round-9:
     the df-count + join + doc rollup was rebuilt inside every
     dedup_ngram_jaccard/dedup_minhash_eval call and dominated the op).
-    The df cap rides the store version so a MAX_SHINGLE_DF change
-    rebuilds."""
+    The df cap AND the upstream shingle-store version ride the cache
+    key (see `_rarity_params`) so a MAX_SHINGLE_DF or shingle-
+    definition change rebuilds."""
     from kinesis_to_firehose_spark.operators.dedup import MAX_SHINGLE_DF
     from kinesis_to_firehose_spark.sources.store_cache import (
         ensure_store,
         store_path,
     )
 
-    path = store_path(
-        "raritydocs",
-        sf_dir,
-        "documents",
-        f"rarity-docs-v1|cap={MAX_SHINGLE_DF}",
-    )
+    path = store_path("raritydocs", sf_dir, "documents", _rarity_params())
 
     def _build(tmp: str) -> None:
         ex = corpus_shingle_store(spark, sf_dir).select(
@@ -479,5 +489,37 @@ def corpus_rarity_docs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(tmp)
         )
+
+    return spark.read.parquet(ensure_store(path, _build))
+
+
+def corpus_jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact τ-Jaccard pair list (doc_id_1, doc_id_2, jaccard) for the
+    documents table, persisted once per corpus (round-10, verdict
+    task 4): the AllPairs/PPJoin plan is the BUILD step; consumers —
+    dedup_ngram_jaccard itself and dedup_minhash_eval's truth side,
+    the most expensive sf0.1 op of round 9 — pay a parquet scan
+    instead of re-running candidate generation + verification per
+    invocation. Key chains the rarity store's params plus the τ
+    fraction, so a shingle/cap/threshold change rebuilds."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        TAU_P,
+        TAU_Q,
+        ngram_jaccard_plan,
+    )
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    path = store_path(
+        "jacpairs",
+        sf_dir,
+        "documents",
+        f"jaccard-pairs-v1|up={_rarity_params()}|tau={TAU_P}/{TAU_Q}",
+    )
+
+    def _build(tmp: str) -> None:
+        ngram_jaccard_plan(spark, sf_dir).write.mode("overwrite").parquet(tmp)
 
     return spark.read.parquet(ensure_store(path, _build))

@@ -750,3 +750,92 @@ def orphaned_lease_positions(checkpoint_dir: str) -> dict[str, int]:
 def register_replay_source(spark) -> None:
     """Make `.format("kinesis_replay")` resolvable on this session."""
     spark.dataSource.register(KinesisReplayDataSource)
+
+
+def records_behind_latest(path: str, end_offset: dict) -> dict[str, int]:
+    """Per-shard backlog — the record-count analogue of KCL's
+    MillisBehindLatest (the one KCL observability surface without a
+    twin until round 10): how many COMPLETE records each shard log
+    holds beyond the position a batch consumed through. end_offset is
+    the source's committed offset dict ({shard: [line, byte]}, or the
+    legacy bare line count); shards present in the log directory but
+    absent from the offset (not yet consumed at all) report their full
+    record count. O(delta) per shard — the scan seeks to the consumed
+    byte and counts only unread records."""
+    out: dict[str, int] = {}
+    if not os.path.isdir(path):
+        return out
+    for f in _shard_files(path):
+        shard = f[: -len(".jsonl")]
+        fp = os.path.join(path, f)
+        off = end_offset.get(shard, [0, 0])
+        if isinstance(off, (list, tuple)):
+            line, byte = int(off[0]), int(off[1])
+            end_line, _ = _scan_complete(fp, line, byte)
+            out[shard] = end_line - line
+        else:  # legacy bare-line offsets carry no byte: count from 0
+            line = int(off)
+            end_line, _ = _scan_complete(fp, 0, 0)
+            out[shard] = max(end_line - line, 0)
+    return out
+
+
+def shard_lag_listener(path: str, on_progress=None):
+    """StreamingQueryListener surfacing per-shard backlog in every
+    progress event, merged with the event's observedMetrics — the
+    MillisBehindLatest dashboard row next to the delivery counts.
+    Computed driver-side from each kinesis_replay source's committed
+    endOffset JSON vs the shard logs' current complete-record counts;
+    no extra scan inside the running plan. Collected records append to
+    `.events` (and flow to `on_progress` when given): {batchId,
+    shard_lag: {shard: records}, observed: {name: Row}}.
+
+    Built as a factory (not a module-level class) so importing this
+    module never requires a live Spark session."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ShardLagListener(StreamingQueryListener):
+        def __init__(self):
+            self.events: list[dict] = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            lag: dict[str, int] = {}
+            for s in p.sources:
+                # Python data sources describe themselves as
+                # PythonMicroBatchStream@… (no format name), so
+                # recognize OUR source by its offset shape: a JSON
+                # dict keyed by this path's shard ids
+                if "PythonMicroBatchStream" not in (s.description or ""):
+                    continue
+                try:
+                    end = json.loads(s.endOffset) if s.endOffset else {}
+                except ValueError:
+                    continue
+                shards = {
+                    f[: -len(".jsonl")] for f in _shard_files(path)
+                } if os.path.isdir(path) else set()
+                if not isinstance(end, dict) or not (
+                    set(end) <= shards or not end
+                ):
+                    continue
+                lag.update(records_behind_latest(path, end))
+            rec = {
+                "batchId": p.batchId,
+                "shard_lag": lag,
+                "observed": dict(p.observedMetrics or {}),
+            }
+            self.events.append(rec)
+            if on_progress is not None:
+                on_progress(rec)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return _ShardLagListener()

@@ -165,7 +165,13 @@ def parity_main() -> None:
         unknown = [n for n in names if n not in ops]
         if unknown:
             raise SystemExit(f"unknown ops: {unknown}")
-        todo = sorted(n for n in names if ops[n].sql is not None)
+        # a known op without an oracle can't be parity-swept — error
+        # like the unknown-name case instead of silently stamping a
+        # smaller subset than the user asked for (ADVICE r9)
+        no_oracle = [n for n in names if ops[n].sql is None]
+        if no_oracle:
+            raise SystemExit(f"ops without a DuckDB oracle: {no_oracle}")
+        todo = sorted(set(names))
         print(f"{len(todo)} named oracle ops at {sf_dir}")
     elif "--all" in sys.argv:
         todo = sorted(n for n, op in ops.items() if op.sql is not None)

@@ -926,3 +926,446 @@ def test_chained_resharding_random_sequence_invariants(spark, tmp_path):
         idxs = [i for *_, i in sorted(entries)]
         assert idxs == sorted(idxs), pk
         assert len(set(idxs)) == len(idxs), pk
+
+
+def test_per_shard_lag_surfaces_in_progress_events(spark, tmp_path):
+    """KCL MillisBehindLatest twin (round-10 verdict task 6): plant a
+    lagging shard by capping per-trigger admission below one shard's
+    record count, and assert the per-shard records-behind-latest
+    backlog shows up in progress events next to observedMetrics — then
+    drains to zero by the final batch."""
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        records_behind_latest,
+        shard_lag_listener,
+    )
+
+    d = str(tmp_path / "stream")
+    # all keys routed to ONE shard → that shard holds all 40 records
+    keys = [f"key-{i}" for i in range(200)]
+    hot = [k for k in keys if shard_for_key(k, N_SHARDS) == 0][:1]
+    assert hot, "need at least one key routing to shard-0"
+    write_replay_slices(
+        d, [(hot[0], f"payload-{i}") for i in range(40)], n_shards=N_SHARDS
+    )
+    register_replay_source(spark)
+
+    # unit surface first: an un-consumed stream lags by its full count
+    assert records_behind_latest(d, {}) == {
+        f"shard-{i}": (40 if i == 0 else 0) for i in range(N_SHARDS)
+    }
+    # half-consumed [line, byte] offsets count only the unread delta
+    import os as _os
+
+    fp = _os.path.join(d, "shard-0.jsonl")
+    with open(fp, "rb") as f:
+        first = f.readline()
+    assert records_behind_latest(d, {"shard-0": [1, len(first)]})[
+        "shard-0"
+    ] == 39
+    # legacy bare-line offsets still work (no byte position)
+    assert records_behind_latest(d, {"shard-0": 5})["shard-0"] == 35
+
+    listener = shard_lag_listener(d)
+    spark.streams.addListener(listener)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    try:
+        q = (
+            spark.readStream.format("kinesis_replay")
+            .option("path", d)
+            .option("maxRecordsPerShardPerTrigger", "10")
+            .load()
+            .observe("lag_probe", F.count(F.lit(1)).alias("records"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            _drain(q)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        # listener delivery is async: wait for a drained-tail event
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if any(
+                e["shard_lag"].get("shard-0") == 0 for e in listener.events
+            ):
+                break
+            time.sleep(0.2)
+        lags = [
+            e["shard_lag"]["shard-0"]
+            for e in listener.events
+            if "shard-0" in e["shard_lag"]
+        ]
+        # the admission cap (10/trigger over 40 records) forces
+        # intermediate batches to report a nonzero backlog...
+        assert any(lag > 0 for lag in lags), lags
+        # ...monotone non-increasing as the stream catches up, to 0
+        assert min(lags) == 0, lags
+        # and the same events carry the observe() metrics alongside
+        with_obs = [
+            e
+            for e in listener.events
+            if e["shard_lag"].get("shard-0", -1) >= 0
+            and "lag_probe" in e["observed"]
+        ]
+        assert with_obs, listener.events
+        assert any(e["observed"]["lag_probe"]["records"] > 0 for e in with_obs)
+        assert spark.read.parquet(out).count() == 40
+    finally:
+        spark.streams.removeListener(listener)
+
+
+class _KinesisEndpoint:
+    """Minimal local HTTP endpoint speaking the Kinesis JSON-1.1 wire
+    protocol (POST /, X-Amz-Target: Kinesis_20131202.<Op>), backed by
+    the replay-store producer/reshard primitives — the moto-style twin
+    of the real AWS side for the PRODUCER half, mirroring round 9's
+    _FirehoseEndpoint for the consumer's sink. CreateStream /
+    SplitShard / MergeShards mutate the lineage file; PutRecords
+    routes by hash range exactly like write_replay_slices; Describe-
+    Stream reports lineage as Kinesis Shard entries (hash keys in the
+    simulator's 32-bit md5-prefix space; EndingHashKey inclusive, per
+    the API). Every request's (target, body) is recorded for
+    wire-shape assertions."""
+
+    def __init__(self, path: str):
+        import base64
+        import http.server
+        import threading
+
+        from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+            _route,
+            _scan_complete,
+            create_stream,
+            load_lineage,
+            merge_shards,
+            split_shard,
+            write_replay_slices,
+        )
+
+        self.path = path
+        self.requests = []  # (X-Amz-Target op, parsed body)
+        ep = self
+
+        def _describe(body):
+            lin = load_lineage(ep.path)
+            shards = []
+            for name, m in lin["shards"].items():
+                entry = {
+                    "ShardId": name,
+                    "HashKeyRange": {
+                        "StartingHashKey": str(m["lo"]),
+                        "EndingHashKey": str(m["hi"] - 1),
+                    },
+                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                }
+                if m["parents"]:
+                    entry["ParentShardId"] = m["parents"][0]
+                if len(m["parents"]) > 1:
+                    entry["AdjacentParentShardId"] = m["parents"][1]
+                shards.append(entry)
+            return {
+                "StreamDescription": {
+                    "StreamName": body["StreamName"],
+                    "StreamARN": (
+                        "arn:aws:kinesis:us-east-1:000000000000:stream/"
+                        + body["StreamName"]
+                    ),
+                    "StreamStatus": "ACTIVE",
+                    "Shards": shards,
+                    "HasMoreShards": False,
+                    "RetentionPeriodHours": 24,
+                    "StreamCreationTimestamp": 0,
+                    "EnhancedMonitoring": [],
+                }
+            }
+
+        def _put_records(body):
+            lin = load_lineage(ep.path)
+            out = []
+            import os as _os
+
+            next_seq = {}
+            for rec in body["Records"]:
+                pk = rec["PartitionKey"]
+                data = base64.b64decode(rec["Data"]).decode()
+                shard = _route(lin, pk)
+                if shard not in next_seq:
+                    fp = _os.path.join(ep.path, f"{shard}.jsonl")
+                    next_seq[shard] = (
+                        _scan_complete(fp, 0, 0)[0]
+                        if _os.path.exists(fp)
+                        else 0
+                    )
+                write_replay_slices(ep.path, [(pk, data)])
+                out.append(
+                    {
+                        "SequenceNumber": str(next_seq[shard]),
+                        "ShardId": shard,
+                    }
+                )
+                next_seq[shard] += 1
+            return {"FailedRecordCount": 0, "Records": out}
+
+        def _split(body):
+            lin = load_lineage(ep.path)
+            m = lin["shards"][body["ShardToSplit"]]
+            mid = (m["lo"] + m["hi"]) // 2
+            # the simulator always splits at the midpoint; a producer
+            # asking for any other split point gets the API's
+            # InvalidArgumentException rather than a silent remap
+            if int(body["NewStartingHashKey"]) != mid:
+                raise ValueError(
+                    f"NewStartingHashKey must be {mid} in this simulator"
+                )
+            split_shard(ep.path, body["ShardToSplit"])
+            return {}
+
+        def _merge(body):
+            merge_shards(
+                ep.path, body["ShardToMerge"], body["AdjacentShardToMerge"]
+            )
+            return {}
+
+        ops = {
+            "CreateStream": lambda b: (
+                create_stream(ep.path, b["ShardCount"]) or {}
+            ),
+            "DescribeStream": _describe,
+            "PutRecords": _put_records,
+            "SplitShard": _split,
+            "MergeShards": _merge,
+        }
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 — BaseHTTPRequestHandler API
+                import json as _json
+
+                target = self.headers.get("X-Amz-Target", "")
+                op = target.split(".")[-1]
+                body = _json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"]))
+                )
+                ep.requests.append((op, body))
+                try:
+                    resp = ops[op](body)
+                    status = 200
+                except (ValueError, KeyError) as exc:
+                    resp = {
+                        "__type": "InvalidArgumentException",
+                        "message": str(exc),
+                    }
+                    status = 400
+                payload = _json.dumps(resp).encode()
+                self.send_response(status)
+                self.send_header(
+                    "Content-Type", "application/x-amz-json-1.1"
+                )
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def _kinesis_client(url):
+    import boto3
+    from botocore.config import Config
+
+    return boto3.client(
+        "kinesis",
+        region_name="us-east-1",
+        endpoint_url=url,
+        aws_access_key_id="test-key",
+        aws_secret_access_key="test-secret",
+        config=Config(
+            retries={"max_attempts": 1}, connect_timeout=5, read_timeout=5
+        ),
+    )
+
+
+def test_kinesis_wire_create_put_and_routing(tmp_path):
+    """Round-10 verdict task 8, producer half over the wire: a REAL
+    boto3 Kinesis client creates the stream and puts records through
+    the JSON-1.1 endpoint; asserts the on-the-wire request shape
+    (X-Amz-Target op, base64 Data round-trip) and that the returned
+    ShardIds match the hash-range routing the replay store applied."""
+    import base64
+
+    import pytest
+
+    pytest.importorskip("boto3")
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        _key_hash,
+        load_lineage,
+    )
+
+    d = str(tmp_path / "stream")
+    ep = _KinesisEndpoint(d)
+    try:
+        c = _kinesis_client(ep.url)
+        c.create_stream(StreamName="s", ShardCount=4)
+        lin = load_lineage(d)
+        assert len(lin["shards"]) == 4
+        assert all(m["status"] == "OPEN" for m in lin["shards"].values())
+        # the 4 ranges partition the 32-bit space
+        spans = sorted(
+            (m["lo"], m["hi"]) for m in lin["shards"].values()
+        )
+        assert spans[0][0] == 0 and spans[-1][1] == 1 << 32
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+        recs = [(f"key-{i}", f"payload-{i}".encode()) for i in range(12)]
+        resp = c.put_records(
+            StreamName="s",
+            Records=[
+                {"Data": data, "PartitionKey": pk} for pk, data in recs
+            ],
+        )
+        assert resp["FailedRecordCount"] == 0
+        # returned ShardId == the hash-range owner of each key
+        for (pk, _), r in zip(recs, resp["Records"]):
+            m = lin["shards"][r["ShardId"]]
+            assert m["lo"] <= _key_hash(pk) < m["hi"], (pk, r["ShardId"])
+        # wire shape: target op recorded, Data was base64 on the wire
+        ops_seen = [op for op, _ in ep.requests]
+        assert ops_seen == ["CreateStream", "PutRecords"]
+        _, put_body = ep.requests[1]
+        assert [
+            base64.b64decode(r["Data"]) for r in put_body["Records"]
+        ] == [data for _, data in recs]
+        # and the records landed in exactly the shards the response
+        # named, at the sequence numbers it returned
+        import json as _json
+        import os as _os
+
+        for (pk, data), r in zip(recs, resp["Records"]):
+            fp = _os.path.join(d, f"{r['ShardId']}.jsonl")
+            lines = open(fp).read().splitlines()
+            rec = _json.loads(lines[int(r["SequenceNumber"])])
+            assert (rec["pk"], rec["data"].encode()) == (pk, data)
+    finally:
+        ep.close()
+
+
+def test_kinesis_wire_reshard_lineage(tmp_path):
+    """SplitShard/MergeShards over the wire: lineage parent/child
+    relations and hash-range conservation assert through boto3's
+    DescribeStream view, and post-reshard PutRecords route a parent's
+    key to exactly the child owning its hash."""
+    import pytest
+
+    pytest.importorskip("boto3")
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        _key_hash,
+        load_lineage,
+    )
+
+    d = str(tmp_path / "stream")
+    ep = _KinesisEndpoint(d)
+    try:
+        c = _kinesis_client(ep.url)
+        c.create_stream(StreamName="s", ShardCount=2)
+        lin0 = load_lineage(d)
+        parent = "shard-0"
+        mid = (
+            lin0["shards"][parent]["lo"] + lin0["shards"][parent]["hi"]
+        ) // 2
+        c.split_shard(
+            StreamName="s",
+            ShardToSplit=parent,
+            NewStartingHashKey=str(mid),
+        )
+        # a non-midpoint split point is rejected with the API error
+        import botocore.exceptions
+
+        with pytest.raises(botocore.exceptions.ClientError) as ei:
+            c.split_shard(
+                StreamName="s",
+                ShardToSplit="shard-1",
+                NewStartingHashKey=str(mid + 17),
+            )
+        assert (
+            ei.value.response["Error"]["Code"]
+            == "InvalidArgumentException"
+        )
+
+        desc = c.describe_stream(StreamName="s")["StreamDescription"]
+        by_id = {s["ShardId"]: s for s in desc["Shards"]}
+        kids = [
+            s for s in desc["Shards"] if s.get("ParentShardId") == parent
+        ]
+        assert len(kids) == 2
+        # children partition the parent's hash range exactly
+        lo = int(by_id[parent]["HashKeyRange"]["StartingHashKey"])
+        hi = int(by_id[parent]["HashKeyRange"]["EndingHashKey"])
+        kid_spans = sorted(
+            (
+                int(k["HashKeyRange"]["StartingHashKey"]),
+                int(k["HashKeyRange"]["EndingHashKey"]),
+            )
+            for k in kids
+        )
+        assert kid_spans[0][0] == lo and kid_spans[1][1] == hi
+        assert kid_spans[0][1] + 1 == kid_spans[1][0]
+
+        # a key that hashed into the parent now routes to the owning
+        # child — per-key order across the lineage survives resharding
+        pk = next(
+            f"key-{i}"
+            for i in range(10_000)
+            if lo <= _key_hash(f"key-{i}") <= hi
+        )
+        resp = c.put_records(
+            StreamName="s",
+            Records=[{"Data": b"post-split", "PartitionKey": pk}],
+        )
+        child = resp["Records"][0]["ShardId"]
+        assert child in {k["ShardId"] for k in kids}
+        h = _key_hash(pk)
+        kr = next(k for k in kids if k["ShardId"] == child)["HashKeyRange"]
+        assert int(kr["StartingHashKey"]) <= h <= int(kr["EndingHashKey"])
+
+        # merge the two children back: one child, both parents CLOSED
+        merged = c.merge_shards(
+            StreamName="s",
+            ShardToMerge=kids[0]["ShardId"],
+            AdjacentShardToMerge=kids[1]["ShardId"],
+        )
+        lin = load_lineage(d)
+        child_names = {k["ShardId"] for k in kids}
+        merged_name = next(
+            n
+            for n, m in lin["shards"].items()
+            if set(m["parents"]) == child_names
+        )
+        assert lin["shards"][merged_name]["status"] == "OPEN"
+        assert all(
+            lin["shards"][k]["status"] == "CLOSED" for k in child_names
+        )
+        assert lin["shards"][merged_name]["lo"] == lo
+        assert lin["shards"][merged_name]["hi"] == hi + 1
+        # DescribeStream reports the merge's dual parentage
+        desc2 = c.describe_stream(StreamName="s")["StreamDescription"]
+        m_entry = next(
+            s for s in desc2["Shards"] if s["ShardId"] == merged_name
+        )
+        assert {
+            m_entry["ParentShardId"],
+            m_entry["AdjacentParentShardId"],
+        } == child_names
+    finally:
+        ep.close()

@@ -1549,3 +1549,69 @@ def test_allpairs_suffix_bound_is_sound_on_random_sets():
             checked_pairs += 1
             assert p >= 1, (sorted(pa), sorted(pb))  # prefixes collide
     assert checked_pairs > 200  # the generator produced real cases
+
+
+def test_jaccard_pairs_store_equals_direct_plan(spark, tmp_path, monkeypatch):
+    """corpus_jaccard_pairs_store serves exactly the AllPairs plan's
+    rows (the store is an implementation detail results must not
+    observe — round-10 verdict task 4), and dedup_ngram_jaccard /
+    dedup_minhash_eval's truth side both read it."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        ngram_jaccard_plan,
+    )
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_jaccard_pairs_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    direct = sorted(tuple(r) for r in ngram_jaccard_plan(spark, sf).collect())
+    stored = sorted(
+        tuple(r) for r in corpus_jaccard_pairs_store(spark, sf).collect()
+    )
+    assert stored == direct
+    assert direct  # non-vacuous: the corpus has τ-duplicates
+    via_op = sorted(
+        tuple(r) for r in dedup_ngram_jaccard(spark, sf).collect()
+    )
+    assert via_op == direct
+
+
+def test_pointer_double_forest_matches_naive_walk(spark):
+    """Pointer doubling over a random parent forest (round-10 verdict
+    task 1) returns exactly the naive walk's (root, depth) for every
+    node — including a planted deep CHAIN, where the round count must
+    be logarithmic in depth, not linear."""
+    import random
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        pointer_double_forest,
+    )
+
+    rng = random.Random(10)
+    # random forest: each node > 0 picks a parent below it with p=0.7
+    parents = {}
+    for doc in range(1, 400):
+        if rng.random() < 0.7:
+            parents[doc] = rng.randrange(doc)
+    # planted path: a 65-deep chain (2^6 < 65 ≤ 2^7)
+    chain = list(range(10_000, 10_066))
+    for a, b in zip(chain, chain[1:]):
+        parents[b] = a
+
+    def naive(doc):
+        depth = 0
+        while doc in parents:
+            doc = parents[doc]
+            depth += 1
+        return doc, depth
+
+    pdf = spark.createDataFrame(
+        list(parents.items()), "doc long, parent long"
+    )
+    m, rounds = pointer_double_forest(pdf)
+    got = {r["doc"]: (r["anc"], r["depth"]) for r in m.collect()}
+    assert got == {d: naive(d) for d in parents}
+    # 65-deep chain: ⌈log₂ 65⌉ = 7 splice rounds + 1 no-op detection
+    assert rounds <= 8, rounds

@@ -24,7 +24,9 @@ from kinesis_to_firehose_spark.registry import all_ops
 from kinesis_to_firehose_spark.session import get_spark
 
 # The sf1 per-op bench's heavy tail: every op over ~5.5 s at sf1 plus
-# the two formerly-ungated pair joins (the round-7 scale charges).
+# the two formerly-ungated pair joins (the round-7 scale charges),
+# plus the next cost tier (round-10 verdict task 3: the 1.5–2.9 s
+# sf0.1 ops that had no measured curvature).
 CURVE_OPS = [
     "dedup_edit_distance",
     "dedup_provenance_chain",
@@ -41,6 +43,14 @@ CURVE_OPS = [
     "dedup_cc_star",
     "dedup_simhash",
     "mm_phash_dedup",
+    # next cost tier (round 10)
+    "mmr_rerank",
+    "hybrid_search_rrf",
+    "bm25_search",
+    "bloom_prefilter_join",
+    "item_cooccurrence",
+    "graph_pagerank",
+    "bpe_train_merges",
 ]
 
 REPEATS = 2  # repeat 1 builds the per-corpus stores; min() reads warm
@@ -75,7 +85,75 @@ def measured_growth(lo: str, hi: str) -> tuple[int, int]:
     return counts[0], counts[1]
 
 
+def sf10_main() -> None:
+    """Fourth-decade exposure (round-10 verdict task 5): time the N
+    heaviest ops of the MAIN stanza (by sf3 wall) at .testdata/sf10,
+    Spark side only — no quadratic DuckDB oracles at this scale; this
+    is an ENVELOPE check (does alpha hold another decade?), not a
+    parity gate. Appends an "sf3_sf10" stanza to SCALE_CURVE.json.
+
+    Usage: python tools/scale_curve.py --sf10 [n_ops] [lo hi out]
+    """
+    args = [a for a in sys.argv[2:]]
+    n_ops = int(args[0]) if args else 5
+    lo = args[1] if len(args) > 1 else ".testdata/sf3"
+    hi = args[2] if len(args) > 2 else ".testdata/sf10"
+    out_path = args[3] if len(args) > 3 else "SCALE_CURVE.json"
+    with open(out_path) as f:
+        artifact = json.load(f)
+    heavy = sorted(
+        artifact["ops"], key=lambda n: -artifact["ops"][n]["t_hi"]
+    )[:n_ops]
+    in_lo, in_hi = measured_growth(lo, hi)
+    growth = in_hi / in_lo
+    print(
+        f"sf3->sf10 stanza: {heavy} at measured growth x{growth:.3f}"
+    )
+    spark = get_spark("scale-curve-sf10")
+    from kinesis_to_firehose_spark.registry import over_cap
+
+    ops = all_ops()
+    rows = {}
+    for name in heavy:
+        n_over = over_cap(ops[name], hi)
+        if n_over is not None:
+            rows[name] = {"capped": n_over}
+            print(f"{name:28} CAP ({n_over} rows over bound)", flush=True)
+            continue
+        t_lo, n_lo = time_op(spark, ops[name].fn, lo)
+        t_hi, n_hi = time_op(spark, ops[name].fn, hi)
+        alpha = math.log(t_hi / t_lo) / math.log(growth)
+        rows[name] = {
+            "t_lo": t_lo,
+            "t_hi": t_hi,
+            "ratio": round(t_hi / t_lo, 2),
+            "alpha": round(alpha, 2),
+            "rows_lo": n_lo,
+            "rows_hi": n_hi,
+        }
+        print(
+            f"{name:28} {t_lo:8.2f}s -> {t_hi:8.2f}s  "
+            f"x{t_hi / t_lo:5.2f}  alpha={alpha:5.2f}",
+            flush=True,
+        )
+    artifact["sf3_sf10"] = {
+        "lo": lo,
+        "hi": hi,
+        "growth": round(growth, 4),
+        "input_rows_lo": in_lo,
+        "input_rows_hi": in_hi,
+        "ops": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out_path} (sf3_sf10 stanza)")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf10":
+        sf10_main()
+        return
     lo = sys.argv[1] if len(sys.argv) > 1 else ".testdata/sf1"
     hi = sys.argv[2] if len(sys.argv) > 2 else ".testdata/sf3"
     growth_nominal = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
