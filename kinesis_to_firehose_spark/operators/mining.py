@@ -897,13 +897,23 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine affinity n_ab/√(n_a·n_b), top-3 partners per part. The
 # item-item collaborative-filtering primitive.
 #
-# Scale shape: the pair explode self-joins ON THE BASKET KEY
-# (l_orderkey), so fan-out per order is (items-per-order)² — bounded
-# by basket size (~4 for TPC-H), NEVER by catalog or corpus size; the
-# pair aggregate shuffles on (a,b); per-item totals are catalog-sized
-# and broadcast into the affinity projection; ranking is a window over
-# rows already collapsed to one per pair. Affinity = exact integer
-# counts through one fixed scalar sqrt expression, rounded 6dp.
+# Scale shape (round-10 re-plan; the old both-directions basket
+# self-join measured alpha 1.20 sf1→sf3, and a collect_set basket-
+# array variant was WORSE — ObjectHashAggregate's per-basket objects
+# degrade across runs under heap pressure at sf3: 12→29 s over three
+# reps, while this plan holds 4.8 s flat): distinct (basket, item)
+# rows are repartitioned ONCE on the basket key, the pair join
+# self-joins that single exchange (ReusedExchange — zero extra
+# shuffle, everything UnsafeRow/codegen, no object aggregation) with
+# a < c so each unordered pair is counted ONCE; the (a,c) aggregate
+# is the only other wide exchange, and the mirror image is restored
+# by a post-aggregate union (|pairs|-sized, not |occurrences|).
+# Per-item totals are catalog-sized and broadcast into the affinity
+# projection; ranking is a window over rows already collapsed to one
+# per pair. Affinity = exact integer counts through one fixed scalar
+# sqrt expression, rounded 6dp — count symmetry makes the mirrored
+# rows bit-identical to the two-directional aggregate the oracle
+# states.
 # --------------------------------------------------------------------------
 COOC_TOP_K = 3
 COOC_MIN_N = 2  # ignore singleton co-occurrences (noise floor)
@@ -946,16 +956,34 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     li = load(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    # distinct basket rows, then ONE basket-key exchange both join
+    # sides reuse; 2× core count keeps each task's pair-aggregate hash
+    # map comfortably in memory (32-partition runs at sf3 crossed into
+    # spill/GC territory and their walls became run-order dependent)
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2, "l_orderkey"
+        )
+    )
     item = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
     x = b.select("l_orderkey", F.col("l_partkey").alias("a"))
     y = b.select("l_orderkey", F.col("l_partkey").alias("c"))
-    pair = (
+    # upper triangle only (a < c): each unordered pair rides the join
+    # and the aggregate once
+    up = (
         x.join(y, "l_orderkey")
-        .filter(F.col("a") != F.col("c"))
+        .filter(F.col("a") < F.col("c"))
         .groupBy("a", "c")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= COOC_MIN_N)
+    )
+    # mirror AFTER aggregation: co-counts are symmetric, so the union
+    # reproduces the oracle's both-directions pair table at |pairs|
+    # cost
+    pair = up.unionAll(
+        up.select(F.col("c").alias("a"), F.col("a").alias("c"), "n_ab")
     )
     ia = item.select(F.col("l_partkey").alias("a"), F.col("n").alias("n_a"))
     ic = item.select(F.col("l_partkey").alias("c"), F.col("n").alias("n_c"))

@@ -161,10 +161,38 @@ def _ranked_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (rank-1 cell per vector)."""
-    return _ranked_cells(n, cents).filter(F.col("rk") == 1).select(
-        "vec_id", "cell"
+    """Nearest-centroid assignment (rank-1 cell per vector) as ONE
+    Arrow-batched pass (round-10: was the N×K interpreted-HOF cosine
+    ranking of _ranked_cells filtered to rk=1 — the dominant constant
+    of the IVF family and the Lloyd training loop at sf3). The tiny
+    centroid table (≤ N_CENTROIDS rows, seed or trained) is collected
+    and rides the closure; _assign_cells_np reproduces the rounded-
+    cosine DESC, centroid_id tie-break bit-for-bit. _ranked_cells
+    stays the declarative path for FULL rankings (query probes)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        cents.select("centroid_id", "c_emb").collect(), key=lambda r: r[0]
     )
+    cent_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Cn = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    vecs = n.select("vec_id", "embedding")
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            idx = _assign_cells_np(E, Cn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cent_ids[idx],
+                }
+            )
+
+    return vecs.mapInPandas(_assign, schema="vec_id long, cell long")
 
 
 @register("ann_ivf_topk", IVF_SQL)
@@ -175,20 +203,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    return _ivf_probe_topk(n, _ranked_cells(n, cents))
+    # rank cells for the N_QUERIES probes only; corpus-wide assignment
+    # goes through the Arrow kernel
+    ranked_q = _ranked_cells(n.filter(F.col("vec_id") < N_QUERIES), cents)
+    return _ivf_probe_topk(n, ranked_q, _assign_cells(n, cents))
 
 
-def _ivf_probe_topk(n: DataFrame, ranked: DataFrame) -> DataFrame:
+def _ivf_probe_topk(
+    n: DataFrame, ranked_q: DataFrame, assignment: DataFrame
+) -> DataFrame:
     """Probe stage shared by the seed and trained IVF variants:
     MULTI-PROBE — each query searches its N_PROBE nearest cells while
     data vectors live in exactly one (so no candidate duplicates), a
     co-partitioned equi-join on cell id, exact-rescore, per-query
     top-k window. Probing 2 cells roughly doubles scanned candidates
-    but rescues the near-boundary queries single-probe IVF misses."""
-    qa = ranked.filter(
+    but rescues the near-boundary queries single-probe IVF misses.
+    `ranked_q` is the query-side cell ranking; `assignment` the
+    corpus-wide rank-1 (vec_id, cell) map."""
+    qa = ranked_q.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE)
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    assignment = ranked.filter(F.col("rk") == 1)
     ca = assignment.select(F.col("vec_id").alias("candidate_id"), "cell")
     probe = qa.join(ca, "cell").filter(
         F.col("query_id") != F.col("candidate_id")
@@ -403,7 +437,8 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = trained_centroids(
         spark, sf_dir, N_CENTROIDS, LLOYD_ITERS, prenormed=n
     )
-    return _ivf_probe_topk(n, _ranked_cells(n, cents))
+    ranked_q = _ranked_cells(n.filter(F.col("vec_id") < N_QUERIES), cents)
+    return _ivf_probe_topk(n, ranked_q, _assign_cells(n, cents))
 
 
 # --------------------------------------------------------------------------
@@ -2253,24 +2288,54 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ma") > 0)
         .select("vec_id", "ma", F.expr(_Q8_SPARK).alias("q"))
     )
-    qs = q8.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("ma").alias("ma_q"),
-        F.col("q").alias("qa"),
+    # the per-pair integer dot runs as one Arrow-batched int64 matmul
+    # (round-10: was an N_QUERIES×N interpreted-HOF fold per pair —
+    # alpha 1.02, 6.3 s at sf3, pure expression-interpreter constant).
+    # Quantization itself stays the Spark expression (_Q8_SPARK), so
+    # the codes — where a half-boundary ROUND could bite — are
+    # engine-computed exactly as the oracle's; the kernel only does
+    # exact integer dots and the fixed dequant tree
+    # ((double(dot)·ma_q)·ma_c)/127², rounded 6dp.
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        q8.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
     )
+    qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    maq = np.array([r["ma"] for r in qrows], dtype=np.float64)
+    QA = np.array([list(r["q"]) for r in qrows], dtype=np.int64)
     cs = q8.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("candidate_id"),
         F.col("ma").alias("ma_c"),
         F.col("q").alias("qb"),
     )
-    score = F.round(
-        F.expr(
-            f"CAST({_Q8_DOT_SPARK} AS DOUBLE) * ma_q * ma_c / 16129.0"
-        ),
-        6,
-    )
-    scored = cs.join(F.broadcast(qs)).select(
-        "query_id", "candidate_id", score.alias("score")
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.array(list(pdf["qb"]), dtype=np.int64)
+            mac = pdf["ma_c"].to_numpy(dtype=np.float64)
+            cid = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            dots = B @ QA.T  # exact: |dot| <= 64*127² << 2^53
+            sc = np.round(
+                ((dots.astype(np.float64) * maq[None, :]) * mac[:, None])
+                / 16129.0,
+                6,
+            )
+            n_c, n_q = sc.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qid, n_c),
+                    "candidate_id": np.repeat(cid, n_q),
+                    "score": sc.reshape(-1),
+                }
+            )
+
+    scored = cs.mapInPandas(
+        _score, schema="query_id long, candidate_id long, score double"
     )
     wk = W.partitionBy("query_id").orderBy(F.desc("score"), "candidate_id")
     return (

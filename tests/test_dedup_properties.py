@@ -576,7 +576,15 @@ def test_ivf_training_beats_seed_on_clustered_data(spark, tmp_path):
     seed_rec = recall(ann_ivf_topk(spark, d))
     n = normed_embeddings(spark, d)
     trained = train_ivf_centroids(spark, d)
-    tr_rec = recall(_ivf_probe_topk(n, _ranked_cells(n, trained)))
+    from kinesis_to_firehose_spark.operators.similarity import (
+        N_QUERIES,
+        _assign_cells,
+    )
+
+    ranked_q = _ranked_cells(
+        n.filter(F.col("vec_id") < N_QUERIES), trained
+    )
+    tr_rec = recall(_ivf_probe_topk(n, ranked_q, _assign_cells(n, trained)))
     assert tr_rec > seed_rec + 0.2, f"trained {tr_rec} vs seed {seed_rec}"
 
 
