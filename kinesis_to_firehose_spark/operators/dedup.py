@@ -2449,29 +2449,40 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
+# CONTAIN_TAU = 0.8 as an exact fraction (prefix bounds use integer
+# ceil-division — see TAU_P/TAU_Q for why float ceil is a
+# completeness bug)
+TAU_C_P, TAU_C_Q = 4, 5
+assert TAU_C_P / TAU_C_Q == CONTAIN_TAU
+
+
 @register("dedup_containment", CONTAINMENT_SQL)
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOTE: blocked on lang only (no len_bucket) — containment pairs
-    # are precisely the ones with very DIFFERENT lengths, so the
-    # length-bucket blocking that's right for Jaccard would hide them.
-    # The DF cap bounds hot shingles per (lang, shingle) as before.
-    # Same shingle index as the Jaccard family (shared tokenizer).
-    #
-    # Plan shape (2.1x over the first version): per-doc shingle
-    # counts are attached at PAIR granularity after the intersection
-    # aggregate (n_sh is a per-doc constant, so MIN(n_sh) over a pair
-    # group == a join on the tiny doc-level count table) — a doc_id
-    # window over the full index would re-shuffle all index rows
-    # twice; and the self-join sides stay as identical lazy subplans
-    # so ReuseExchange executes the shingle index once (an eager
-    # localCheckpoint here erased the (lang, shingle) partitioning
-    # and forced both sides through fresh exchanges).
-    # in-plan shingles, NOT the store: this op chains doc_id- and
-    # (lang, shingle)-partitioned windows right after the explode, and
-    # whole-stage codegen fuses them with the tokenizer — measured
-    # 3.9 s in-plan vs 5.8 s via the store's scan+re-shuffle at sf0.1.
-    # (Values identical either way; the store wins only for consumers
-    # whose first move is the shingle-keyed join.)
+    """Asymmetric prefix-filtered containment join (round-10: the
+    fourth-decade envelope exposed the full inverted-index self-join
+    at time-alpha 1.73 sf3→sf10 against out-alpha 0.73 — candidate
+    mass Σ df² grows with duplication density even though results
+    don't).
+
+    Jaccard's AllPairs size filter (τ·n1 ≤ n2) is exactly what
+    containment must NOT apply — excerpt pairs have wildly different
+    sizes — but a ONE-SIDED prefix filter is still sound: for
+    C(A,B) = |A∩B|/min(|A|,|B|) ≥ τ with A the smaller side,
+    |A∩B| ≥ ⌈τ·n_a⌉ = α, so at most n_a − α elements of A lie outside
+    B and A's (n_a − α + 1)-prefix under the global (df, shingle)
+    rarity order must contain a shared shingle. Candidates therefore
+    come from joining the SMALL side's prefix (the rare ~(1−τ) end of
+    each doc) against the FULL index restricted to
+    (n_a, doc_id) < (n_b, doc_id) — fan-out is rare-df·df instead of
+    df² — and survivors are exact-verified with one array_intersect
+    per distinct pair.
+
+    NOTE: blocked on lang only (no len_bucket) — containment pairs
+    are precisely the ones with very DIFFERENT lengths, so the
+    length-bucket blocking that's right for Jaccard would hide them;
+    the doc-grain arrays are built in-plan on the lang-blocked
+    (lang, shingle) df order, NOT from the rarity store (whose cap
+    and order are (lang, len_bucket, shingle)-based)."""
     ex = shingles_from_docs(
         load(spark, "documents", sf_dir), ("lang",)
     )
@@ -2480,45 +2491,120 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df_cnt", F.count("*").over(W.partitionBy("lang", "shingle"))
         )
         .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
-        .drop("df_cnt")
     )
-    n_sh = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = capped.alias("a")
-    b = capped.alias("b")
-    matches = (
+    # doc-grain rarity-sorted arrays (the jacpairs-store layout,
+    # lang-blocked): prefix slices explode from these, and the same
+    # arrays are the verification payload
+    docs_g = (
+        capped.groupBy("doc_id", "lang")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df_cnt", "shingle"))
+            ).alias("ss")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("transform(ss, x -> x.shingle)").alias("sh"),
+            F.size("ss").alias("n_sh"),
+        )
+    )
+    # small side: prefix of length n − ⌈τ·n⌉ + 2 — ONE element longer
+    # than the completeness minimum, which buys a match-COUNT bound:
+    # every A∩B element in A's L-prefix is a join match, elements
+    # beyond the prefix number ≤ n − L, so inter ≤ p + n − L and a
+    # true pair must match p ≥ α − (n − L) prefix shingles (= 2 for
+    # the +2 prefix; clamps to α for tiny docs where L = n). Random
+    # single-shingle collisions — the quadratic bulk of the candidate
+    # mass at the fourth decade (71M of 71M join rows at sf10 were
+    # distinct pairs, true positives 28k) — die at the count filter
+    # instead of riding the array-verify joins. slice() past the array
+    # end just returns the array, so the +2 needs no explicit clamp.
+    probe = docs_g.select(
+        "doc_id",
+        "lang",
+        "n_sh",
+        F.explode(
+            F.expr(
+                f"slice(sh, 1, size(sh)"
+                f" - (({TAU_C_P} * size(sh) + {TAU_C_Q} - 1) DIV {TAU_C_Q})"
+                f" + 2)"
+            )
+        ).alias("shingle"),
+    )
+    # big side: the full capped index (no size floor exists for the
+    # larger doc of a containment pair — it may dwarf the smaller)
+    index = docs_g.select(
+        "doc_id",
+        "lang",
+        "n_sh",
+        F.explode("sh").alias("shingle"),
+    )
+    a = probe.alias("a")
+    b = index.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-        )
-        .agg(F.count("*").alias("inter"))
-        .join(
-            n_sh.select(
-                F.col("doc_id").alias("doc_id_1"),
-                F.col("n_sh").alias("n1"),
+            # a is the SMALLER side (ties by doc_id), per the lemma
+            & (
+                (F.col("a.n_sh") < F.col("b.n_sh"))
+                | (
+                    (F.col("a.n_sh") == F.col("b.n_sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
             ),
-            "doc_id_1",
         )
-        .join(
-            n_sh.select(
-                F.col("doc_id").alias("doc_id_2"),
-                F.col("n_sh").alias("n2"),
-            ),
-            "doc_id_2",
+        .select(
+            F.col("a.doc_id").alias("doc_s"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("ns"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        # aggregate the match multiset (p = |prefix(A) ∩ B|) and apply
+        # the count bound: keep only p + (ns − L) ≥ α — exact integer
+        # arithmetic, sound by the prefix-count lemma above
+        .groupBy("doc_s", "doc_b", "ns", "nb")
+        .agg(F.count("*").alias("p"))
+        .filter(
+            F.col("p")
+            + (
+                F.col("ns")
+                - F.least(
+                    F.col("ns"),
+                    F.col("ns")
+                    - F.expr(
+                        f"({TAU_C_P} * ns + {TAU_C_Q} - 1) DIV {TAU_C_Q}"
+                    )
+                    + 2,
+                )
+            )
+            >= F.expr(f"({TAU_C_P} * ns + {TAU_C_Q} - 1) DIV {TAU_C_Q}")
         )
     )
-    cont = F.col("inter") / F.least("n1", "n2")
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    v = (
+        cand.join(
+            docs_g.select(
+                F.col("doc_id").alias("doc_s"), F.col("sh").alias("sh_s")
+            ),
+            "doc_s",
+        )
+        .join(
+            docs_g.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_s", "sh_b")))
+    )
+    cont = F.col("inter") / F.least("ns", "nb")
+    jac = F.col("inter") / (F.col("ns") + F.col("nb") - F.col("inter"))
     return (
-        matches.filter(cont >= CONTAIN_TAU)
+        v.filter(cont >= CONTAIN_TAU)
         .select(
-            "doc_id_1",
-            "doc_id_2",
+            F.least("doc_s", "doc_b").alias("doc_id_1"),
+            F.greatest("doc_s", "doc_b").alias("doc_id_2"),
             F.round(cont, 6).alias("containment"),
             F.round(jac, 6).alias("jaccard"),
         )
