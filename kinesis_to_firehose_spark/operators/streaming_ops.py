@@ -146,3 +146,77 @@ def kinesis_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         return spark.table(name)
+
+
+# Per-shard backlog under the DuckDB gate (round-11, verdict task 7):
+# records_behind_latest — the record-count analogue of KCL's
+# MillisBehindLatest (sources/kinesis_datasource.py:755) — previously
+# lived only in pytest. Here the events table is routed over 4 shards
+# by the REAL producer (md5 of the user_id partition key), each shard
+# is "consumed" through exactly half its complete records (offset =
+# (line, byte) from the same boundary scan the connector polls with),
+# and the emitted backlog table must match SQL recomputing the md5
+# routing and the half-split arithmetic from the raw events.
+SHARD_BACKLOG_N_SHARDS = 4
+
+SHARD_BACKLOG_SQL = f"""
+WITH routed AS (
+  SELECT 'shard-' || CAST(
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {SHARD_BACKLOG_N_SHARDS} AS VARCHAR) AS shard
+  FROM events
+),
+c AS (SELECT shard, COUNT(*) AS n FROM routed GROUP BY shard)
+SELECT shard,
+       CAST(n AS BIGINT) AS n_records,
+       CAST(n // 2 AS BIGINT) AS consumed,
+       CAST(n - n // 2 AS BIGINT) AS records_behind
+FROM c
+ORDER BY shard
+"""
+
+
+@register("shard_backlog", SHARD_BACKLOG_SQL)
+def shard_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_to_firehose_spark.sources.kinesis_datasource import (
+        _scan_complete,
+        _shard_files,
+        records_behind_latest,
+        write_replay_slices_distributed,
+    )
+    from kinesis_to_firehose_spark.sources.tables import load
+
+    records = load(spark, "events", sf_dir).select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.to_json(F.struct("event_id", "ts", "event_type", "value")).alias(
+            "data"
+        ),
+        "ts",
+        "event_id",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "stream")
+        write_replay_slices_distributed(
+            spark,
+            records,
+            src,
+            n_shards=SHARD_BACKLOG_N_SHARDS,
+            order_cols=("ts", "event_id"),
+        )
+        offsets: dict[str, list[int]] = {}
+        totals: dict[str, int] = {}
+        for f in _shard_files(src):
+            shard = f[: -len(".jsonl")]
+            fp = os.path.join(src, f)
+            total, _ = _scan_complete(fp, 0, 0)
+            line, byte = _scan_complete(fp, 0, 0, max_lines=total // 2)
+            offsets[shard] = [line, byte]
+            totals[shard] = total
+        behind = records_behind_latest(src, offsets)
+        data = [
+            (s, totals[s], offsets[s][0], behind[s]) for s in sorted(totals)
+        ]
+    return spark.createDataFrame(
+        data,
+        "shard string, n_records long, consumed long, records_behind long",
+    ).orderBy("shard")

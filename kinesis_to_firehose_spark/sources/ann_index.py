@@ -129,13 +129,19 @@ def build_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def search_ann_index(
-    spark: SparkSession, queries: DataFrame, path: str
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    max_epoch: int | None = None,
 ) -> DataFrame:
     """Multi-probe IVF search against the STORE: queries (vec_id,
     embedding, nrm) rank the stored centroids (broadcast), probe
     their N_PROBE nearest cells via the partition-pruned equi-join,
     exact-rescore, per-query top-k — the ann_ivf_topk contract with
-    zero corpus-side recompute."""
+    zero corpus-side recompute. `max_epoch` (epoch-layout stores
+    only) pins the search to index state as of that epoch —
+    partition-pruned, later epochs' files are never opened (the
+    dedup probe_dedup_index contract, sources/dedup_index.py:240)."""
     from pyspark.sql.window import Window as W
 
     from kinesis_to_firehose_spark.operators.dedup import dot_expr
@@ -146,6 +152,10 @@ def search_ann_index(
 
     cents = spark.read.parquet(f"{path}/centroids")
     stored = spark.read.parquet(f"{path}/assignment")
+    if max_epoch is not None:
+        if "epoch" not in stored.columns:
+            raise ValueError(f"{path} is a flat store; max_epoch invalid")
+        stored = stored.filter(F.col("epoch") <= max_epoch)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -220,4 +230,86 @@ def append_ann_index(
     )
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{path}/assignment"
+    )
+
+
+def build_ann_index_epoch(
+    spark: SparkSession, vectors: DataFrame, path: str, epoch: int = 0
+) -> None:
+    """Epoch-layout ingest for the vector store (round-11, verdict
+    task 5 — the dedup index's build_dedup_index twin): epoch 0 is
+    the base corpus and also freezes the codebook (seed centroids =
+    the base batch's vec_id < N_CENTROIDS, the ann_ivf_topk
+    convention); every later epoch assigns its batch against the
+    STORED centroids — never re-clusters, never touches old vectors —
+    and lands in its own `assignment/epoch=K/cell=…` partition dirs.
+    Each epoch write is an OVERWRITE of that epoch's dir, so a
+    replayed micro-batch rewrites identical files (idempotent under
+    Structured Streaming redelivery). Assignment goes through the
+    `_assign_cells` Arrow kernel — the exact rounded-cosine/
+    centroid-id tie-break the declarative path and the oracle use."""
+    from kinesis_to_firehose_spark.operators.similarity import (
+        N_CENTROIDS,
+        _assign_cells,
+    )
+
+    if epoch == 0:
+        cents = vectors.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = _assign_cells(vectors, cents).join(vectors, "vec_id")
+    assigned.select("vec_id", "cell", "embedding", "nrm").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assignment/epoch={epoch}")
+
+
+def run_ann_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming continuous-ingest ANN maintenance — the vector-store
+    twin of run_dedup_ingest_stream (sources/dedup_index.py:273): a
+    file-stream of pre-normalized vector batches (parquet: vec_id,
+    embedding, nrm) is top-k-searched per micro-batch against the
+    epoch-layout index pinned at max_epoch=B (partition-pruned
+    pre-epoch view — a batch never matches itself through the store),
+    results land in `out_dir/epoch=B/`, then the batch appends itself
+    as index epoch B+1 through the FROZEN codebook. Both writes are
+    epoch-dir overwrites, so replays rewrite identical results —
+    idempotent end to end (replay convergence is pytest-asserted in
+    tests/test_streaming.py)."""
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        vecs = df.select("vec_id", "embedding", "nrm")
+        topk = search_ann_index(
+            spark, vecs, index_path, max_epoch=int(epoch_id)
+        )
+        topk.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        build_ann_index_epoch(
+            spark, vecs, index_path, epoch=int(epoch_id) + 1
+        )
+
+    stream = (
+        spark.readStream.schema(
+            # array<float>: the embeddings table's native element type
+            # — epoch files must share one parquet physical type
+            "vec_id bigint, embedding array<float>, nrm double"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
     )

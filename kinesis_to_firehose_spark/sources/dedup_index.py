@@ -523,3 +523,74 @@ def corpus_jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_plan(spark, sf_dir).write.mode("overwrite").parquet(tmp)
 
     return spark.read.parquet(ensure_store(path, _build))
+
+
+def corpus_containment_pairs_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact τ-containment pair list (doc_id_1, doc_id_2, containment,
+    jaccard), persisted once per corpus (round-11, verdict task 1):
+    the asymmetric prefix-filtered join is the BUILD step — its
+    candidate mass grows with the corpus' duplication density (the
+    Σdf² ramp behind the sf3→sf10 time-α 1.50), which is a property
+    of the DATA, paid once per content version, never per query. Key
+    chains the upstream shingle-store version + df cap + the τ
+    fraction, so a shingle/cap/threshold change rebuilds. NOTE: the
+    containment plan is lang-blocked (no len_bucket — excerpt pairs
+    have very different lengths), so it keys on the same upstream
+    params as the rarity store but its own plan version."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        TAU_C_P,
+        TAU_C_Q,
+        containment_plan,
+    )
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    path = store_path(
+        "containpairs",
+        sf_dir,
+        "documents",
+        f"containment-pairs-v1|up={_rarity_params()}"
+        f"|tau={TAU_C_P}/{TAU_C_Q}",
+    )
+
+    def _build(tmp: str) -> None:
+        containment_plan(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+
+    return spark.read.parquet(ensure_store(path, _build))
+
+
+def corpus_substring_stats_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc duplicated-span stats (doc_id, n_windows, dup_windows,
+    dup_frac, keep), persisted once per corpus (round-11, verdict
+    task 2): the k-word-window gram aggregate and the gram-df join
+    ride the same df ramp as the containment join (sf3→sf10 α 1.14),
+    and the result is one fixed-schema row per document — a corpus
+    property with no query parameters, the textbook store shape. Key
+    chains the window width k and the shared tokenizer version via
+    the shingle-store param string."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        SUBSTR_K,
+        substring_plan,
+    )
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    path = store_path(
+        "substrstats",
+        sf_dir,
+        "documents",
+        f"substring-stats-v1|up={_SHINGLES_VERSION}|k={SUBSTR_K}",
+    )
+
+    def _build(tmp: str) -> None:
+        substring_plan(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+
+    return spark.read.parquet(ensure_store(path, _build))

@@ -818,8 +818,17 @@ def shard_lag_listener(path: str, on_progress=None):
                 shards = {
                     f[: -len(".jsonl")] for f in _shard_files(path)
                 } if os.path.isdir(path) else set()
-                if not isinstance(end, dict) or not (
-                    set(end) <= shards or not end
+                # Require a NON-EMPTY offset dict whose keys all
+                # belong to this path's shard set: the old empty-dict
+                # bypass let a second replay source on a different
+                # path (whose first batch has no end offset yet, or
+                # whose shards share the default shard-K names) have
+                # its lag computed against THIS path's logs
+                # (ADVICE r10).
+                if (
+                    not isinstance(end, dict)
+                    or not end
+                    or not set(end) <= shards
                 ):
                     continue
                 lag.update(records_behind_latest(path, end))

@@ -373,6 +373,27 @@ def main() -> None:
             f"host sentinel {sent_now:.4f}s vs baseline {sent_base:.4f}s "
             f"→ drift {drift:.2f}x (ratios below are raw | normalized)"
         )
+    # Two-pass flagging (round-10 verdict task 4: three rounds of
+    # judges re-adjudicated the same 1.3-2x session noise on
+    # sub-second ops). Pass 1 collects every op's normalized ratio;
+    # pass 2 flags only ops that exceed BOTH the absolute THRESHOLD
+    # and 1.5x the run's 90th-percentile ratio — a RELATIVE outlier
+    # test: residual host/session drift the sentinel missed moves the
+    # whole distribution (and hence the p90) with it, so uniform noise
+    # flags nothing while a genuinely regressed plan still sticks out.
+    effs: dict[str, float] = {}
+    for name in sorted(bench):
+        b = base.get(name)
+        if b:
+            ratio = bench[name] / b
+            effs[name] = ratio / drift if drift else ratio
+    p90 = sorted(effs.values())[int(len(effs) * 0.9)] if effs else 1.0
+    flag_bar = max(THRESHOLD, 1.5 * p90)
+    if effs:
+        print(
+            f"ratio p90 {p90:.2f}x → flag bar "
+            f"max({THRESHOLD}, 1.5·p90) = {flag_bar:.2f}x"
+        )
     regressions = []
     print(f"{'op':34} {'now':>8} {'base':>8} {'ratio':>7}")
     for name in sorted(bench):
@@ -382,11 +403,11 @@ def main() -> None:
             print(f"{name:34} {now:8.3f} {'-':>8} {'new':>7}")
             continue
         ratio = now / b if b else float("inf")
-        eff = ratio / drift if drift else ratio
-        flag = "  <-- REGRESSION" if eff > THRESHOLD else ""
+        eff = effs.get(name, ratio)
+        flag = "  <-- REGRESSION" if eff > flag_bar else ""
         norm = f" | {eff:5.2f}x" if drift else ""
         print(f"{name:34} {now:8.3f} {b:8.3f} {ratio:6.2f}x{norm}{flag}")
-        if eff > THRESHOLD:
+        if eff > flag_bar:
             regressions.append((name, now, b, eff))
     shared = [k for k in bench if k in base]
     total_now = sum(bench[k] for k in shared)

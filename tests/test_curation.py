@@ -555,3 +555,30 @@ def test_bpe_merges_reproduce_reference_implementation(spark):
         for r in bpe_merges_from_words(words, n_merges).collect()
     ]
     assert got == expect
+
+
+def test_curated_store_equals_direct_plan(spark, tmp_path, monkeypatch):
+    """curated_corpus_store serves exactly the quality/lang/dup chain's
+    survivor rows (round-11 verdict task 6: the curation verdict is a
+    corpus property built once, not re-derived per consumer), and
+    curate_corpus reads it."""
+    from kinesis_to_firehose_spark.operators.textops import (
+        curate_corpus,
+        curate_corpus_plan,
+    )
+    from kinesis_to_firehose_spark.sources.curation_store import (
+        curated_corpus_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    direct = sorted(
+        tuple(r) for r in curate_corpus_plan(spark, sf).collect()
+    )
+    stored = sorted(
+        tuple(r) for r in curated_corpus_store(spark, sf).collect()
+    )
+    assert stored == direct
+    assert direct  # non-vacuous: survivors exist
+    via_op = sorted(tuple(r) for r in curate_corpus(spark, sf).collect())
+    assert via_op == direct

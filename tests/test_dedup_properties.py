@@ -1586,6 +1586,61 @@ def test_jaccard_pairs_store_equals_direct_plan(spark, tmp_path, monkeypatch):
     assert via_op == direct
 
 
+def test_containment_pairs_store_equals_direct_plan(
+    spark, tmp_path, monkeypatch
+):
+    """corpus_containment_pairs_store serves exactly the asymmetric
+    prefix-filtered plan's rows (round-11 verdict task 1: the Σdf²
+    candidate ramp is paid once per corpus, never per query), and
+    dedup_containment reads it."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        containment_plan,
+        dedup_containment,
+    )
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_containment_pairs_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    direct = sorted(tuple(r) for r in containment_plan(spark, sf).collect())
+    stored = sorted(
+        tuple(r)
+        for r in corpus_containment_pairs_store(spark, sf).collect()
+    )
+    assert stored == direct
+    assert direct  # non-vacuous: the corpus has τ-containment pairs
+    via_op = sorted(tuple(r) for r in dedup_containment(spark, sf).collect())
+    assert via_op == direct
+
+
+def test_substring_stats_store_equals_direct_plan(
+    spark, tmp_path, monkeypatch
+):
+    """corpus_substring_stats_store serves exactly the window-gram
+    plan's per-doc rows (round-11 verdict task 2), and dedup_substring
+    reads it."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dedup_substring,
+        substring_plan,
+    )
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_substring_stats_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    direct = sorted(tuple(r) for r in substring_plan(spark, sf).collect())
+    stored = sorted(
+        tuple(r)
+        for r in corpus_substring_stats_store(spark, sf).collect()
+    )
+    assert stored == direct
+    assert any(r[2] > 0 for r in direct)  # non-vacuous: dup spans exist
+    via_op = sorted(tuple(r) for r in dedup_substring(spark, sf).collect())
+    assert via_op == direct
+
+
 def test_pointer_double_forest_matches_naive_walk(spark):
     """Pointer doubling over a random parent forest (round-10 verdict
     task 1) returns exactly the naive walk's (root, depth) for every
@@ -1623,3 +1678,102 @@ def test_pointer_double_forest_matches_naive_walk(spark):
     assert got == {d: naive(d) for d in parents}
     # 65-deep chain: ⌈log₂ 65⌉ = 7 splice rounds + 1 no-op detection
     assert rounds <= 8, rounds
+
+
+def test_pointer_double_forest_rejects_cycles(spark, monkeypatch):
+    """A cyclic input (violating the parent < doc forest contract)
+    must raise, not silently return a partially collapsed mapping
+    (ADVICE r10). The round cap is monkeypatched down so the test
+    doesn't run 48 real splice rounds."""
+    import pytest
+
+    from kinesis_to_firehose_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_PROV_MAX_ROUNDS", 5)
+    pdf = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "doc long, parent long"
+    )
+    with pytest.raises(ValueError, match="not an acyclic"):
+        dedup.pointer_double_forest(pdf)
+
+
+def test_ann_index_probe_store_equals_direct_plan(
+    spark, tmp_path, monkeypatch
+):
+    """ann_index_probe's epoch-layout store (old corpus at epoch 0,
+    ingest batch appended as epoch 1 through the frozen codebook) is
+    an implementation detail the results must not observe: the op's
+    output equals the declarative IVF probe over the unioned corpus
+    with old-seeded centroids (round-11 verdict task 5)."""
+    from pyspark.sql.window import Window as W
+
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dot_expr,
+        normed_embeddings,
+    )
+    from kinesis_to_firehose_spark.operators.similarity import (
+        ANN_NEW_MOD,
+        ANN_PROBE_QBOUND,
+        IVF_TOP_K,
+        N_CENTROIDS,
+        N_PROBE,
+        _assign_cells,
+        _ranked_cells,
+        ann_index_probe,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    n = normed_embeddings(spark, sf)
+    is_new = F.col("vec_id") % ANN_NEW_MOD == 0
+    cents = n.filter(~is_new & (F.col("vec_id") < N_CENTROIDS)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    queries = n.filter(is_new & (F.col("vec_id") < ANN_PROBE_QBOUND))
+    qa = (
+        _ranked_cells(queries, cents)
+        .filter(F.col("rk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    ca = _assign_cells(n, cents).select(
+        F.col("vec_id").alias("candidate_id"), "cell"
+    )
+    probe = qa.join(ca, "cell").filter(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    emb_q = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    emb_c = n.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = f"({dot_expr('q_emb', 'c_emb', 'spark')} / (q_nrm * c_nrm))"
+    scored = (
+        probe.join(emb_q, "query_id")
+        .join(emb_c, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            "cell",
+            F.round(F.expr(cos), 6).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    direct = sorted(
+        tuple(r)
+        for r in scored.withColumn(
+            "rk", F.row_number().over(wk).cast("bigint")
+        )
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("query_id", "candidate_id", "cell", "cosine", "rk")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in ann_index_probe(spark, sf).collect())
+    assert got == direct
+    assert direct  # non-vacuous: queries exist in the new batch

@@ -1723,3 +1723,73 @@ def test_chaos_soak_kill_resume_mid_delivery(spark, tmp_path):
         )
         assert {g["event_id"] for g in got} == ids
     assert not os.path.isdir(dl) or not os.listdir(dl), "dead letters"
+
+
+def test_ann_ingest_stream_probes_and_appends(spark, tmp_path):
+    """Streaming continuous-ingest ANN maintenance (the vector-store
+    twin of the dedup ingest stream): each micro-batch's top-k must
+    equal a fresh store search PINNED at the pre-batch epoch (so a
+    batch never matches itself through the store), the batch must
+    append itself as the next index epoch through the frozen codebook,
+    and the pinned re-probe doubles as the replay-convergence check —
+    every write is an epoch-dir overwrite."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_firehose_spark.operators.dedup import normed_embeddings
+    from kinesis_to_firehose_spark.sources.ann_index import (
+        build_ann_index_epoch,
+        run_ann_ingest_stream,
+        search_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    n = normed_embeddings(spark, sf).select("vec_id", "embedding", "nrm")
+    base = n.filter(F.col("vec_id") % 10 > 1)
+    b1 = n.filter(F.col("vec_id") % 10 == 1)
+    b2 = n.filter(F.col("vec_id") % 10 == 0)
+
+    index = str(tmp_path / "index")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    build_ann_index_epoch(spark, base, index, epoch=0)
+
+    b1.repartition(1).write.mode("overwrite").parquet(src)
+    q = run_ann_ingest_stream(spark, src, index, out, ckpt)
+    q.processAllAvailable()
+    # second batch arrives after the first is fully ingested
+    b2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got1 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    )
+    got2 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    )
+    assert got1 and got2
+
+    # index now holds epochs 0 (base), 1 (b1), 2 (b2)
+    epochs = sorted(
+        e
+        for e in os.listdir(f"{index}/assignment")
+        if e.startswith("epoch=")
+    )
+    assert epochs == ["epoch=0", "epoch=1", "epoch=2"]
+
+    # pinned re-probes reproduce each batch's emitted results exactly:
+    # batch 1 scored against the base only, batch 2 against base+b1 —
+    # b2's own already-appended epoch is partition-pruned away. This
+    # is also the replay contract: a redelivered micro-batch recomputes
+    # the identical rows and overwrites the identical dirs.
+    replay1 = sorted(
+        tuple(r)
+        for r in search_ann_index(spark, b1, index, max_epoch=0).collect()
+    )
+    replay2 = sorted(
+        tuple(r)
+        for r in search_ann_index(spark, b2, index, max_epoch=1).collect()
+    )
+    assert got1 == replay1
+    assert got2 == replay2

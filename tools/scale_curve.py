@@ -85,12 +85,67 @@ def measured_growth(lo: str, hi: str) -> tuple[int, int]:
     return counts[0], counts[1]
 
 
+def solo_one_main() -> None:
+    """Time ONE op at two dirs in THIS process and print one JSON line
+    — the per-op worker behind --sf10's fresh-process runs. Internal:
+    python tools/scale_curve.py --solo-one <op> <lo> <hi>
+    """
+    name, lo, hi = sys.argv[2], sys.argv[3], sys.argv[4]
+    spark = get_spark(f"scale-solo-{name}")
+    from kinesis_to_firehose_spark.registry import over_cap
+
+    op = all_ops()[name]
+    n_over = over_cap(op, hi)
+    if n_over is not None:
+        print(json.dumps({"op": name, "capped": n_over}))
+        return
+    t_lo, n_lo = time_op(spark, op.fn, lo)
+    t_hi, n_hi = time_op(spark, op.fn, hi)
+    print(
+        json.dumps(
+            {
+                "op": name,
+                "t_lo": t_lo,
+                "t_hi": t_hi,
+                "rows_lo": n_lo,
+                "rows_hi": n_hi,
+            }
+        )
+    )
+
+
+def _run_solo(name: str, lo: str, hi: str) -> dict:
+    """One op timed in a FRESH interpreter/JVM (round-10 verdict
+    task: the in-process sf10 stanza recorded 84.9 s for a 62-67 s
+    op after 21 preceding curve ops — JVM/GC history was ±35% of the
+    measurement, bigger than any effect the stanza exists to show).
+    A fresh process pays its own warmup inside repeat 1; min() of
+    REPEATS reads the settled number."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--solo-one", name, lo, hi],
+        capture_output=True,
+        text=True,
+    )
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"solo run for {name} produced no JSON: "
+        f"{proc.stdout[-500:]} / {proc.stderr[-500:]}"
+    )
+
+
 def sf10_main() -> None:
     """Fourth-decade exposure (round-10 verdict task 5): time the N
     heaviest ops of the MAIN stanza (by sf3 wall) at .testdata/sf10,
     Spark side only — no quadratic DuckDB oracles at this scale; this
     is an ENVELOPE check (does alpha hold another decade?), not a
-    parity gate. Appends an "sf3_sf10" stanza to SCALE_CURVE.json.
+    parity gate. Each op runs SOLO in a fresh process so the committed
+    number is reproducible within normal host noise (round-11 verdict
+    task 3). Appends an "sf3_sf10" stanza to SCALE_CURVE.json.
 
     Usage: python tools/scale_curve.py --sf10 [n_ops] [lo hi out]
     """
@@ -107,29 +162,26 @@ def sf10_main() -> None:
     in_lo, in_hi = measured_growth(lo, hi)
     growth = in_hi / in_lo
     print(
-        f"sf3->sf10 stanza: {heavy} at measured growth x{growth:.3f}"
+        f"sf3->sf10 stanza: {heavy} at measured growth x{growth:.3f} "
+        f"(each op solo in a fresh process)"
     )
-    spark = get_spark("scale-curve-sf10")
-    from kinesis_to_firehose_spark.registry import over_cap
-
-    ops = all_ops()
     rows = {}
     for name in heavy:
-        n_over = over_cap(ops[name], hi)
-        if n_over is not None:
-            rows[name] = {"capped": n_over}
-            print(f"{name:28} CAP ({n_over} rows over bound)", flush=True)
+        r = _run_solo(name, lo, hi)
+        if "capped" in r:
+            rows[name] = {"capped": r["capped"]}
+            print(f"{name:28} CAP ({r['capped']} rows over bound)", flush=True)
             continue
-        t_lo, n_lo = time_op(spark, ops[name].fn, lo)
-        t_hi, n_hi = time_op(spark, ops[name].fn, hi)
+        t_lo, t_hi = r["t_lo"], r["t_hi"]
         alpha = math.log(t_hi / t_lo) / math.log(growth)
         rows[name] = {
             "t_lo": t_lo,
             "t_hi": t_hi,
             "ratio": round(t_hi / t_lo, 2),
             "alpha": round(alpha, 2),
-            "rows_lo": n_lo,
-            "rows_hi": n_hi,
+            "rows_lo": r["rows_lo"],
+            "rows_hi": r["rows_hi"],
+            "solo_process": True,
         }
         print(
             f"{name:28} {t_lo:8.2f}s -> {t_hi:8.2f}s  "
@@ -153,6 +205,9 @@ def sf10_main() -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--sf10":
         sf10_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--solo-one":
+        solo_one_main()
         return
     lo = sys.argv[1] if len(sys.argv) > 1 else ".testdata/sf1"
     hi = sys.argv[2] if len(sys.argv) > 2 else ".testdata/sf3"
@@ -205,6 +260,22 @@ def main() -> None:
         "input_rows_hi": in_hi,
         "ops": rows,
     }
+    # Carry the sf3_sf10 stanza forward instead of silently dropping
+    # it (ADVICE r10): a main-stanza rerun doesn't invalidate the
+    # fourth-decade numbers, but they were measured at an older HEAD,
+    # so mark them stale until `--sf10` re-stamps.
+    import os
+
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        if "sf3_sf10" in prev:
+            stanza = prev["sf3_sf10"]
+            stanza["stale"] = (
+                "carried from a previous run; re-run "
+                "`make scale-curve-sf10` to re-stamp at this HEAD"
+            )
+            artifact["sf3_sf10"] = stanza
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
         f.write("\n")
