@@ -2,7 +2,7 @@
 SHELL := /bin/bash
 SF_DIR ?= /root/testdata/sf0.1
 
-.PHONY: test parity parity-sf1 parity-sf3 bench bench-sf1 scale-curve scale-curve-sf10 forwarder-throughput digest image
+.PHONY: test parity parity-sf1 parity-sf3 bench bench-sf1 scale-curve scale-curve-sf10 build-curve-sf30 forwarder-throughput digest image judge
 
 test:
 	python -m pytest tests/ -x -q
@@ -50,6 +50,23 @@ scale-curve:
 scale-curve-sf10:
 	python tools/gen_scale.py /root/testdata/sf0.1 .testdata/sf10 100
 	python tools/scale_curve.py --sf10
+
+# fifth-decade BUILD-cost probe for the corpus-store dedup plans
+# (documents-only sf30 slice — facts nothing there reads are skipped):
+# does the MAX_SHINGLE_DF cap flatten the containment/substring df
+# ramp once saturated? Appends a build_sf10_sf30 stanza.
+build-curve-sf30:
+	python tools/gen_scale.py /root/testdata/sf0.1 .testdata/sf30-docs 300 documents
+	python tools/dedup_build_curve.py
+
+# the exact verification chain the round judge runs (round-10 verdict
+# task 8): full oracle-parity sweep at sf0.01, the complete pytest
+# suite, then a bench diff against BASELINE.md with the relative-
+# outlier noise guard. Builder and judge measure the same way.
+judge:
+	python regress.py --parity --all --budget 120
+	python -m pytest tests/ -q
+	python bench.py | python regress.py -
 
 digest:
 	python -m kinesis_to_firehose_spark.plans.digest

@@ -161,6 +161,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "ann_ivf_trained_topk",  # same, trained centroids
         "ann_ivfpq_topk",        # same coarse centroid list × vectors
         "ann_index_search",      # stored centroid list × query vectors
+        "ann_index_probe",       # same stored-centroid cross, epoch store
         "ann_lsh_topk",          # query-side fan-out
         "dedup_embedding",       # block-id grid
         "dedup_embedding_lsh",   # bucketed variant of the same kernel

@@ -141,10 +141,18 @@ def _copy_table(
     return out
 
 
-def generate(src: str, dst: str, copies: int = 10) -> None:
+def generate(
+    src: str,
+    dst: str,
+    copies: int = 10,
+    tables: list[str] | None = None,
+) -> None:
+    """`tables` restricts generation to a named subset (e.g. a
+    documents-only fifth-decade slice for the dedup asymptote probes
+    — full sf30 would be 9 GB of facts nothing there reads)."""
     os.makedirs(dst, exist_ok=True)
     strides = _strides(src)
-    for name in TABLES:
+    for name in tables if tables is not None else TABLES:
         src_tbl = pq.read_table(os.path.join(src, f"{name}.parquet"))
         if name in FIXED_TABLES:
             parts = [src_tbl]
@@ -168,4 +176,5 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else ".testdata/sf1"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    generate(src, dst, copies)
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    generate(src, dst, copies, tables)

@@ -269,13 +269,17 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as f:
             prev = json.load(f)
-        if "sf3_sf10" in prev:
-            stanza = prev["sf3_sf10"]
-            stanza["stale"] = (
-                "carried from a previous run; re-run "
-                "`make scale-curve-sf10` to re-stamp at this HEAD"
-            )
-            artifact["sf3_sf10"] = stanza
+        for key, retarget in (
+            ("sf3_sf10", "`make scale-curve-sf10`"),
+            ("build_sf10_sf30", "`python tools/dedup_build_curve.py`"),
+        ):
+            if key in prev:
+                stanza = prev[key]
+                stanza["stale"] = (
+                    f"carried from a previous run; re-run {retarget} "
+                    "to re-stamp at this HEAD"
+                )
+                artifact[key] = stanza
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
         f.write("\n")
