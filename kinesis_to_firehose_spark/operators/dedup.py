@@ -2278,12 +2278,19 @@ def substring_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_dg = wins.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    nd = per_dg.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    # n_docs as a WINDOW over the (doc, gram) table, not a gram-keyed
+    # aggregate joined back: same semantics, one fewer exchange — and
+    # it removes the join Spark mis-planned as a BROADCAST at the
+    # fifth decade (the gram table passed the size estimate at sf30,
+    # then shipped 1 GiB of task results into the driver and died on
+    # maxResultSize; a window can never broadcast).
     dup_w = F.sum(
         F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
     )
     return (
-        per_dg.join(nd, "gram")
+        per_dg.withColumn(
+            "n_docs", F.count("*").over(W.partitionBy("gram"))
+        )
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_windows"),
