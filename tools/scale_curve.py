@@ -219,12 +219,19 @@ def main() -> None:
         f"input rows (events): {in_lo} -> {in_hi}, measured growth "
         f"x{growth:.3f} (nominal x{growth_nominal})"
     )
-    spark = get_spark("scale-curve")
-    ops = all_ops()
     rows = {}
     for name in CURVE_OPS:
-        t_lo, n_lo = time_op(spark, ops[name].fn, lo)
-        t_hi, n_hi = time_op(spark, ops[name].fn, hi)
+        # fresh process per op (round-11: the shared-session stanza
+        # recorded item_cooccurrence at 25.5 s sf3 where a solo rerun
+        # reads 12.5 s — late ops inherit 21 neighbors' JVM/GC debt,
+        # the same artifact the sf10 stanza had)
+        r = _run_solo(name, lo, hi)
+        if "capped" in r:
+            rows[name] = {"capped": r["capped"]}
+            print(f"{name:28} CAP ({r['capped']} rows over bound)", flush=True)
+            continue
+        t_lo, n_lo = r["t_lo"], r["rows_lo"]
+        t_hi, n_hi = r["t_hi"], r["rows_hi"]
         alpha = math.log(t_hi / t_lo) / math.log(growth)
         # output curvature: near-dup PAIR counts grow super-linearly
         # in any corpus where duplication density rises with size (the
@@ -244,6 +251,7 @@ def main() -> None:
             "rows_lo": n_lo,
             "rows_hi": n_hi,
             "out_alpha": round(out_alpha, 2) if out_alpha is not None else None,
+            "solo_process": True,
         }
         print(
             f"{name:28} {t_lo:8.2f}s -> {t_hi:8.2f}s  "
