@@ -594,3 +594,35 @@ def corpus_substring_stats_store(
         substring_plan(spark, sf_dir).write.mode("overwrite").parquet(tmp)
 
     return spark.read.parquet(ensure_store(path, _build))
+
+
+def corpus_edit_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ-Levenshtein pair list (doc_id_1, doc_id_2, edit_dist),
+    persisted once per corpus (round-11): the PassJoin segment join is
+    the BUILD step — its candidate mass is a property of the corpus'
+    prefix-collision structure, parameter-free per query. Key chains
+    the normalization/prefix/τ constants, so any matching-rule change
+    rebuilds."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        EDIT_TAU,
+        _PREFIX,
+        edit_distance_plan,
+    )
+    from kinesis_to_firehose_spark.sources.store_cache import (
+        ensure_store,
+        store_path,
+    )
+
+    path = store_path(
+        "editpairs",
+        sf_dir,
+        "documents",
+        f"edit-pairs-v1|prefix={_PREFIX}|tau={EDIT_TAU}",
+    )
+
+    def _build(tmp: str) -> None:
+        edit_distance_plan(spark, sf_dir).write.mode("overwrite").parquet(
+            tmp
+        )
+
+    return spark.read.parquet(ensure_store(path, _build))

@@ -1821,3 +1821,31 @@ def test_ann_index_probe_plan_reads_store_and_prunes_epochs(
 
     m = re.search(r"PartitionFilters: \[[^\]]*epoch[^\]]*\]", pinned)
     assert m, pinned
+
+
+def test_edit_pairs_store_equals_direct_plan(spark, tmp_path, monkeypatch):
+    """corpus_edit_pairs_store serves exactly the PassJoin plan's rows
+    (round-11: the last heavy dedup pair op moved behind a store), and
+    dedup_edit_distance reads it."""
+    from kinesis_to_firehose_spark.operators.dedup import (
+        dedup_edit_distance,
+        edit_distance_plan,
+    )
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_edit_pairs_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    direct = sorted(
+        tuple(r) for r in edit_distance_plan(spark, sf).collect()
+    )
+    stored = sorted(
+        tuple(r) for r in corpus_edit_pairs_store(spark, sf).collect()
+    )
+    assert stored == direct
+    assert direct  # non-vacuous: tau-close prefixes exist
+    via_op = sorted(
+        tuple(r) for r in dedup_edit_distance(spark, sf).collect()
+    )
+    assert via_op == direct
