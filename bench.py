@@ -24,6 +24,16 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # Per-op artifact name — the sf1 anchor writes BENCH_SF1.json so the
 # sf0.1 map of record is never clobbered by a scale run.
 OPS_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_OPS.json")
+# Timed action (r12 measurement fix, guide §1.4 / r11 verdict #1):
+# `count()` let Catalyst prune final projections/sorts — the whole
+# decode+serialize pipeline of a narrow-map op column-pruned down to
+# a column-less scan (serialize_jsonl's count plan was
+# Aggregate[count(1)] ← Project[] ← Relation), making those rows'
+# scale envelopes vacuous. The noop sink computes EVERY column of
+# every row and discards it. `SPARK_GRAFT_BENCH_ACTION=count`
+# restores the old action for apples-to-apples comparison against
+# pre-r12 artifacts.
+ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
 
 # Headline set: every registered op except the end-to-end streaming
 # protocol ops — each spins up full Structured Streaming pipelines
@@ -97,13 +107,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     # shared context closed even if an op raises mid-sweep (a leaked
     # materialization would pin executor storage for the process life)
+    def timed_action(df):
+        if ACTION == "count":
+            return df.count()
+        df.write.format("noop").mode("overwrite").save()
+        return None
+
     with share_ctx:
         for name, op in sorted(ops.items()):
+            # Untimed rows count: sanity signal for the artifact (and
+            # the session warm-up the old count-as-action provided).
+            n = op.fn(spark, SF_DIR).count()
             # Best of three: first runs after heavy neighbors pay JVM
             # lazy-cleanup/codegen-cache penalties and transient host
             # stalls that are session artifacts, not query cost
             # (verified: 17s → 0.4s on immediate repeat, no caching).
-            best, n = None, 0
+            best = None
             # Untimed settle: collect the previous op's JVM garbage so
             # its major-GC debt doesn't land inside this op's timing
             # window (observed: 0.3s ops reading 3.7s mid-bench).
@@ -111,7 +130,7 @@ def main() -> None:
             runs = 0
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
-                n = op.fn(spark, SF_DIR).count()
+                timed_action(op.fn(spark, SF_DIR))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
                 runs += 1
@@ -123,7 +142,7 @@ def main() -> None:
             # until 5 reps once best-of is under a second.
             while best < 1.0 and runs < 5:
                 t0 = time.perf_counter()
-                n = op.fn(spark, SF_DIR).count()
+                timed_action(op.fn(spark, SF_DIR))
                 best = min(best, time.perf_counter() - t0)
                 runs += 1
             timings[name] = round(best, 3)
@@ -155,6 +174,7 @@ def main() -> None:
         "host_sentinel_sec": sentinel,
         "parity_stamp": parity_stamp,
         "scale_capped_skipped": capped,
+        "timed_action": ACTION,
     }
     ops_path = Path(__file__).resolve().parent / OPS_OUT
     ops_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
