@@ -387,12 +387,14 @@ def main() -> None:
         if b:
             ratio = bench[name] / b
             effs[name] = ratio / drift if drift else ratio
+    # Per-op bar: each op is excluded from ITS OWN p90 (ADVICE r12:
+    # with small suites int(n*0.9)=n-1 made p90 the worst op's own
+    # ratio, so no single regression could ever exceed 1.5x itself).
     p90 = sorted(effs.values())[int(len(effs) * 0.9)] if effs else 1.0
-    flag_bar = max(THRESHOLD, 1.5 * p90)
     if effs:
         print(
             f"ratio p90 {p90:.2f}x → flag bar "
-            f"max({THRESHOLD}, 1.5·p90) = {flag_bar:.2f}x"
+            f"max({THRESHOLD}, 1.5·p90-excl-self)"
         )
     regressions = []
     print(f"{'op':34} {'now':>8} {'base':>8} {'ratio':>7}")
@@ -404,6 +406,9 @@ def main() -> None:
             continue
         ratio = now / b if b else float("inf")
         eff = effs.get(name, ratio)
+        others = sorted(v for k, v in effs.items() if k != name)
+        p90x = others[int(len(others) * 0.9)] if others else 1.0
+        flag_bar = max(THRESHOLD, 1.5 * p90x)
         flag = "  <-- REGRESSION" if eff > flag_bar else ""
         norm = f" | {eff:5.2f}x" if drift else ""
         print(f"{name:34} {now:8.3f} {b:8.3f} {ratio:6.2f}x{norm}{flag}")
@@ -422,6 +427,18 @@ def main() -> None:
             f"normalized {total_now / total_base / drift:.2f}x)"
         )
     print(summary)
+    # Suite-wide gate (ADVICE r12): a broad regression — many ops a
+    # bit slower — inflates the p90 bar with itself and per-op flags
+    # miss it. The drift-normalized shared-total ratio can't be
+    # gamed that way: fail when the whole suite is > THRESHOLD slower.
+    if total_base:
+        total_ratio = total_now / total_base / (drift or 1.0)
+        if total_ratio > THRESHOLD:
+            print(
+                f"TOTAL REGRESSION: shared-op total {total_ratio:.2f}x "
+                f"baseline (normalized) > {THRESHOLD}x"
+            )
+            regressions.append(("__total__", total_now, total_base, total_ratio))
     if update:
         lines = BASELINE.read_text().splitlines(keepends=True)
         seen = set()
