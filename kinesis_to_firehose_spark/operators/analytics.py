@@ -1949,10 +1949,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, "part", sf_dir).filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
     )
-    cost = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    # r12: semi-join lineitem against the broadcast filtered part-key
+    # set BEFORE the (partkey, suppkey) aggregate — the per-group min
+    # is invariant under a group-key filter, and the filter kills
+    # ~everything, so the agg's shuffle shrinks by the part
+    # selectivity instead of aggregating every partkey and discarding
+    # them at the join (guide §2.3: aggregate/filter before shuffle).
+    cost = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
     )
     # Part filter FIRST: p_size/p_type select a tiny part set, and the
     # per-partkey minimum is invariant under a partkey-level filter —
@@ -2261,45 +2278,58 @@ LIMIT 100
 
 @register("q21_waiting_suppliers", Q21_SQL)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 re-plan: the textbook semi/anti self-join form computed the
+    # lineitem⋈orders join twice (l1 + other_late) and scanned
+    # lineitem a third time for the semi side. Equivalent aggregate
+    # form in ONE pass: per (order, supplier), count late rows; per
+    # order (a window over the same okey partitioning — no extra
+    # exchange), count suppliers and late suppliers. A late pair is
+    # "waiting" iff the order has ≥2 suppliers (≡ the EXISTS other
+    # supplier semi-join) and exactly 1 late supplier — itself (≡ the
+    # NOT EXISTS other late supplier anti-join). numwait sums the
+    # pair's late ROW count, matching the row-level count(*) of the
+    # join form.
     li = load(spark, "lineitem", sf_dir)
-    o = load(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    o = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
     s = load(spark, "supplier", sf_dir)
     n = F.broadcast(
         load(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_2")
     )
-    late = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    g = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_suppkey").alias("skey"),
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .cast("int")
+            .alias("late"),
         )
-        .select("l_orderkey", "l_suppkey")
     )
-    l1 = (
-        late.alias("l1")
-        .join(s, F.col("s_suppkey") == F.col("l1.l_suppkey"))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(F.col("l1.l_orderkey").alias("okey"),
-                F.col("l1.l_suppkey").alias("skey"), "s_name")
+    per_pair = g.groupBy("okey", "skey").agg(
+        F.sum("late").alias("n_late_rows"),
+        F.max("late").alias("any_late"),
     )
-    other = li.select(
-        F.col("l_orderkey").alias("o2_okey"), F.col("l_suppkey").alias("o2_skey")
-    )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o3_okey"), F.col("l_suppkey").alias("o3_skey")
+    wo = W.partitionBy("okey")
+    waiting = (
+        per_pair.withColumn("n_supp", F.count("*").over(wo))
+        .withColumn("n_late_supp", F.sum("any_late").over(wo))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
-        l1.join(
-            other,
-            (F.col("okey") == F.col("o2_okey")) & (F.col("skey") != F.col("o2_skey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("okey") == F.col("o3_okey")) & (F.col("skey") != F.col("o3_skey")),
-            "left_anti",
-        )
+        waiting.join(s, F.col("s_suppkey") == F.col("skey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
@@ -3688,23 +3718,63 @@ FK_AUDIT_SQL = "\nUNION ALL\n".join(
 
 @register("fk_integrity_audit", FK_AUDIT_SQL)
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
+    # ONE pass per CHILD table (r12 re-plan; was 2 passes per EDGE —
+    # a left_anti for orphans plus a separate full count — 21 scans /
+    # 14 wide joins for 7 edges, lineitem alone scanned 6x). Parent
+    # keys are primary keys (unique), so a LEFT OUTER join preserves
+    # child cardinality and `pkey IS NULL` marks exactly the anti-join
+    # rows; all of a child's edges chain onto one scan and collapse in
+    # ONE aggregate (count + conditional orphan sums). The per-edge
+    # rows come out of an inline explode so the 1-row aggregate is
+    # never replayed per edge. nation/region are bounded dims at any
+    # SF → explicit broadcast; fact-fact parents stay planner-chosen.
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for name, child, ckey, parent, pkey in _FK_EDGES:
-        c = load(spark, child, sf_dir).select(ckey)
-        p = load(spark, parent, sf_dir).select(pkey)
-        orphans = (
-            c.filter(F.col(ckey).isNotNull())
-            .join(p, c[ckey] == p[pkey], "left_anti")
-            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        by_child.setdefault(child, []).append((name, ckey, parent, pkey))
+    out = None
+    for child, edges in by_child.items():
+        joined = load(spark, child, sf_dir).select(
+            *sorted({ckey for _, ckey, _, _ in edges})
         )
-        total = c.agg(F.count("*").cast("bigint").alias("n_child_rows"))
-        row = (
-            total.crossJoin(orphans)
-            .select(
-                F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans"
+        for i, (_, ckey, parent, pkey) in enumerate(edges):
+            p = load(spark, parent, sf_dir).select(
+                F.col(pkey).alias(f"_pk{i}")
             )
+            if parent in ("nation", "region"):
+                p = F.broadcast(p)
+            joined = joined.join(
+                p, F.col(ckey) == F.col(f"_pk{i}"), "left"
+            )
+        agg = joined.agg(
+            F.count("*").cast("bigint").alias("n_child_rows"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col(ckey).isNotNull()
+                        & F.col(f"_pk{i}").isNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"_orph{i}")
+                for i, (_, ckey, _, _) in enumerate(edges)
+            ],
         )
-        out = row if out is None else out.unionByName(row)
+        rows = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("fk_edge"),
+                            F.col("n_child_rows"),
+                            F.col(f"_orph{i}").alias("n_orphans"),
+                        )
+                        for i, (name, _, _, _) in enumerate(edges)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.*")
+        out = rows if out is None else out.unionByName(rows)
     return out.orderBy("fk_edge")
 
 

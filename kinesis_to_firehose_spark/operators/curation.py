@@ -269,38 +269,74 @@ ORDER BY q.doc_id
 """
 
 
-@register("quality_fused", FUSED_SQL)
-def quality_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fused_quality_scored(
+    spark: SparkSession, sf_dir: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    # ONE corpus scan (r12 re-plan; was 4 subplans — text_quality,
+    # text_lang_id, the survivor window, _repetition_measures — glued
+    # by 3 doc_id joins, 4 documents scans and an explode+shuffle for
+    # the repetition side). Every component except is_survivor is a
+    # per-row expression, so they fuse into a single projection; the
+    # expressions are IMPORTED from the component ops (textops._hits /
+    # _tokens, dedup.TOK_EXPR) so the values cannot drift from what
+    # text_quality / text_lang_id / repetition_filter compute. The
+    # dup-word ratio uses size(array_distinct(tokens)) per row — the
+    # same value the exploded countDistinct produced, and literally
+    # the oracle's len(list_distinct(t))/len(t). Only shuffle left:
+    # the md5-survivor window. `carry` threads extra document columns
+    # through (quality_adaptive_gate carries lang, saving its own
+    # corpus join).
     from kinesis_to_firehose_spark.operators.textops import (
-        text_lang_id,
-        text_quality,
+        LANG_PROFILES,
+        STOPWORDS,
+        _hits,
+        _tokens,
     )
 
-    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
-    lid = text_lang_id(spark, sf_dir).select(
-        "doc_id",
-        F.when(F.col("predicted_lang") == F.col("lang"), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("lang_ok"),
-    )
     d = load(spark, "documents", sf_dir)
-    surv = d.select(
-        "doc_id", F.md5(F.expr(NORM_EXPR)).alias("h")
-    ).select(
+    n_tokens = F.size(_tokens())
+    stop_ratio = _hits(STOPWORDS) / n_tokens
+    punct_ratio = F.regexp_count(
+        "text", F.lit("[^A-Za-z0-9\\s]")
+    ) / F.length("text")
+    quality_score = F.round(
+        F.least(F.lit(1.0), n_tokens / 200.0) * 0.5
+        + stop_ratio * 0.3
+        + (1 - punct_ratio) * 0.2,
+        4,
+    )
+    hits = {lang: _hits(words) for lang, words in LANG_PROFILES.items()}
+    en, de, es, fr = (hits[x] for x in ("en", "de", "es", "fr"))
+    predicted = (
+        F.when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de >= es) & (de >= fr), F.lit("de"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    lang_ok = (
+        F.when(predicted == F.col("lang"), 1).otherwise(0).cast("bigint")
+    )
+    dup_word_ratio = F.round(
+        1
+        - F.size(F.array_distinct(F.expr(TOK_EXPR)))
+        * 1.0
+        / F.size(F.expr(TOK_EXPR)),
+        4,
+    )
+    per_doc = d.select(
         "doc_id",
+        *carry,
+        quality_score.alias("quality_score"),
+        lang_ok.alias("lang_ok"),
+        dup_word_ratio.alias("dup_word_ratio"),
+        F.md5(F.expr(NORM_EXPR)).alias("h"),
+    )
+    is_survivor = (
         F.when(
             F.row_number().over(W.partitionBy("h").orderBy("doc_id")) == 1, 1
         )
         .otherwise(0)
         .cast("bigint")
-        .alias("is_survivor"),
-    )
-    rep = _repetition_measures(spark, sf_dir).select(
-        "doc_id",
-        F.round(1 - F.col("n_distinct") * 1.0 / F.col("n_tokens"), 4).alias(
-            "dup_word_ratio"
-        ),
     )
     fused = F.round(
         F.col("quality_score") * 0.4
@@ -309,11 +345,15 @@ def quality_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1 - F.col("dup_word_ratio")) * 0.2,
         4,
     )
+    return per_doc.withColumn("is_survivor", is_survivor).withColumn(
+        "fused_score", fused
+    )
+
+
+@register("quality_fused", FUSED_SQL)
+def quality_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        q.join(lid, "doc_id")
-        .join(surv, "doc_id")
-        .join(rep, "doc_id")
-        .withColumn("fused_score", fused)
+        fused_quality_scored(spark, sf_dir)
         .withColumn(
             "keep",
             F.when(F.col("fused_score") >= FUSED_KEEP_TAU, 1)
@@ -642,14 +682,18 @@ ORDER BY s.doc_id
 
 @register("quality_adaptive_gate", ADAPTIVE_GATE_SQL)
 def quality_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = quality_fused(spark, sf_dir).select("doc_id", "fused_score")
-    d = load(spark, "documents", sf_dir).select("doc_id", "lang")
-    # Materialize the scored table once: thresholds AND the gate both
-    # consume it, and without a cut Catalyst replays the entire
-    # 4-subplan fused pipeline (windows + joins, 17 exchanges) on each
-    # side. 3 narrow columns per doc — at warehouse scale this is the
-    # quality table you'd persist anyway before deriving gates.
-    scored = d.join(scored, "doc_id").localCheckpoint(eager=True)
+    # lang rides the fused single scan (r12: was quality_fused ⋈
+    # documents on doc_id — a corpus shuffle join just to re-attach a
+    # column the scan already had). Materialize the scored table once:
+    # thresholds AND the gate both consume it, and without a cut
+    # Catalyst replays the fused pipeline on each side. 3 narrow
+    # columns per doc — at warehouse scale this is the quality table
+    # you'd persist anyway before deriving gates.
+    scored = (
+        fused_quality_scored(spark, sf_dir, carry=("lang",))
+        .select("doc_id", "lang", "fused_score")
+        .localCheckpoint(eager=True)
+    )
     thresholds = scored.groupBy("lang").agg(
         F.round(
             F.expr(f"percentile(fused_score, {GATE_QUANTILE})"), 4
@@ -1026,26 +1070,33 @@ ORDER BY query_id, rk
 def _bm25_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 core shared by bm25_search and hybrid_search_rrf: one
     decimal-exact dscore row per matching (query_id, doc_id)."""
-    toks = _exploded_tokens(spark, sf_dir).select(
-        "doc_id", F.col("tok").alias("term")
+    # doc length rides the token explode (r12 re-plan: dl was a
+    # separate corpus-sized (doc_id, dl) table joined onto tf — a full
+    # corpus shuffle just to re-attach a value already known at the
+    # row the tokens explode from; carried through the semi-join and
+    # folded into the tf aggregate, that join disappears)
+    d = load(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.expr(TOK_EXPR).alias("t")).select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.explode("t").alias("term"),
     )
     qt = spark.createDataFrame(
         [(qid, t) for qid, terms in BM25_QUERIES.items() for t in terms],
         "query_id long, term string",
     )
-    # doc length as a NARROW map (size of the token array) — never a
-    # second explode+shuffle of the full corpus
-    dl = load(spark, "documents", sf_dir).select(
-        "doc_id", F.size(F.expr(TOK_EXPR)).alias("dl")
-    )
-    scal = dl.agg(
+    scal = d.select(F.size(F.expr(TOK_EXPR)).alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg(F.col("dl") * 1.0).alias("avgdl")
     )
     matched = toks.join(
         F.broadcast(qt.select("term").distinct()), "term", "left_semi"
     )
     dft = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("dft"))
-    tf = matched.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"),
+        # dl is constant per doc_id; min() re-emits it post-aggregate
+        F.min("dl").alias("dl"),
+    )
     idf = F.log(
         (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1
     )
@@ -1062,7 +1113,6 @@ def _bm25_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(qt), "term")
         .join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scal))
         .select("query_id", "doc_id", tscore.alias("tscore"))
     )
@@ -2539,59 +2589,57 @@ ORDER BY merge_rank
 
 def bpe_merges_from_words(words: DataFrame, n_merges: int) -> DataFrame:
     """Merge loop over a (w, freq) table — the testable core; the
-    registered op feeds it the corpus-scan word counts."""
-    from functools import reduce
+    registered op feeds it the corpus-scan word counts.
 
-    spark_w = words.select(
-        F.concat(
-            F.regexp_replace("w", "(.)", "($1)"), F.lit(f"({_BPE_EOW})")
-        ).alias("seq"),
-        "freq",
-    ).localCheckpoint(eager=True)
-    tops: list[DataFrame] = []
-    for k in range(1, n_merges + 1):
-        syms = spark_w.select(
-            F.split(
-                F.expr("substring(seq, 2, length(seq) - 2)"), r"\)\("
-            ).alias("syms"),
-            "freq",
-        ).filter(F.size("syms") >= 2)
-        pairs = syms.select(
-            F.expr(
-                "explode(transform(sequence(1, size(syms) - 1),"
-                " i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs)))"
-            ).alias("pr"),
-            "freq",
-        )
-        top = (
-            pairs.groupBy(
-                F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs")
-            )
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "lhs", "rhs")
-            .limit(1)
-            .select(
-                F.lit(k).cast("bigint").alias("merge_rank"),
-                "lhs",
-                "rhs",
-                F.concat("lhs", "rhs").alias("merged"),
-                F.col("cnt").cast("bigint").alias("pair_count"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        tops.append(top)
-        spark_w = (
-            spark_w.crossJoin(F.broadcast(top.select("lhs", "rhs")))
-            .select(
-                F.expr(
-                    "replace(seq, '(' || lhs || ')(' || rhs || ')',"
-                    " '(' || lhs || rhs || ')')"
-                ).alias("seq"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
-        )
-    return reduce(DataFrame.unionAll, tops).orderBy("merge_rank")
+    r12 re-plan: the loop runs on the DRIVER over the collected word
+    list. The input is bounded by construction (the op feeds the
+    top-BPE_TOP_WORDS words — a vocab-sized constant independent of
+    corpus scale, same class as the collected IVF/PQ codebooks), while
+    the old in-plan loop paid 2 eager localCheckpoints + a full
+    groupBy/argmax job chain per merge round (24+ distributed jobs
+    over ≤1500 rows — pure scheduler floor at sf0.1, and no better at
+    100 TB where the corpus-sized work is the word COUNT, not the
+    merge loop). Semantics are the Sennrich reference pinned by
+    tests/test_curation.py: count every adjacent symbol pair
+    (overlaps included), pick max count with (lhs, rhs) lexicographic
+    tie-break, merge left-to-right non-overlapping — identical to the
+    old plan's pair explode + replace() chain."""
+    spark = words.sparkSession
+    rows = words.select("w", "freq").collect()
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(list(r["w"]) + [_BPE_EOW])
+        vocab[syms] = vocab.get(syms, 0) + r["freq"]
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                stats[pair] = stats.get(pair, 0) + f
+        if not stats:
+            break
+        top_cnt = max(stats.values())
+        best = min(p for p, c in stats.items() if c == top_cnt)
+        out.append((rank, best[0], best[1], best[0] + best[1], top_cnt))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return spark.createDataFrame(
+        out,
+        "merge_rank bigint, lhs string, rhs string, "
+        "merged string, pair_count bigint",
+    ).orderBy("merge_rank")
 
 
 @register("bpe_train_merges", _bpe_oracle_sql())

@@ -503,14 +503,20 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = boot.withColumn(
         "rn", F.row_number().over(W.orderBy("mean_b", "b"))
     )
-    # aggregate (not filter+select) so an empty replicate table still
-    # yields ONE row with NULL bounds — matching the oracle's scalar
-    # subqueries when the filtered base is empty
-    lo = ranked.filter(F.col("rn") == 2).agg(
-        F.round(F.min("mean_b"), 4).alias("ci_lo")
-    )
-    hi = ranked.filter(F.col("rn") == N_BOOT - 1).agg(
-        F.round(F.min("mean_b"), 4).alias("ci_hi")
+    # BOTH CI bounds from ONE aggregate over the ranked replicates —
+    # separate lo/hi subplans each replayed the full explode+md5
+    # replicate pipeline (2x the dominant cost at every scale); a
+    # conditional min per bound reads it once. Aggregate (not
+    # filter+select) so an empty replicate table still yields ONE row
+    # with NULL bounds — matching the oracle's scalar subqueries when
+    # the filtered base is empty.
+    ci = ranked.agg(
+        F.round(
+            F.min(F.when(F.col("rn") == 2, F.col("mean_b"))), 4
+        ).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("rn") == N_BOOT - 1, F.col("mean_b"))), 4
+        ).alias("ci_hi"),
     )
     point = base.agg(
         F.count("*").cast("bigint").alias("n_rows"),
@@ -518,10 +524,8 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("double") / F.count("*"), 4
         ).alias("point_mean"),
     ).withColumn("n_boot", F.lit(N_BOOT).cast("bigint"))
-    return (
-        point.join(F.broadcast(lo))
-        .join(F.broadcast(hi))
-        .select("n_rows", "n_boot", "point_mean", "ci_lo", "ci_hi")
+    return point.join(F.broadcast(ci)).select(
+        "n_rows", "n_boot", "point_mean", "ci_lo", "ci_hi"
     )
 
 

@@ -889,22 +889,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn_graph(spark, sf_dir).select("src", "neighbor")
     nodes = load(spark, "embeddings", sf_dir).select(
         F.col("vec_id").alias("v")
-    )
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # Hoisted out of the power-iteration loop: out-degree is a static
     # property of the graph, so join it onto the edge list ONCE and
     # checkpoint — each iteration then needs a single r-to-edges join
     # instead of r-to-deg-to-edges (one fewer shuffle per iteration).
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    nn = nodes.agg(F.count("*").alias("n"))
+    # r12 hoists, one per former per-iteration recompute:
+    # - n: a 1-row scalar → a driver literal (each iteration re-ran
+    #   the embeddings scan + count through the crossJoin(nn) subplan);
+    # - the DANGLING NODE SET (static graph property — only its mass
+    #   changes per iteration): each iteration re-derived deg from the
+    #   knn store scan + groupBy for the anti-join. Checkpointed once,
+    #   broadcast into a semi-join per iteration.
+    n = nodes.count()
+    dang_nodes = nodes.join(
+        edges_deg.select("src"), F.col("v") == F.col("src"), "left_anti"
+    ).localCheckpoint(eager=True)
     # integer units of 1e-12 end-to-end (see _pagerank_sql): exact
     # half-up integer arithmetic carries bit-identical state in both
-    # engines at any fold order / scale
-    r = nodes.crossJoin(F.broadcast(nn)).select(
+    # engines at any fold order / scale; n is a constant-folded
+    # literal, bit-identical to the old 1-row crossJoin column
+    r = nodes.select(
         "v",
-        F.expr("CAST((2000000000000 + n) DIV (2 * n) AS BIGINT)").alias(
-            "pru"
-        ),
+        F.expr(
+            f"CAST((2000000000000 + {n}) DIV (2 * {n}) AS BIGINT)"
+        ).alias("pru"),
     )
     for _ in range(PAGERANK_ITERS):
         contrib = (
@@ -916,35 +927,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cv")
             .agg(F.sum("c").cast("long").alias("contrib"))
         )
-        dang = r.join(deg, r["v"] == deg["src"], "left_anti").agg(
-            F.coalesce(F.sum("pru"), F.lit(0)).cast("long").alias("dm")
-        )
+        dang = r.join(
+            F.broadcast(dang_nodes.select(F.col("v").alias("dv"))),
+            r["v"] == F.col("dv"),
+            "left_semi",
+        ).agg(F.coalesce(F.sum("pru"), F.lit(0)).cast("long").alias("dm"))
         r = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dang))
+            nodes.crossJoin(F.broadcast(dang))
             .join(contrib, nodes["v"] == contrib["cv"], "left")
             .select(
                 "v",
                 F.expr(
-                    "CAST((300000000000 + n) DIV (2 * n)"
+                    f"CAST((300000000000 + {n}) DIV (2 * {n})"
                     " + (34 * (COALESCE(contrib, 0)"
-                    "          + (2 * dm + n) DIV (2 * n)) + 20) DIV 40"
+                    f"          + (2 * dm + {n}) DIV (2 * {n})) + 20) DIV 40"
                     " AS BIGINT)"
                 ).alias("pru"),
             )
             .localCheckpoint(eager=True)
         )
-    return (
-        r.crossJoin(F.broadcast(nn))
-        .select(
-            F.col("v").alias("vec_id"),
-            F.expr(
-                "CAST((2 * pru * n + 1000000) DIV 2000000 AS DOUBLE)"
-                " / 1000000.0"
-            ).alias("pagerank"),
-        )
-        .orderBy("vec_id")
-    )
+    return r.select(
+        F.col("v").alias("vec_id"),
+        F.expr(
+            f"CAST((2 * pru * {n} + 1000000) DIV 2000000 AS DOUBLE)"
+            " / 1000000.0"
+        ).alias("pagerank"),
+    ).orderBy("vec_id")
 
 
 # --------------------------------------------------------------------------
@@ -1689,10 +1697,16 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = cand.select("query_id", F.col("cid").alias("a_id"))
     y = cand.select("query_id", F.col("cid").alias("b_id"))
     pair_cos = f"({dot_expr('a_emb', 'b_emb', 'spark')} / (a_nrm * b_nrm))"
+    # broadcast the candidate-pair side into the embedding lookups:
+    # every table here is bounded by #queries·C² rows (checkpointed
+    # RDD-backed plans carry no size estimate, so without the hint the
+    # planner fell back to sort-merge — 4 exchanges + sorts per join)
     ps = (
-        x.join(y, "query_id")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .join(na, F.col("a_vid") == F.col("a_id"))
+        F.broadcast(
+            F.broadcast(
+                x.join(y, "query_id").filter(F.col("a_id") != F.col("b_id"))
+            ).join(na, F.col("a_vid") == F.col("a_id"))
+        )
         .join(nb, F.col("b_vid") == F.col("b_id"))
         .select(
             "query_id", "a_id", "b_id",
@@ -1716,17 +1730,22 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("p_qid"), "a_id", "b_id", "sim"
     )
     for i in range(2, MMR_K + 1):
+        # sel is ≤ #queries·K rows and psr ≤ #queries·C² — broadcast
+        # every per-step join (checkpointed inputs have no size stats;
+        # unhinted, each step planned 3 sort-merge joins)
         m = (
-            cand.join(sel, ["query_id", "cid"], "left_anti")
+            cand.join(F.broadcast(sel), ["query_id", "cid"], "left_anti")
             .join(
-                psr,
+                F.broadcast(psr),
                 (F.col("query_id") == F.col("p_qid"))
                 & (F.col("cid") == F.col("a_id")),
             )
             .join(
-                sel.select(
-                    F.col("query_id").alias("s_qid"),
-                    F.col("cid").alias("s_cid"),
+                F.broadcast(
+                    sel.select(
+                        F.col("query_id").alias("s_qid"),
+                        F.col("cid").alias("s_cid"),
+                    )
                 ),
                 (F.col("query_id") == F.col("s_qid"))
                 & (F.col("b_id") == F.col("s_cid")),
@@ -2418,7 +2437,16 @@ _PROBE_IVF_SQL = IVF_SQL.replace(
     f"WHERE rk <= {N_PROBE} AND vec_id % {ANN_NEW_MOD} = 0"
     f" AND vec_id < {ANN_PROBE_QBOUND}",
 )
-assert _PROBE_IVF_SQL != IVF_SQL and f"% {ANN_NEW_MOD} != 0" in _PROBE_IVF_SQL
+# BOTH replaces must land (ADVICE r11: only the centroid side was
+# checked — a drifted query-side WHERE text would silently revert the
+# oracle to all vec_id < N_QUERIES): centroid restriction, query-side
+# new-batch restriction, and the query bound.
+assert (
+    _PROBE_IVF_SQL != IVF_SQL
+    and f"% {ANN_NEW_MOD} != 0" in _PROBE_IVF_SQL
+    and f"% {ANN_NEW_MOD} = 0" in _PROBE_IVF_SQL
+    and str(ANN_PROBE_QBOUND) in _PROBE_IVF_SQL
+)
 
 
 @register("ann_index_probe", _PROBE_IVF_SQL)

@@ -21,6 +21,8 @@ map) + append into the cell partitions.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -290,6 +292,32 @@ def run_ann_ingest_stream(
     tests/test_streaming.py)."""
 
     def handle(df: DataFrame, epoch_id: int) -> None:
+        # checkpoint/index alignment guard (ADVICE r11): the batch is
+        # about to append itself as index epoch epoch_id+1, which is
+        # only consistent if the store's current max epoch IS
+        # epoch_id. A fresh checkpoint dir pointed at an
+        # already-multi-epoch index (epoch_id restarts at 0) would
+        # otherwise silently overwrite epochs 1..N and pin searches
+        # below previously ingested vectors — fail loudly instead.
+        import re as _re
+
+        epoch_dirs = [
+            int(m.group(1))
+            for p in Path(f"{index_path}/assignment").glob("epoch=*")
+            if (m := _re.match(r"epoch=(\d+)$", p.name))
+        ]
+        cur_max = max(epoch_dirs) if epoch_dirs else 0
+        # cur_max == epoch_id     → normal append of the next epoch
+        # cur_max == epoch_id + 1 → replay of the last batch after a
+        #                           crash; the epoch-dir overwrite is
+        #                           idempotent by design
+        if cur_max not in (int(epoch_id), int(epoch_id) + 1):
+            raise RuntimeError(
+                f"ann ingest checkpoint/index mismatch: batch {epoch_id} "
+                f"would append epoch {int(epoch_id) + 1} but the index at "
+                f"{index_path} is at epoch {cur_max} — the checkpoint dir "
+                "does not belong to this index"
+            )
         vecs = df.select("vec_id", "embedding", "nrm")
         topk = search_ann_index(
             spark, vecs, index_path, max_epoch=int(epoch_id)

@@ -244,15 +244,21 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
 
-def test_q21_semi_anti_are_hash_joins(spark):
-    """The EXISTS / NOT EXISTS with suppkey-inequality residuals must
-    compile to semi/anti HASH joins on orderkey — never a nested-loop
-    over the fact table."""
+def test_q21_aggregate_form_scans_lineitem_once(spark):
+    """r12 re-plan: the EXISTS/NOT EXISTS pair is computed as
+    per-order aggregates (pair groupBy + okey windows), so the plan
+    must scan lineitem exactly ONCE (the semi/anti join form scanned
+    it three times and replayed the lineitem⋈orders join twice) and
+    must never fall into a nested-loop over the fact table. The
+    windows must reuse the join's okey partitioning (no exchange
+    between the pair aggregate and the windows)."""
+    import re
+
     from kinesis_to_firehose_spark.plans.explain import physical_plan
 
     plan = physical_plan(OPS["q21_waiting_suppliers"].fn(spark, SF))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan[:3000]
+    assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
