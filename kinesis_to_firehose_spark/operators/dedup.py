@@ -561,7 +561,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = corpus_minhash_store(spark, sf_dir)
     sigs = spark.read.parquet(f"{path}/sigs")
     bands = spark.read.parquet(f"{path}/bands")
-    return lsh_pairs_from_sigs_bands(sigs, bands)
+    # presentation order lives HERE (the registered op's contract);
+    # clustering/eval consumers take lsh_store_pairs_tau instead and
+    # skip the global sort (r12)
+    return lsh_pairs_from_sigs_bands(sigs, bands).orderBy(
+        "doc_id_1", "doc_id_2"
+    )
 
 
 def minhash_lsh_pairs(
@@ -594,7 +599,11 @@ def minhash_lsh_pairs(
             "band_idx0", "band_key"
         ),
     ).withColumn("band_idx", F.col("band_idx0") + 1)
-    return lsh_pairs_from_sigs_bands(sigs, bands, n_perms)
+    # ordered output is part of this core's contract (tests compare it
+    # row-for-row against the store-served registered op)
+    return lsh_pairs_from_sigs_bands(sigs, bands, n_perms).orderBy(
+        "doc_id_1", "doc_id_2"
+    )
 
 
 def gated_candidate_pairs(
@@ -737,7 +746,30 @@ def lsh_pairs_from_sigs_bands(
             "doc_id_2",
             F.round(est_match / float(n_perms), 6).alias("est_jaccard"),
         )
-        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def lsh_store_pairs_tau(
+    spark: SparkSession, sf_dir: str, tau: float
+) -> DataFrame:
+    """(doc_id_1, doc_id_2) candidate pairs with est_jaccard ≥ tau from
+    the persisted minhash store, WITHOUT dedup_minhash_lsh's
+    presentation orderBy — the five clustering/eval consumers feed the
+    pairs straight into joins, aggregates or an eager checkpoint, where
+    a global range-sort is pure dead weight (2 exchanges: the sampling
+    pass + the range partition) that EliminateSorts does not always
+    remove below a checkpoint boundary (r12, guide §2.4)."""
+    from kinesis_to_firehose_spark.sources.dedup_index import (
+        corpus_minhash_store,
+    )
+
+    path = corpus_minhash_store(spark, sf_dir)
+    sigs = spark.read.parquet(f"{path}/sigs")
+    bands = spark.read.parquet(f"{path}/bands")
+    return (
+        lsh_pairs_from_sigs_bands(sigs, bands)
+        .filter(F.col("est_jaccard") >= tau)
+        .select("doc_id_1", "doc_id_2")
     )
 
 
@@ -1082,6 +1114,24 @@ def dot_expr(a: str, b: str, engine: str) -> str:
         f"list_transform(range(1, len({a}) + 1), "
         f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
     )
+
+
+def dot_expr_unrolled(a: str, b: str, n: int) -> str:
+    """Spark-side dot product UNROLLED over a fixed-width array —
+    bit-identical to dot_expr(a, b, 'spark'): the same left-assoc IEEE
+    fold starting at 0.0 (the leading 0.0 term preserves even the
+    ±0.0 edge), the same per-element double casts. The win (r12, guide
+    §4.1/§1.2 per-task work): `aggregate(zip_with(...))` is an
+    interpreted higher-order function evaluated per PAIR — the 64-dim
+    lambda walk dominated the scoring stage of every pair join — while
+    the unrolled chain compiles into whole-stage codegen straight-line
+    arithmetic. Only valid when every array is exactly n wide (the
+    embeddings tables are pinned at EMB_DIM; parity is bit-exact by
+    construction and re-checked by the sweep)."""
+    s = "CAST(0.0 AS DOUBLE)"
+    for i in range(n):
+        s = f"({s} + CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+    return s
 
 
 def norm_expr(a: str, engine: str) -> str:
@@ -2060,11 +2110,7 @@ ORDER BY doc_id
 
 @register("dedup_connected_components", CONNECTED_COMPONENTS_SQL)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
-        .select("doc_id_1", "doc_id_2")
-    )
+    pairs = lsh_store_pairs_tau(spark, sf_dir, CLUSTER_TAU)
     edges = (
         pairs.select(
             F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
@@ -2133,31 +2179,38 @@ _STAR_MAX_ROUNDS = 20
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u}); src > dst out."""
+    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u}); src > dst out.
+
+    r12 re-plan (guide §2.4): the neighborhood minimum rides a
+    partition-wide window over ONE src exchange instead of a separate
+    groupBy-min table joined back onto the edges (which cost a second
+    exchange for the join's probe side). The trailing distinct is gone
+    too — _small_star's window min is duplicate-invariant and its own
+    final distinct collapses the round's output, so duplicates never
+    survive a round (bounded: ≤ |sym(e)| rows within the round)."""
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    mins = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", "src").alias("m"))
-    )
+    m = F.least(F.min("dst").over(W.partitionBy("src")), F.col("src"))
     return (
-        sym.filter(F.col("dst") > F.col("src"))
-        .join(mins, "src")
+        sym.withColumn("m", m)
+        .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v ≤ u plus (u, m); input/output src > dst."""
-    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    """(v, m) for every neighbor v ≤ u plus (u, m); input/output src > dst.
+
+    Same window-for-join trade as _large_star: min over the src
+    partition replaces the groupBy+join pair (2 exchanges → 1). The
+    (u, m) self-arm is emitted per edge row instead of per distinct
+    src — the final distinct collapses it to the identical set."""
+    me = edges.withColumn("m", F.min("dst").over(W.partitionBy("src")))
     return (
-        edges.join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .unionAll(mins.select("src", F.col("m").alias("dst")))
+        me.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionAll(me.select("src", F.col("m").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -2179,20 +2232,30 @@ def star_components(edges: DataFrame) -> tuple[DataFrame, int]:
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    e_cnt = e.count()
     for _ in range(_STAR_MAX_ROUNDS):
         n = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
-        # single-job set compare: both sides are distinct, so a row in
-        # exactly one of them groups to count 1
-        changed = (
-            n.unionAll(e)
-            .groupBy("src", "dst")
-            .count()
-            .filter(F.col("count") == 1)
-            .limit(1)
-            .count()
-        )
-        e = n
+        # two-tier convergence check (r12): both sides are distinct
+        # sets, so unequal COUNTS prove inequality without any shuffle
+        # (counting a checkpointed frame just sums block sizes). Only
+        # a count tie — typically the single converged round — pays
+        # the exact set compare (a row in exactly one side groups to
+        # count 1). Exactness is unchanged: the set compare still
+        # decides every tie.
+        n_cnt = n.count()
+        if n_cnt == e_cnt:
+            changed = (
+                n.unionAll(e)
+                .groupBy("src", "dst")
+                .count()
+                .filter(F.col("count") == 1)
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1
+        e, e_cnt = n, n_cnt
         if changed == 0:
             break
     roots = e.select(F.col("dst").alias("v")).subtract(
@@ -2206,10 +2269,8 @@ def star_components(edges: DataFrame) -> tuple[DataFrame, int]:
 
 @register("dedup_cc_star", CONNECTED_COMPONENTS_SQL)
 def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
-        .select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    pairs = lsh_store_pairs_tau(spark, sf_dir, CLUSTER_TAU).select(
+        F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
     )
     labels, _ = star_components(pairs)
     w = W.partitionBy("cluster_id")
@@ -2406,10 +2467,8 @@ ORDER BY doc_id
 
 @register("dedup_keep_best", KEEP_BEST_SQL)
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
-        .select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    pairs = lsh_store_pairs_tau(spark, sf_dir, CLUSTER_TAU).select(
+        F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
     )
     labels, _ = star_components(pairs)
     d = load(spark, "documents", sf_dir)
@@ -2417,8 +2476,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.array_distinct(F.expr(TOK_EXPR))).cast("bigint").alias("score"),
     )
+    # SHUFFLE_HASH: labels is a checkpointed RDD-backed plan with no
+    # size stats, so the planner defaulted both corpus-side joins to
+    # sort-merge — full sorts of the scored table for joins whose
+    # build side is the (bounded) clustered-label slice (guide §3.1).
     clustered = scored.join(
-        labels.select(F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")),
+        labels.select(
+            F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
+        ).hint("shuffle_hash"),
         "doc_id",
     )
     wc = W.partitionBy("cluster_id")
@@ -2431,7 +2496,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(wr) == 1).cast("bigint").alias("keep"),
     )
     singles = scored.join(
-        labels, scored.doc_id == labels.v, "left_anti"
+        labels.hint("shuffle_hash"), scored.doc_id == labels.v, "left_anti"
     ).select(
         "doc_id",
         F.col("doc_id").alias("cluster_id"),
@@ -2732,11 +2797,8 @@ FROM pr
 
 @register("dedup_minhash_eval", MINHASH_EVAL_SQL)
 def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pred = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= JACCARD_TAU)
-        .select("doc_id_1", "doc_id_2")
-        .withColumn("in_pred", F.lit(1))
+    pred = lsh_store_pairs_tau(spark, sf_dir, JACCARD_TAU).withColumn(
+        "in_pred", F.lit(1)
     )
     # truth pairs straight from the persisted store (round-10 task 4:
     # both sides of the eval are now store probes — no signature or
@@ -2915,11 +2977,7 @@ def pointer_double_forest(parents: DataFrame) -> tuple[DataFrame, int]:
 
 @register("dedup_provenance_chain", PROVENANCE_SQL)
 def dedup_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= CLUSTER_TAU)
-        .select("doc_id_1", "doc_id_2")
-    )
+    pairs = lsh_store_pairs_tau(spark, sf_dir, CLUSTER_TAU)
     parents = pairs.groupBy(F.col("doc_id_2").alias("doc")).agg(
         F.min("doc_id_1").alias("parent")
     )

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesis_to_firehose_spark.operators.dedup import (
+    EMB_DIM,
     NORMED_CTE,
     dot_expr,
+    dot_expr_unrolled,
     norm_expr,
     normed_embeddings,
 )
@@ -39,7 +41,9 @@ N_CENTROIDS = 8
 IVF_TOP_K = 5
 LSH_PLANES = 8
 
-_COS = f"({dot_expr('q_emb', 'c_emb', 'spark')} / (q_nrm * c_nrm))"
+# unrolled codegen dot (bit-identical fold; see dot_expr_unrolled):
+# every _COS consumer scores full EMB_DIM-wide embedding pairs
+_COS = f"({dot_expr_unrolled('q_emb', 'c_emb', EMB_DIM)} / (q_nrm * c_nrm))"
 _COS_SQL = f"({dot_expr('q.embedding', 'c.embedding', 'duck')} / (q.nrm * c.nrm))"
 
 
@@ -272,7 +276,7 @@ def _ivf_probe_topk(
 # DuckDB oracle unrolls the LLOYD_ITERS iterations as chained CTEs
 # with the same fold orders → bit-exact parity.
 # --------------------------------------------------------------------------
-EMB_DIM = 64
+# EMB_DIM imported from operators.dedup (single source of truth)
 LLOYD_ITERS = 3
 _Q = 1_000_000_000  # centroid accumulation quantum (1e-9)
 
@@ -1696,7 +1700,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = cand.select("query_id", F.col("cid").alias("a_id"))
     y = cand.select("query_id", F.col("cid").alias("b_id"))
-    pair_cos = f"({dot_expr('a_emb', 'b_emb', 'spark')} / (a_nrm * b_nrm))"
+    pair_cos = (
+        f"({dot_expr_unrolled('a_emb', 'b_emb', EMB_DIM)} / (a_nrm * b_nrm))"
+    )
     # broadcast the candidate-pair side into the embedding lookups:
     # every table here is bounded by #queries·C² rows (checkpointed
     # RDD-backed plans carry no size estimate, so without the hint the

@@ -770,32 +770,62 @@ ORDER BY query_id, rk
 
 @register("doc_tf_search", DOC_TF_SEARCH_SQL)
 def doc_tf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 re-plan (guide §4.1: built-ins over interpreted lambdas):
+    # the HTF_QUERIES query vectors are a bounded constant (doc_id <
+    # 5 — the same ≤ tens-of-rows collect class as the IVF/PQ
+    # codebooks; the filter pushes to the parquet scan), so the
+    # per-pair cosine becomes a codegen'd LITERAL dot product over the
+    # candidate scan — no broadcast join node, no per-pair
+    # `aggregate(zip_with(...))` lambda interpretation. Exactness: tf
+    # counts are integers, so every product/sum is exact in double at
+    # ANY fold order (well under 2^53); q_nrm = sqrt of the exact
+    # integer square-sum is bit-identical to _HTF_NORM_SPARK; the
+    # divide and the 6dp round are the same IEEE ops as before. Zero
+    # q-components are skipped — identical sum, fewer codegen terms.
+    import math
+
     n = _htf_vectors(spark, sf_dir).select(
         "doc_id", "tf", F.expr(_HTF_NORM_SPARK).alias("nrm")
     )
-    q = n.filter(
-        (F.col("doc_id") < HTF_QUERIES) & (F.col("nrm") > 0)
-    ).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("tf").alias("q_tf"),
-        F.col("nrm").alias("q_nrm"),
+    qrows = (
+        n.filter((F.col("doc_id") < HTF_QUERIES) & (F.col("nrm") > 0))
+        .select("doc_id", "tf")
+        .collect()
     )
     c = n.filter(
         (F.col("doc_id") >= HTF_QUERIES) & (F.col("nrm") > 0)
+    ).select(F.col("doc_id").alias("candidate_id"), "tf", "nrm")
+    if not qrows:
+        return c.limit(0).select(
+            F.lit(None).cast("long").alias("query_id"),
+            F.col("candidate_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("bigint").alias("rk"),
+        )
+    structs = []
+    for r in sorted(qrows, key=lambda row: row["doc_id"]):
+        q = r["tf"]
+        q_nrm = math.sqrt(float(sum(v * v for v in q)))
+        dot = None
+        for i, v in enumerate(q):
+            if v:
+                term = F.expr(f"tf[{i}]").cast("double") * float(v)
+                dot = term if dot is None else dot + term
+        cosine = (dot if dot is not None else F.lit(0.0)) / (
+            F.lit(q_nrm) * F.col("nrm")
+        )
+        structs.append(
+            F.struct(
+                F.lit(int(r["doc_id"])).cast("long").alias("query_id"),
+                cosine.alias("cosine"),
+            )
+        )
+    scored = c.select(
+        "candidate_id", F.explode(F.array(*structs)).alias("s")
     ).select(
-        F.col("doc_id").alias("candidate_id"),
-        F.col("tf").alias("c_tf"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    cos = (
-        "aggregate(zip_with(q_tf, c_tf, (x, y) -> "
-        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (q_nrm * c_nrm)"
-    )
-    scored = c.join(F.broadcast(q)).select(
-        "query_id",
+        F.col("s.query_id").alias("query_id"),
         "candidate_id",
-        F.round(F.expr(cos), 6).alias("cosine"),
+        F.round(F.col("s.cosine"), 6).alias("cosine"),
     )
     wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
     return (
