@@ -34,6 +34,13 @@ OPS_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_OPS.json")
 # restores the old action for apples-to-apples comparison against
 # pre-r12 artifacts.
 ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
+# ADVICE r12: a typo'd action ('Count', 'counts') used to silently
+# fall through to the noop sink while the artifact recorded the bogus
+# string — a mislabeled run that looks like a valid comparison.
+if ACTION not in ("noop", "count"):
+    raise SystemExit(
+        f"SPARK_GRAFT_BENCH_ACTION={ACTION!r} is not one of: noop, count"
+    )
 
 # Headline set: every registered op except the end-to-end streaming
 # protocol ops — each spins up full Structured Streaming pipelines

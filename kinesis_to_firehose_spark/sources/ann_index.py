@@ -21,7 +21,6 @@ map) + append into the cell partitions.
 
 from __future__ import annotations
 
-from pathlib import Path
 
 
 from pyspark.sql import DataFrame, SparkSession
@@ -301,10 +300,20 @@ def run_ann_ingest_stream(
         # below previously ingested vectors — fail loudly instead.
         import re as _re
 
+        # Hadoop FileSystem listing, not local pathlib (ADVICE r12):
+        # for an hdfs:// / s3a:// / file: index_path a local glob
+        # silently returns nothing, so cur_max=0 and every resumed
+        # stream raises a spurious mismatch instead of being guarded.
+        jvm = spark._jvm
+        glob_path = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/assignment/epoch=*"
+        )
+        fs = glob_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(glob_path)
         epoch_dirs = [
             int(m.group(1))
-            for p in Path(f"{index_path}/assignment").glob("epoch=*")
-            if (m := _re.match(r"epoch=(\d+)$", p.name))
+            for st in (statuses or [])
+            if (m := _re.match(r"epoch=(\d+)$", st.getPath().getName()))
         ]
         cur_max = max(epoch_dirs) if epoch_dirs else 0
         # cur_max == epoch_id     → normal append of the next epoch

@@ -439,7 +439,17 @@ def main() -> None:
                 f"baseline (normalized) > {THRESHOLD}x"
             )
             regressions.append(("__total__", total_now, total_base, total_ratio))
-    if update:
+    if update and regressions:
+        # ADVICE r12: --update used to rewrite BASELINE.md BEFORE the
+        # non-zero exit, so a re-anchor could absorb the very broad
+        # regression the TOTAL gate was added to catch. Refuse instead;
+        # a deliberate re-anchor must first make the run green (or edit
+        # BASELINE.md explicitly with provenance notes).
+        print(
+            "refusing --update: run has regressions "
+            f"({', '.join(r[0] for r in regressions)}); baseline NOT rewritten"
+        )
+    elif update:
         lines = BASELINE.read_text().splitlines(keepends=True)
         seen = set()
         last_row = max(

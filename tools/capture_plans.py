@@ -9,6 +9,7 @@ checks plan-shape claims in OPTIMIZATION_*.md against these files.
 
 from __future__ import annotations
 
+import argparse
 import sys
 from pathlib import Path
 
@@ -22,27 +23,23 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    tag = sys.argv[sys.argv.index("--tag") + 1] if "--tag" in sys.argv else "r12"
-    suffix = (
-        sys.argv[sys.argv.index("--suffix") + 1]
-        if "--suffix" in sys.argv
-        else "before"
-    )
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    # skip flag values
-    skip = set()
-    for flag in ("--tag", "--suffix"):
-        if flag in sys.argv:
-            skip.add(sys.argv[sys.argv.index(flag) + 1])
-    names = [n for part in names if part not in skip for n in part.split(",")]
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / tag
+    # argparse (ADVICE r12): flag values used to be skipped from the
+    # positional op list by string EQUALITY, so an op group literally
+    # named like the --tag/--suffix value was silently dropped.
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--tag", default="r12")
+    ap.add_argument("--suffix", default="before")
+    ap.add_argument("ops", nargs="+", help="op names (comma-separable)")
+    args = ap.parse_args()
+    names = [n for part in args.ops for n in part.split(",") if n]
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / args.tag
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("capture-plans")
     ops = all_ops()
     for name in names:
         df = ops[name].fn(spark, SF_DIR)
-        (out_dir / f"{name}_{suffix}.txt").write_text(formatted_plan(df))
-        print(f"wrote plans/{tag}/{name}_{suffix}.txt")
+        (out_dir / f"{name}_{args.suffix}.txt").write_text(formatted_plan(df))
+        print(f"wrote plans/{args.tag}/{name}_{args.suffix}.txt")
     spark.stop()
 
 

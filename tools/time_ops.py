@@ -5,6 +5,7 @@ Usage: python tools/time_ops.py [--action count|noop] [--reps 3] op1,op2,...
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -18,31 +19,20 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    action = (
-        sys.argv[sys.argv.index("--action") + 1]
-        if "--action" in sys.argv
-        else "count"
-    )
-    reps = (
-        int(sys.argv[sys.argv.index("--reps") + 1])
-        if "--reps" in sys.argv
-        else 3
-    )
-    skip = set()
-    for flag in ("--action", "--reps"):
-        if flag in sys.argv:
-            skip.add(sys.argv[sys.argv.index(flag) + 1])
-    names = [
-        n
-        for part in sys.argv[1:]
-        if not part.startswith("--") and part not in skip
-        for n in part.split(",")
-    ]
+    # argparse (ADVICE r12): flag values used to be skipped from the
+    # positional op list by string equality — an op named like a flag
+    # value was silently dropped from the timing set.
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--action", choices=("count", "noop"), default="count")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("ops", nargs="+", help="op names (comma-separable)")
+    args = ap.parse_args()
+    names = [n for part in args.ops for n in part.split(",") if n]
     spark = get_spark("time-ops")
     ops = all_ops()
 
     def run(df):
-        if action == "count":
+        if args.action == "count":
             return df.count()
         df.write.format("noop").mode("overwrite").save()
         return None
@@ -52,7 +42,7 @@ def main() -> None:
     for name in names:
         spark.sparkContext._jvm.System.gc()
         best, runs, n = None, 0, None
-        for _ in range(reps):
+        for _ in range(args.reps):
             t0 = time.perf_counter()
             n = run(ops[name].fn(spark, SF_DIR))
             dt = time.perf_counter() - t0
