@@ -1224,7 +1224,8 @@ ORDER BY query_id, rk
 @register("hybrid_search_rrf", _hybrid_sql())
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_to_firehose_spark.operators.dedup import (
-        dot_expr,
+        EMB_DIM,
+        dot_expr_unrolled,
         normed_embeddings,
     )
 
@@ -1250,7 +1251,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    cos = f"({dot_expr('q_emb', 'c_emb', 'spark')} / (q_nrm * c_nrm))"
+    # unrolled codegen dot (r13 §4.1): the corpus × BM25_QUERIES pair
+    # scoring was an interpreted aggregate(zip_with(...)) per pair;
+    # same bit-identical left-assoc fold (see dot_expr_unrolled)
+    cos = f"({dot_expr_unrolled('q_emb', 'c_emb', EMB_DIM)} / (q_nrm * c_nrm))"
     ws = W.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
     sem = (
         c.join(F.broadcast(q))
@@ -1627,7 +1631,10 @@ def _bigram_counts(
         .filter(F.col("w2").isNotNull())
     )
     cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    cs = bg.groupBy("w1").agg(F.count("*").alias("cstart"))
+    # r13 (guide §2.3): cstart(w1) = Σ_{w2} c(w1,w2) exactly (integer
+    # counts), so derive it from the vocab²-bounded cb table instead
+    # of re-aggregating the full corpus bigram stream a second time.
+    cs = cb.groupBy("w1").agg(F.sum("c").alias("cstart"))
     uni = toks.groupBy(F.col("tok").alias("term")).agg(
         F.count("*").alias("cu")
     )
@@ -2055,13 +2062,26 @@ ORDER BY g.doc_id
 
 @register("ngram_novelty", NOVELTY_SQL)
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = _word_ngrams(spark, sf_dir).distinct()
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # r13 (guide §2.4): was distinct (one (doc,gram) exchange) →
+    # MIN(doc_id) groupBy (a gram exchange) → equi-join back onto the
+    # distinct grams (re-exchanging the gram side) → per-doc aggregate.
+    # The min now rides ONE gram-partitioned window over the raw
+    # occurrences (min is duplicate-invariant), and the (doc, gram)
+    # dedup happens IN PLACE on the same exchange (hash-partitioning
+    # on gram co-locates every (doc_id, gram) group — first_doc is
+    # constant per gram, so dedup keeps identical values). Three
+    # corpus exchanges → two, join gone.
+    wg = W.partitionBy("gram")
+    flagged = (
+        _word_ngrams(spark, sf_dir)
+        .withColumn("first_doc", F.min("doc_id").over(wg))
+        .dropDuplicates(["doc_id", "gram"])
+    )
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        grams.join(firsts, "gram")
+        flagged
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -2419,8 +2439,117 @@ ORDER BY d.doc_id
 
 @register("span_corrupt_t5", _t5_sql("duck"))
 def span_corrupt_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_t5_sql("spark"))
+    # r13 re-plan (guide §2.4). The shared-SQL form ran the token
+    # explode through SIX inlined CTE references (tk/marks/blocked
+    # feed input_rows, target_rows, counts, nsp...) — Spark inlines
+    # WITH, so the plan re-scanned and re-exploded documents per
+    # branch and glued the branches with doc_id shuffle joins. The
+    # oracle SQL is UNCHANGED; this is the same computation in one
+    # pass, provably:
+    # - `masked` is a pure function of (doc_id, block) (the same md5
+    #   test), so it evaluates per TOKEN row — the DISTINCT-blocks
+    #   CTE and the blocked⋈marks join existed only to compute it
+    #   once per block.
+    # - a block's first token always sits at pos = block·T5_BLOCK + 1
+    #   (positions are dense 1..n), so "one sentinel row per masked
+    #   block" ≡ the masked rows with pos0 % T5_BLOCK == 0, and the
+    #   sentinel's pos_key (block·T5_BLOCK + 1) IS that row's pos.
+    # - k (ROW_NUMBER over the doc's masked blocks ordered by block,
+    #   minus 1) ≡ running count of span-start rows up to the current
+    #   row (ordered by pos) minus 1: starts of blocks ≤ b have pos ≤
+    #   any pos in b, later starts have greater pos.
+    # - both output strings keep the EXACT aggregation expressions of
+    #   the old Spark SQL (array_join ∘ transform ∘ array_sort ∘
+    #   collect_list over the same struct values), so ordering and
+    #   ties are untouched; counts are the same integer sums.
+    # One corpus scan, one doc_id exchange (window + groupBy share it).
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        "tok",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.expr(f"CAST(FLOOR(pos0 / {T5_BLOCK}) AS BIGINT)").alias("block"),
+        (F.col("pos0") % T5_BLOCK == 0).alias("is_start"),
+    )
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', "
+        "CAST(block AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tk = toks.withColumn(
+        "masked", F.expr(f"({h} % {T5_MASK_MOD}) = 0")
+    ).withColumn(
+        "k",
+        (
+            F.sum(
+                F.when(F.col("masked") & F.col("is_start"), 1).otherwise(0)
+            ).over(w)
+            - 1
+        ).cast("bigint"),
+    )
+    sent = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    t_tok = F.struct(
+        F.col("k").alias("k"),
+        F.col("pos").alias("seq"),
+        F.col("tok").alias("piece"),
+    )
+    t_sent = F.struct(
+        F.col("k").alias("k"),
+        F.lit(0).cast("bigint").alias("seq"),
+        sent.alias("piece"),
+    )
+    proj = tk.select(
+        "doc_id",
+        "masked",
+        (F.col("masked") & F.col("is_start")).alias("span_start"),
+        F.when(
+            ~F.col("masked"),
+            F.struct(F.col("pos").alias("pos_key"), F.col("tok").alias("piece")),
+        )
+        .when(
+            F.col("is_start"),
+            F.struct(F.col("pos").alias("pos_key"), sent.alias("piece")),
+        )
+        .alias("in_s"),
+        F.when(F.col("masked") & F.col("is_start"), F.array(t_sent, t_tok))
+        .when(F.col("masked"), F.array(t_tok))
+        .alias("t_arr"),
+    )
+    out = proj.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(in_s)), "
+            "s -> s.piece), ' ')"
+        ).alias("input_text"),
+        F.expr(
+            "array_join(transform(array_sort(flatten(collect_list(t_arr))), "
+            "s -> s.piece), ' ')"
+        ).alias("target_body"),
+        F.sum(F.col("span_start").cast("int")).cast("bigint").alias("n_spans"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias(
+            "n_masked_tokens"
+        ),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    final_sent = F.concat(
+        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
+    )
+    return out.select(
+        "doc_id",
+        "input_text",
+        F.when(F.col("n_spans") == 0, final_sent)
+        .otherwise(F.concat(F.col("target_body"), F.lit(" "), final_sent))
+        .alias("target_text"),
+        "n_spans",
+        "n_masked_tokens",
+        "n_tokens",
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -1146,6 +1146,18 @@ def norm_expr(a: str, engine: str) -> str:
     )
 
 
+def norm_expr_unrolled(a: str, n: int) -> str:
+    """Spark-side Euclidean norm UNROLLED over a fixed-width array —
+    bit-identical to norm_expr(a, 'spark') and to the numpy _seq_norm
+    fold: sqrt of the same left-assoc IEEE sum of squares starting at
+    0.0, same per-element double casts. Same rationale and validity
+    condition as dot_expr_unrolled (r12/r13, guide §4.1)."""
+    s = "CAST(0.0 AS DOUBLE)"
+    for i in range(n):
+        s = f"({s} + CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
+    return f"sqrt({s})"
+
+
 def cosine_expr(a: str, b: str, engine: str) -> str:
     """Cosine from inline dot + norms (for one-shot use); hot paths
     should precompute norms as columns and divide instead."""
@@ -1318,41 +1330,77 @@ def score_pairs_exact(pairs: DataFrame, emb: DataFrame) -> DataFrame:
     """Exact fold-order cosine for explicit candidate pairs.
 
     `pairs` = (vec_id_1, vec_id_2); `emb` = (vec_id, embedding). Two
-    equi-joins attach the vectors, then an Arrow-batched kernel scores
-    each pair with the same dim-by-dim fold as the DuckDB
-    `list_reduce` oracle. This is the verify stage every candidate
-    generator (LSH bands, IVF cells) shares.
+    equi-joins attach the vectors plus a per-vector norm column
+    (computed ONCE per vector, before the join — the oracle's hoisted
+    `normed` CTE, not a per-pair recompute), then the cosine is a pure
+    whole-stage-codegen projection. This is the verify stage every
+    candidate generator (LSH bands, IVF cells) shares.
+
+    r13 (guide §4.2/§4.5, r12 verdict #1) — measured A/B at sf0.1,
+    817k candidate pairs, fresh sessions: old mapInPandas kernel
+    4.75 s → 3.08 s. Two changes:
+    - norms ride the PRE-JOIN projection as a column (norm_expr_
+      unrolled — bit-identical to the kernel's _seq_norm fold), so
+      the kernel no longer recomputes two 64-term norms per pair;
+    - mapInPandas → mapInArrow with a zero-copy flatten/reshape of
+      the Arrow list buffers — the old `np.array(list(series))` built
+      a Python list of 64-wide arrays per batch row.
+    The dot keeps the numpy dim-by-dim fold (`acc = acc + A[:,d] *
+    B[:,d]`) and np.round — the exact IEEE sequence and rounding of
+    the old kernel, bit-identical output (asserted row-for-row in the
+    rewrite probe and by the oracle/parity gates).
+    NOT taken: a fully in-plan unrolled-dot projection (the r12
+    dot_expr_unrolled treatment). Measured 16-25 s: per-PAIR the
+    duplicated 64-term chains (filter + project) push the fused
+    whole-stage-codegen method to ~34 KB bytecode — past the JVM
+    JIT's method cap — and the stage runs as interpreted bytecode
+    ("Generated method too long to be JIT compiled"). The unrolled
+    form is only safe where the pair-scoring stage stays small
+    (ann_* windows) — not where an aggregate+join+filter chain fuses
+    around it.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     a = emb.select(
-        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("emb_1")
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("emb_1"),
+        F.expr(norm_expr_unrolled("embedding", EMB_DIM)).alias("nrm_1"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("emb_2")
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("emb_2"),
+        F.expr(norm_expr_unrolled("embedding", EMB_DIM)).alias("nrm_2"),
     )
     j = pairs.join(a, "vec_id_1").join(b, "vec_id_2")
 
     def _score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            A = np.array(list(pdf["emb_1"]), dtype=np.float64)
-            B = np.array(list(pdf["emb_2"]), dtype=np.float64)
-            acc = np.zeros(len(pdf), dtype=np.float64)
+            A = np.asarray(
+                rb.column("emb_1").flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            B = np.asarray(
+                rb.column("emb_2").flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            acc = np.zeros(n, dtype=np.float64)
             for d in range(A.shape[1]):  # fold order == list_reduce
                 acc = acc + A[:, d] * B[:, d]
-            cos = acc / (_seq_norm(A) * _seq_norm(B))
-            yield pd.DataFrame(
+            cos = acc / (
+                np.asarray(rb.column("nrm_1"))
+                * np.asarray(rb.column("nrm_2"))
+            )
+            yield pa.record_batch(
                 {
-                    "vec_id_1": pdf["vec_id_1"].to_numpy(dtype=np.int64),
-                    "vec_id_2": pdf["vec_id_2"].to_numpy(dtype=np.int64),
-                    "cosine": np.round(cos, 6),
+                    "vec_id_1": rb.column("vec_id_1"),
+                    "vec_id_2": rb.column("vec_id_2"),
+                    "cosine": pa.array(np.round(cos, 6), type=pa.float64()),
                 }
             )
 
-    return j.mapInPandas(
+    return j.mapInArrow(
         _score, schema="vec_id_1 long, vec_id_2 long, cosine double"
     )
 

@@ -2277,10 +2277,6 @@ _Q8_SPARK = (
     "/ ma, 0) AS BIGINT))"
 )
 _MA_SPARK = "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
-_Q8_DOT_SPARK = (
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), "
-    "(acc, v) -> acc + v)"
-)
 
 INT8_SQL = f"""
 WITH ma AS (
