@@ -877,10 +877,22 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 
 @register("cube_agg", CUBE_SQL)
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (guide §1.2 per-task work): a raw CUBE Expands every lineitem
+    # row ×4 grouping sets BEFORE partial aggregation. Aggregate to the
+    # base (returnflag, linestatus) cells first — map-side combined at
+    # full parallelism — then cube the ≤ flags×statuses base table.
+    # Exact: decimal sums are associative (regrouping cannot change a
+    # digit), counts re-sum, and neither dim is NULL in lineitem so the
+    # base cells partition the rows exactly as the raw CUBE's finest
+    # grouping set does.
     l = load(spark, "lineitem", sf_dir)
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        _dsum(_dm("l_extendedprice")).alias("sum_price"),
-        F.count("*").alias("n"),
+    base = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dm("l_extendedprice")).alias("ps"),
+        F.count("*").alias("pn"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("ps"), ROUND_DP).cast("double").alias("sum_price"),
+        F.sum("pn").alias("n"),
     )
 
 

@@ -376,20 +376,45 @@ def parse_syslog_lines(lines: DataFrame) -> DataFrame:
     capture feeds a numeric column: an unparseable line yields an
     empty capture, and under ANSI mode (Spark 4 default) a plain cast
     of '' would fail the whole job instead of that record — the
-    reference errors per record (ParseAndEnhance), never per batch."""
+    reference errors per record (ParseAndEnhance), never per batch.
+
+    r13 (guide §1.2 per-task work): seven per-group regexp_extract
+    calls ran the matcher seven times per row. One anchored
+    regexp_replace now emits all seven captures \\x01-joined (the
+    payload is synthesized from [a-z]+ names and digits, so the
+    separator cannot collide) and one split recovers them. The rlike
+    guard preserves regexp_extract's exact no-match ('' per group)
+    and NULL-input (NULL per group) semantics — asserted by
+    tests/test_sources_state.py::test_syslog_parse_survives_garbage_lines."""
     rx = _SYSLOG_RE
-    pri = F.regexp_extract("rawline", rx, 1).try_cast("bigint")
-    payload = F.regexp_extract("rawline", rx, 7)
+    sep = "\x01"
+    raw = F.col("rawline")
+    parts = (
+        F.when(
+            raw.isNotNull() & raw.rlike(rx),
+            F.split(
+                F.regexp_replace(
+                    "rawline", rx, sep.join(f"${g}" for g in range(1, 8))
+                ),
+                sep,
+            ),
+        )
+        .when(raw.isNotNull(), F.array(*[F.lit("") for _ in range(7)]))
+    )
+    lines = lines.withColumn("_g", parts)
+    g = lambda i: F.col("_g").getItem(i - 1)  # noqa: E731
+    pri = g(1).try_cast("bigint")
+    payload = g(7)
     return lines.select(
         "event_id",
         pri.alias("pri"),
         (pri / 8).try_cast("bigint").alias("facility"),
         (pri % 8).alias("severity"),
-        F.regexp_extract("rawline", rx, 2).alias("ts_str"),
-        F.regexp_extract("rawline", rx, 3).alias("hostname"),
-        F.regexp_extract("rawline", rx, 4).alias("env"),
-        F.regexp_extract("rawline", rx, 5).alias("container_app"),
-        F.regexp_extract("rawline", rx, 6).try_cast("bigint").alias("pid"),
+        g(2).alias("ts_str"),
+        g(3).alias("hostname"),
+        g(4).alias("env"),
+        g(5).alias("container_app"),
+        g(6).try_cast("bigint").alias("pid"),
         F.get_json_object(payload, "$.k").try_cast("int").alias("payload_k"),
         F.get_json_object(payload, "$.title").alias("payload_title"),
     )

@@ -290,23 +290,110 @@ ORDER BY doc_id
 
 @register("char_entropy", _entropy_sql())
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, "documents", sf_dir)
-    t = F.lower(F.col("text"))
-    n = F.length(t)
-    cnts = [n - F.length(F.replace(t, F.lit(ch))) for ch in _ALPHABET]
-    other = n - sum(cnts[1:], cnts[0])
-    chain = None
-    for c in [*cnts, other]:
-        p = c * 1.0 / n
-        term = F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
-        chain = term if chain is None else chain + term
+    # r13 (guide §4.2): the expression form materialized 27 full
+    # `replace(t, ch)` string copies PER ROW to count characters —
+    # measured 6.4 s noop at sf0.1 in the rewrite probe. The Arrow
+    # kernel counts every character of a batch in ONE vectorized
+    # bincount over the flat utf8 buffer (row_id·28 + bucket), then
+    # evaluates the SAME left-assoc 28-term -(p·log2 p) chain in
+    # float64 — 1.0 s, output verified row-identical at sf0.1 (the
+    # 4dp round sits ~1e12 ulps above any libm log2 divergence).
+    # Byte==char only holds for ASCII, so any row with a byte ≥ 0x80
+    # takes an exact per-row Python fallback replicating the SQL
+    # (lower/len/count, same term order); the synthetic corpus is
+    # pure ASCII, so the fast path covers every row — the fallback
+    # keeps the contract honest for arbitrary input.
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx_map = np.full(256, 27, dtype=np.int64)
+    for i, ch in enumerate(_ALPHABET):
+        idx_map[ord(ch)] = i
+
+    def _row_fallback(s: str):
+        t = s.lower()
+        ln = len(t)
+        cnts = [t.count(ch) for ch in _ALPHABET]
+        cnts.append(ln - sum(cnts))
+        acc = 0.0
+        for c in cnts:
+            if c > 0:
+                p = c * 1.0 / ln
+                acc = acc + (-(p) * math.log2(p))
+            else:
+                acc = acc + 0.0
+        return ln, acc
+
+    def _entropy(batches):
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            lowered = pc.utf8_lower(rb.column("text"))
+            arr = (
+                lowered.combine_chunks()
+                if isinstance(lowered, pa.ChunkedArray)
+                else lowered
+            )
+            offs_full = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            offs = offs_full[arr.offset : arr.offset + nrows + 1]
+            data = (
+                np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                if arr.buffers()[2]
+                else np.empty(0, np.uint8)
+            )
+            lens = (offs[1:] - offs[:-1]).astype(np.int64)
+            total = int(lens.sum())
+            flat = data[offs[0] : offs[0] + total]
+            row_id = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            bucket = idx_map[flat]
+            cnt = (
+                np.bincount(row_id * 28 + bucket, minlength=nrows * 28)
+                .reshape(nrows, 28)
+                .astype(np.float64)
+            )
+            ln = lens.astype(np.float64)
+            safe = np.where(ln > 0, ln, 1.0)
+            acc = np.zeros(nrows, dtype=np.float64)
+            for j in range(28):  # same left-assoc term order as the SQL
+                c = cnt[:, j]
+                p = c / safe
+                acc = acc + np.where(
+                    c > 0, -(p) * np.log2(np.where(p > 0, p, 1.0)), 0.0
+                )
+            n_chars = lens.copy()
+            # exact per-row fallback for any non-ASCII row
+            hi = np.zeros(nrows, dtype=bool)
+            if total and (flat >= 0x80).any():
+                hi_bytes = flat >= 0x80
+                hi = (
+                    np.bincount(row_id[hi_bytes], minlength=nrows) > 0
+                )
+                texts = rb.column("text").to_pylist()
+                for r in np.nonzero(hi)[0]:
+                    ln_r, ent_r = _row_fallback(texts[r])
+                    n_chars[r] = ln_r
+                    acc[r] = ent_r
+            yield pa.record_batch(
+                {
+                    "doc_id": rb.column("doc_id"),
+                    "n_chars": pa.array(n_chars, type=pa.int64()),
+                    "entropy": pa.array(np.round(acc, 4), type=pa.float64()),
+                    "keep": pa.array(n_chars > 0),
+                }
+            )
+
+    d = load(spark, "documents", sf_dir).select("doc_id", "text")
     return (
-        d.filter(n > 0)
-        .select(
-            "doc_id",
-            n.cast("bigint").alias("n_chars"),
-            F.round(chain, 4).alias("entropy"),
+        d.mapInArrow(
+            _entropy,
+            schema="doc_id long, n_chars long, entropy double, keep boolean",
         )
+        .filter("keep")
+        .drop("keep")
         .orderBy("doc_id")
     )
 
@@ -577,6 +664,14 @@ def weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
         F.col("l_quantity").cast("decimal(12,2)").alias("w"),
     )
+    # r13: examined, left as-is after TWO measured rewrite attempts
+    # regressed (see OPTIMIZATION_r13.md): (a) a (grp, v) histogram
+    # collapse — extendedprice is near-unique per row, so the
+    # "histogram" stayed corpus-sized and only added an aggregate;
+    # (b) tw as a whole-partition window on the same grp exchange —
+    # the extra WindowExec buffering pass at parallelism |grps|=3
+    # costs more than the parallel second scan + broadcast join it
+    # replaced.
     tot = base.groupBy("grp").agg(F.sum("w").alias("tw"))
     wr = (
         W.partitionBy("grp")
@@ -964,12 +1059,18 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides reuse; 2× core count keeps each task's pair-aggregate hash
     # map comfortably in memory (32-partition runs at sf3 crossed into
     # spill/GC territory and their walls became run-order dependent)
+    # r13 (guide §2.4): distinct-then-repartition was TWO full
+    # shuffles of the basket rows (the distinct's (okey,pkey) exchange,
+    # then the okey exchange). Repartition FIRST and dedup in place:
+    # hash-partitioning on l_orderkey co-locates every (okey, pkey)
+    # group, so the dropDuplicates aggregate needs no second exchange —
+    # same distinct rows, one corpus shuffle.
     b = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
         .repartition(
             spark.sparkContext.defaultParallelism * 2, "l_orderkey"
         )
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
     item = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
     x = b.select("l_orderkey", F.col("l_partkey").alias("a"))
