@@ -436,3 +436,72 @@ def test_shuffle_advisor_arithmetic_and_aqe_coalesce(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in final, final[:2000]
+
+
+def _unpartitioned_window_specs(plan_text: str) -> list[str]:
+    """Window specs with NO partition columns in a plan dump.
+
+    In both simple and formatted plan text every window expression
+    carries `windowspecdefinition(partCols..., orderCols..., frame)`.
+    Partition columns are bare expressions; order columns end in
+    ASC/DESC [NULLS ...]; the frame starts with specifiedwindowframe.
+    So a spec whose FIRST argument is an order item or the frame has
+    an empty partition spec — the move-everything-to-one-task shape
+    WindowExec warns about."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan_text):
+        seg = plan_text[m.end() : m.end() + 300]
+        seg = seg.split(", specifiedwindowframe")[0]
+        first = seg.split(", ")[0].strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$", first
+        ):
+            out.append(first)
+    return out
+
+
+def test_every_unpartitioned_window_is_allowlisted(spark):
+    """r12 verdict #7: sweep EVERY registered batch op's plan — an
+    unpartitioned Window moves all rows to one task, so each one must
+    sit on a provably BOUNDED input (the allowlist, reviewed below);
+    a new one anywhere else fails here before it ships."""
+    from kinesis_to_firehose_spark.plans.explain import physical_plan
+
+    # every entry is bounded by construction — row counts independent
+    # of corpus size (or capped by a constant times a tiny constant):
+    ALLOWLIST = {
+        "bootstrap_ci",          # N_BOOT replicate means (200 rows)
+        "value_winsorize",       # ≤5 per-type moment rows
+        "equidepth_histogram",   # decile edges (≤10 rows)
+        "rfm_segments",          # quintile edges over 1-row scalars
+        "quantile_normalize",    # n_chars VALUE-DOMAIN rank (bounded domain)
+        "mmr_rerank",            # #queries·C candidate pool (bounded)
+        "window_funnel_levels",  # ≤#levels funnel rows
+        "top_n_per_group",       # presentation rank over ≤75 rows
+        "vocab_top_terms",       # vocab-bounded term ranks
+        "assoc_rules",           # itemset-bounded rule ranks
+        "collocations_pmi",      # support-floored vocab²-bounded rule rank
+        "ddsketch_partition_merge",  # sketch-bucket-bounded rows
+        "trend_ols",             # ≤#nations rows
+        "neyman_allocation",     # ≤#strata allocation rows
+        "orders_backlog",        # ≤#months cumulative backlog rows
+        "session_paths",         # ≤|event_type|³ distinct 3-step paths
+        "skyline_pareto",        # ≤|p_size| DOMAIN rows (op docstring)
+        "tokenize_to_ids",       # vocab-bounded id assignment rank
+    }
+    STREAMING = {
+        "firehose_sink",
+        "checkpoint_resume",
+        "kinesis_source",
+        "kinesis_replay_source",
+    }
+    offenders = {}
+    for name, op in sorted(OPS.items()):
+        if name in STREAMING:
+            continue
+        specs = _unpartitioned_window_specs(physical_plan(op.fn(spark, SF)))
+        if specs and name not in ALLOWLIST:
+            offenders[name] = specs[:2]
+    assert not offenders, f"unpartitioned windows outside allowlist: {offenders}"
