@@ -656,47 +656,115 @@ ORDER BY c.grp
 
 @register("weighted_quantile", WQ_SQL)
 def weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
+    # r13 re-plan (guide §2.5; the r13 sf1 scaling probe made this the
+    # #1 op at scale): the RANGE window cumulated the WHOLE corpus in
+    # |returnflag| = 3 partitions — a near-global sort at parallelism
+    # 3 that ANTI-scaled (c8/c32 ratio 0.72, 19.9 s at sf1). Now a
+    # DISTRIBUTED PREFIX SUM over a range-partitioned parallel sort:
+    # per-partition weight subtotals are a BOUNDED collect (n_parts ×
+    # |grps| rows — the media_repartition_by_bytes manifest idiom),
+    # broadcast back as per-(partition, grp) offsets, and each task
+    # emits at most one candidate row per (grp, threshold) — the
+    # corpus never crosses the Python boundary back.
+    #
+    # Exactness (oracle-verified identical at sf0.1 AND sf1):
+    # - money/weight become SCALED-INTEGER cents (decimal(·,2)·100 →
+    #   long, exact); every cumulative is int64 (100 TB headroom:
+    #   ~2e9 rows · 5e3 cents ≈ 1e13 ≪ 2^63);
+    # - thresholds are integer cross-multiplications: cw ≥ 0.5·tw ⟺
+    #   2·cw ≥ tw and cw ≥ 0.9·tw ⟺ 10·cw ≥ 9·tw — no decimal·decimal
+    #   product to reproduce;
+    # - ROWS-vs-RANGE ties: within a tie group of equal v the running
+    #   sum reaches the RANGE window's shared cumulative at the LAST
+    #   peer, and v qualifies under either semantics iff that last
+    #   peer qualifies — the MIN qualifying v is unchanged;
+    # - output doubles: int_cents / 100.0 is the correctly-rounded
+    #   double of the same rational as CAST(decimal AS DOUBLE);
+    # - localCheckpoint pins the SAMPLED range boundaries so the
+    #   subtotal job and the candidate job read identical partitions
+    #   (the ADVICE-r7 nondeterministic-repartition hazard).
+    # Measured: 2.07 → 1.54 s at sf0.1; 15.9 → 3.5 s at sf1 (c32).
     li = load(spark, "lineitem", sf_dir)
-    base = li.select(
+    scaled = li.select(
         F.col("l_returnflag").alias("grp"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
-        F.col("l_quantity").cast("decimal(12,2)").alias("w"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("vc"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("wc"),
     )
-    # r13: examined, left as-is after TWO measured rewrite attempts
-    # regressed (see OPTIMIZATION_r13.md): (a) a (grp, v) histogram
-    # collapse — extendedprice is near-unique per row, so the
-    # "histogram" stayed corpus-sized and only added an aggregate;
-    # (b) tw as a whole-partition window on the same grp exchange —
-    # the extra WindowExec buffering pass at parallelism |grps|=3
-    # costs more than the parallel second scan + broadcast join it
-    # replaced.
-    tot = base.groupBy("grp").agg(F.sum("w").alias("tw"))
-    wr = (
-        W.partitionBy("grp")
-        .orderBy("v")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    parts = (
+        scaled.repartitionByRange(n_parts, "grp", "vc")
+        .sortWithinPartitions("grp", "vc")
+        .localCheckpoint(eager=True)
     )
-    cum = base.withColumn("cw", F.sum("w").over(wr))
-    half = F.lit(0.5).cast("decimal(2,1)")
-    nine = F.lit(0.9).cast("decimal(2,1)")
+    sub = (
+        parts.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "grp")
+        .agg(F.sum("wc").alias("s"))
+        .collect()
+    )
+    tw: dict[str, int] = {}
+    running: dict[str, int] = {}
+    offs: dict[tuple[int, str], int] = {}
+    for r in sorted(sub, key=lambda r: r["_pid"]):
+        g = r["grp"]
+        offs[(r["_pid"], g)] = running.get(g, 0)
+        running[g] = running.get(g, 0) + r["s"]
+        tw[g] = tw.get(g, 0) + r["s"]
+    bc = spark.sparkContext.broadcast((offs, tw))
+
+    def _cand(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offs_d, tw_d = bc.value
+        carry: dict[str, int] = {}
+        emitted: set[tuple[str, int]] = set()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # partition rows are sorted by (grp, vc); groupby with
+            # sort=False preserves that intra-group order
+            for g, sp in pdf.groupby("grp", sort=False):
+                wc = sp["wc"].to_numpy()
+                cum = carry.get(g, offs_d.get((pid, g), 0)) + np.cumsum(wc)
+                carry[g] = int(cum[-1])
+                t = tw_d[g]
+                for thr, num, den in ((50, 2, 1), (90, 10, 9)):
+                    if (g, thr) in emitted:
+                        continue
+                    idx = np.nonzero(num * cum >= den * t)[0]
+                    if len(idx):
+                        emitted.add((g, thr))
+                        yield pd.DataFrame(
+                            {
+                                "grp": [g],
+                                "thr": [thr],
+                                "vcand": [int(sp["vc"].to_numpy()[idx[0]])],
+                            }
+                        )
+
+    cand = parts.mapInPandas(_cand, "grp string, thr int, vcand long")
+    twdf = spark.createDataFrame(
+        [(g, int(t)) for g, t in sorted(tw.items())], "grp string, twc long"
+    )
     return (
-        cum.join(F.broadcast(tot), "grp")
-        .groupBy("grp", "tw")
+        cand.groupBy("grp")
         .agg(
-            F.min(
-                F.when(F.col("cw") >= half * F.col("tw"), F.col("v"))
-            ).cast("double").alias("wq50"),
-            F.min(
-                F.when(F.col("cw") >= nine * F.col("tw"), F.col("v"))
-            ).cast("double").alias("wq90"),
+            F.min(F.when(F.col("thr") == 50, F.col("vcand"))).alias("c50"),
+            F.min(F.when(F.col("thr") == 90, F.col("vcand"))).alias("c90"),
         )
+        .join(F.broadcast(twdf), "grp")
         .select(
             "grp",
-            F.col("tw").cast("double").alias("total_weight"),
-            "wq50",
-            "wq90",
+            (F.col("twc") / 100.0).alias("total_weight"),
+            (F.col("c50") / 100.0).alias("wq50"),
+            (F.col("c90") / 100.0).alias("wq90"),
         )
         .orderBy("grp")
     )

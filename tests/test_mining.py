@@ -41,6 +41,36 @@ def test_weighted_quantile_is_exact(spark):
         assert sub[sub.v <= r.wq90].w.sum() >= 0.9 * tot - 1e-6
 
 
+def test_weighted_quantile_prefix_sum_matches_bruteforce(spark):
+    """r13: the distributed prefix-sum internals (per-(partition, grp)
+    running-sum offsets, ROWS-vs-RANGE tie handling, integer-cents
+    threshold cross-multiplication) must reproduce the definition
+    EXACTLY — min(v | cumw ≥ p·totw) with the RANGE window's
+    peers-share-a-cumulative tie semantics — not just land inside a
+    mass tolerance band."""
+    import duckdb
+    import numpy as np
+
+    rows = {r.grp: r for r in OPS["weighted_quantile"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    base = con.sql(
+        f"""SELECT l_returnflag g, l_extendedprice v, l_quantity w
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).df()
+    assert set(rows) == set(base.g.unique())
+    for g, r in rows.items():
+        sub = base[base.g == g].sort_values("v", kind="mergesort")
+        vc = np.round(sub.v.to_numpy() * 100).astype(np.int64)
+        wc = np.round(sub.w.to_numpy() * 100).astype(np.int64)
+        cum = np.cumsum(wc)
+        tot = int(cum[-1])
+        exp50 = vc[np.nonzero(2 * cum >= tot)[0][0]] / 100.0
+        exp90 = vc[np.nonzero(10 * cum >= 9 * tot)[0][0]] / 100.0
+        assert r.wq50 == exp50, (g, r.wq50, exp50)
+        assert r.wq90 == exp90, (g, r.wq90, exp90)
+        assert r.total_weight == tot / 100.0
+
+
 def test_skyline_dominance_sound_and_complete(spark):
     import duckdb
 
