@@ -579,19 +579,45 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch estimate itself is engine-specific, so the hash-checked
     surface is (exact count, within_bound) — see APPROX_DISTINCT_SQL;
     the raw estimate stays available via approx_distinct_raw for the
-    pytest error study."""
-    agg = approx_distinct_raw(spark, sf_dir)
-    return agg.select(
-        "event_type",
-        "n_users_exact",
-        "n_events",
-        (
-            F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
-            <= F.greatest(
-                F.lit(5.0), F.lit(0.05) * F.col("n_users_exact")
-            )
-        ).alias("within_bound"),
-    ).orderBy("event_type")
+    pytest error study.
+
+    r13 (guide §1.2 per-task work): mixing countDistinct with the
+    sketch in ONE aggregate makes the single-distinct rewrite key the
+    FIRST aggregate on (event_type, user_id) and carry
+    partial_approx_count_distinct as per-GROUP state — one
+    2^14-register (rsd 0.01) HLL buffer allocated and merged per
+    DISTINCT USER instead of per event_type (visible in the committed
+    before plan's `partial_approx_count_distinct` under the
+    (event_type, user_id) grouping). Two-level form instead: dedup to
+    (event_type, user_id) first (the same shuffle countDistinct
+    needed anyway), then count/sum/sketch over the deduped rows — the
+    plan shape is unchanged (3 exchanges) but exactly |event_type|
+    sketch buffers exist. The sketch is BIT-IDENTICAL over deduped
+    input — HLL registers are maxima, duplicates never change them
+    (verified value-equal at sf0.1) — and the exact counts are plain
+    integer regroupings. Measured 3.22 → 1.77 s same-session (−45%)."""
+    e = load(spark, "events", sf_dir)
+    lvl1 = e.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    return (
+        lvl1.groupBy("event_type")
+        .agg(
+            F.count("user_id").alias("n_users_exact"),
+            F.sum("c").alias("n_events"),
+            F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            "n_events",
+            (
+                F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+                <= F.greatest(
+                    F.lit(5.0), F.lit(0.05) * F.col("n_users_exact")
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
